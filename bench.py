@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice; the second (warm) run is reported, so the
+number reflects steady-state plan execution rather than JVM/codegen
+warm-up — matching how the reference would be measured (DuckDB has no
+JVM warm-up; comparing Spark cold start to it measures the wrong thing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_vortex_spark import catalog
+from duckdb_vortex_spark.session import get_spark
+
+# Headline set: the flagship relational queries + the scale-critical
+# LLM-pipeline operators. Kept explicit so bench time stays bounded as
+# the catalog grows.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "dedup_exact_content_hash",
+    "dedup_minhash_lsh_pairs",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+    "window_topk_per_group",
+]
+
+
+def run_one(spark, builder, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    df = builder(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("dvs-bench")
+    qs = catalog.queries()
+    names = [n for n in HEADLINE if n in qs]
+    timings: dict[str, float] = {}
+    for name in names:
+        run_one(spark, qs[name], sf_dir)  # warm-up: plan + codegen + page cache
+        timings[name] = round(run_one(spark, qs[name], sf_dir), 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Operator catalog registry.
+
+Every operator from SURVEY.md §2 is registered here as a named entry
+carrying BOTH a PySpark builder ``(spark, sf_dir) -> DataFrame`` and
+(when SQL-expressible) an equivalent ANSI-SQL oracle string that DuckDB
+runs on the same parquet tables. The driver's correctness gate
+(/root/repo/__spark_entry__.py) and the local pytest suite both consume
+this single registry, so "locally green" and "driver green" are the
+same property.
+
+Determinism rules baked into every entry (see SURVEY.md §7 traps):
+
+- **Aggregates over floating columns use exact decimal intermediates**
+  (``SUM(CAST(x AS DECIMAL(30,10)))``) cast to DOUBLE at the end.
+  Raw double summation is order-dependent, and Spark/DuckDB will not
+  sum partitions in the same order; decimal sums are associative and
+  exact, so both engines produce bit-identical doubles.
+- **Column names are aliased identically** in the Spark builder and
+  oracle SQL (the driver sorts columns by name before hashing).
+- **Integer aggregate result types are pinned** (DuckDB SUM(INT) is
+  HUGEINT; cast to BIGINT in the oracle so schemas line up).
+- **Session timezone is UTC** (pinned per call via ``pin_utc``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import pin_utc
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    builder: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+    doc: str = ""
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver table (TESTDATA.md): parquet, schema from footer."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every driver table as a temp view for SQL-form builders."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a catalog entry.
+
+    ``oracle`` is DuckDB-dialect ANSI SQL over the pre-registered views.
+    ``None`` marks a non-SQL-expressible op (driver runs rows-only check).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate catalog entry: {name}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_utc(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = CatalogEntry(
+            name=name, builder=wrapped, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def sql_query(name: str, spark_sql: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register an entry whose Spark form is a SQL string over temp views.
+
+    Catalyst compiles SQL text and DataFrame calls to the same plans;
+    SQL form is used where it is the clearer statement of the operator.
+    If ``oracle`` is omitted the same text is used for DuckDB (only for
+    queries written in the common dialect subset).
+    """
+    if oracle is None:
+        oracle = spark_sql
+
+    def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    builder.__name__ = name
+    _REGISTRY[name] = CatalogEntry(name=name, builder=_wrap_utc(builder), oracle=oracle, tags=tuple(tags))
+    return builder
+
+
+def _wrap_utc(fn: QueryFn) -> QueryFn:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pin_utc(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+def _ensure_loaded() -> None:
+    # Import side effect: module import registers entries.
+    from .queries import aggregates, joins, relational, setops, tpch, windows  # noqa: F401
+    from .operators import dedup, multimodal, similarity, text  # noqa: F401
+
+
+def entries() -> dict[str, CatalogEntry]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.builder for name, e in entries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in entries().items() if e.oracle is not None}

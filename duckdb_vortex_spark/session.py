@@ -1,0 +1,46 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs ``local[N]`` in one JVM; the configs below are the
+ones that also matter on a real cluster (AQE, shuffle partition count,
+Arrow transfer). Session timezone is pinned to UTC so timestamp
+semantics match DuckDB's zone-naive timestamps (the reference's
+timestamp round-trip semantics: /root/reference/test/sql/timestamp.test).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "duckdb_vortex_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_utc(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs the catalog's DuckDB-parity semantics rely on.
+
+    Safe to call on a driver-provided session: these are runtime SQL
+    confs, idempotent, and required for oracle hash-matching
+    (timestamps are zone-naive in DuckDB).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
