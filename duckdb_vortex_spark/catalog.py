@@ -60,7 +60,22 @@ _REGISTRY: dict[str, CatalogEntry] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read one driver table (TESTDATA.md): parquet, schema from footer."""
+    """Read one driver table (TESTDATA.md): parquet, schema from footer.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; DuckDB silently truncates it to µs on read. We reproduce
+    DuckDB's semantics: read nanos as long, integer-divide to µs
+    (``DIV`` stays in LongType — a double division would lose precision
+    above 2^53), and surface TimestampType. This matches the
+    reference's own ns→µs normalization (SURVEY.md §1.2,
+    /root/reference/test/sql/timestamp.test:28-37).
+    """
+    if table == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
