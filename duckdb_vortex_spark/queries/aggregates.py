@@ -1,1 +1,314 @@
-"""Placeholder — filled in Phase 1."""
+"""Aggregation catalog entries (SURVEY.md §2B "Aggregation").
+
+Pinned reference behaviors: ungrouped sum/count over a scan and
+aggregates over boolean expressions (/root/reference/test/sql/
+timestamp.test:30-34 — ``sum(a = b) = count(id)`` needs an int cast in
+Spark). Everything else is DuckDB-core surface the product ships,
+checked against the DuckDB oracle.
+
+Scale notes: every groupBy here relies on Spark's partial aggregation
+(map-side combine) — the shuffle carries one row per (partition, key),
+so low-cardinality keys scale to any input size. approx_count_distinct
+is HLL on both engines but with different hash functions, so that
+entry has no value-oracle (rows-only check) — documented, not hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, query, sql_query
+from .tpch import dec, dsum
+
+UNGROUPED_ORACLE = """
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+  CAST(SUM(CAST(event_type = 'purchase' AS INTEGER)) AS BIGINT) AS n_purchases,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events
+WHERE ts > TIMESTAMP '2024-03-01 00:00:00'
+"""
+
+
+@query("agg_ungrouped_sum_count", oracle=UNGROUPED_ORACLE, tags=("agg",))
+def agg_ungrouped_sum_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate over a filtered scan + sum over a boolean
+    expression (timestamp.test:30-34 parity: sum(bool) via int cast)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts") > F.lit("2024-03-01 00:00:00").cast("timestamp")
+    )
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("n_purchases"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+GROUPED_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price,
+  min(o_totalprice) AS min_price,
+  max(o_totalprice) AS max_price,
+  COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("agg_grouped_basic", oracle=GROUPED_ORACLE, tags=("agg",))
+def agg_grouped_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped hash aggregate with count/sum/min/max/count-distinct."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+STATS_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  sqrt(
+    (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+     - CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+       * CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+    / (COUNT(*) - 1)
+  ) AS stddev_qty,
+  (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+   - CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+     * CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+  / (COUNT(*) - 1) AS var_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_avg_stddev_variance", oracle=STATS_ORACLE, tags=("agg", "stats"))
+def agg_avg_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg / stddev_samp / var_samp computed via exact decimal moment
+    sums (sum, sum-of-squares) so both engines produce bit-identical
+    doubles — native stddev uses Welford-style updates whose result
+    depends on accumulation order (non-deterministic under shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sum_q = F.sum(dec(q)).cast("double")
+    sum_q2 = F.sum(dec(q * q)).cast("double")
+    n = F.count("*")
+    var = (sum_q2 - sum_q * sum_q / n) / (n - F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        (sum_q / n).alias("avg_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        var.alias("var_qty"),
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines by design; driver runs rows-only check
+    tags=("agg", "approx"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No value oracle: DuckDB's HLL uses
+    a different hash, so estimates differ; correctness is bounded-error,
+    asserted in tests/test_aggregates.py against the exact count."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+# FILTER clause: identical syntax in Spark SQL and DuckDB.
+sql_query(
+    "agg_filter_clause",
+    """
+SELECT
+  l_returnflag,
+  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+  COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_nodisc,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS price_f
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+
+
+CUBE_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag) AS BIGINT) + 2 * CAST(GROUPING(l_linestatus) AS BIGINT) AS grouping_id,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_cube", oracle=CUBE_ORACLE, tags=("agg", "cube"))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() disambiguation of generated nulls.
+
+    Spark's grouping_id bit order is implementation-defined, so the id
+    is composed explicitly from per-column grouping() bits to match."""
+    li = load(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag").cast("bigint")
+        + F.lit(2) * F.grouping("l_linestatus").cast("bigint")
+    )
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        gid.alias("grouping_id"),
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS BIGINT) + 2 * CAST(GROUPING(o_orderpriority) AS BIGINT) AS grouping_id,
+  COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_rollup", oracle=ROLLUP_ORACLE, tags=("agg", "cube"))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    o = load(spark, sf_dir, "orders")
+    gid = (
+        F.grouping("o_orderstatus").cast("bigint")
+        + F.lit(2) * F.grouping("o_orderpriority").cast("bigint")
+    )
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        gid.alias("grouping_id"), F.count("*").alias("n")
+    )
+
+
+# GROUPING SETS: identical syntax in Spark SQL and DuckDB.
+sql_query(
+    "agg_grouping_sets",
+    """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    tags=("agg", "cube"),
+)
+
+
+ARG_ORACLE = """
+SELECT
+  o_orderstatus,
+  max_by(o_orderkey, o_orderkey) AS last_orderkey,
+  min_by(o_orderkey, o_orderkey) AS first_orderkey,
+  max_by(o_orderpriority, o_orderkey) AS priority_of_last,
+  arbitrary(o_orderstatus) AS any_status
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_arg_minmax", oracle=ARG_ORACLE, tags=("agg",))
+def agg_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_min/arg_max (min_by/max_by) + first/arbitrary. Ordering keys
+    are unique (o_orderkey) so results are deterministic; ``arbitrary``
+    over a group keyed by the same column is trivially deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_orderkey").alias("last_orderkey"),
+        F.min_by("o_orderkey", "o_orderkey").alias("first_orderkey"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("priority_of_last"),
+        F.first("o_orderstatus").alias("any_status"),
+    )
+
+
+STRING_AGG_ORACLE = """
+SELECT
+  n_regionkey,
+  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations_csv,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("agg_string_list_collect", oracle=STRING_AGG_ORACLE, tags=("agg",))
+def agg_string_list_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg / array_agg parity: collect_set → sort_array →
+    concat_ws gives the deterministic sorted-distinct concatenation."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations_csv"),
+        F.count("*").alias("n"),
+    )
+
+
+MEDIAN_ORACLE = """
+SELECT
+  l_linestatus,
+  median(l_quantity) AS median_qty,
+  quantile_cont(l_quantity, 0.25) AS q25,
+  quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@query("agg_median_percentile", oracle=MEDIAN_ORACLE, tags=("agg", "stats"))
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous percentile (both engines interpolate;
+    selection over exact values is order-independent → deterministic)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )
+
+
+COND_SUM_ORACLE = """
+SELECT
+  l_linestatus,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(30,6)) ELSE 0 END) AS DOUBLE) AS returned_qty,
+  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@query("agg_conditional_sum", oracle=COND_SUM_ORACLE, tags=("agg",))
+def agg_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(CASE WHEN ...) — the pre-FILTER-clause idiom."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", dec("l_quantity")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("returned_qty"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discounted"),
+    )

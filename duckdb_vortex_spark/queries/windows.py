@@ -1,1 +1,233 @@
-"""Placeholder — filled in Phase 1."""
+"""Window-function catalog entries (SURVEY.md §2B "Window functions").
+
+All DuckDB-core surface. Determinism rules: every ORDER BY inside a
+window ends with a unique tiebreaker column (event_id / o_orderkey /
+(l_orderkey, l_linenumber)) so ranking, offsets, and running frames
+are well-defined; running sums use exact decimal intermediates.
+
+Scale: Window.partitionBy shuffles once on the partition key; all
+functions over the same (partition, order) share one sort — entries
+group compatible windows so Spark reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+from .tpch import dec
+
+TOPK_ORACLE = """
+SELECT user_id, event_id, value, rn
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) t
+WHERE rn <= 3
+"""
+
+
+@query("window_topk_per_group", oracle=TOPK_ORACLE, tags=("window", "topk", "flagship"))
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number — the canonical pattern. At scale
+    the filter rn<=K is pushed into the sort via Spark's
+    WindowGroupLimit (rank-limit pushdown), so no full per-group sort
+    materializes."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+RANK_ORACLE = """
+SELECT
+  p_brand,
+  p_partkey,
+  p_retailprice,
+  rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk,
+  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk,
+  percent_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS prnk,
+  cume_dist() OVER (PARTITION BY p_brand ORDER BY p_size) AS cdist,
+  ntile(4) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS quartile
+FROM part
+"""
+
+
+@query("window_ranking_family", oracle=RANK_ORACLE, tags=("window",))
+def window_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank/cume_dist (tie-stable by
+    definition) + ntile over a unique order."""
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_size")
+    wu = W.partitionBy("p_brand").orderBy("p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(wu).cast("bigint").alias("quartile"),
+    )
+
+
+OFFSET_ORACLE = """
+SELECT
+  user_id,
+  event_id,
+  CAST(ts AS VARCHAR) AS ts_str,
+  lag(event_type) OVER w AS prev_type,
+  lead(event_type) OVER w AS next_type,
+  lag(event_type, 2, 'none') OVER w AS prev2_type,
+  first_value(event_id) OVER w AS first_event,
+  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event,
+  nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("window_offset_family", oracle=OFFSET_ORACLE, tags=("window",))
+def window_offset_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead (with default), first/last/nth_value with explicit
+    unbounded frames (last_value needs the full frame in both engines)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("event_type", 2, "none").over(w).alias("prev2_type"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wfull).alias("last_event"),
+        F.nth_value("event_id", 2).over(wfull).alias("second_event"),
+    )
+
+
+RUNNING_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+       OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+  COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+FROM lineitem
+WHERE l_orderkey % 10 = 0
+"""
+
+
+@query("window_running_sum", oracle=RUNNING_ORACLE, tags=("window",))
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) windowed aggregate with explicit ROWS frame."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec("l_quantity")).over(w).cast("double").alias("running_qty"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+MOVING_ORACLE = """
+SELECT
+  user_id,
+  event_id,
+  CAST(SUM(CAST(value AS DECIMAL(30,6)))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+  CAST(SUM(CAST(value AS DECIMAL(30,6)))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+FROM events
+"""
+
+
+@query("window_moving_frame", oracle=MOVING_ORACLE, tags=("window",))
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame (moving sum / moving average)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    msum = F.sum(dec("value")).over(w).cast("double")
+    return ev.select(
+        "user_id",
+        "event_id",
+        msum.alias("moving_sum"),
+        (msum / F.count("*").over(w)).alias("moving_avg"),
+    )
+
+
+RANGE_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_range
+FROM orders
+WHERE o_custkey % 5 = 0
+"""
+
+
+@query("window_range_frame", oracle=RANGE_ORACLE, tags=("window",))
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric order key (value-based, not row-based)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 5 == 0)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.count("*").over(w).alias("n_in_range")
+    )
+
+
+PARTITION_AGG_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER (PARTITION BY l_orderkey) AS DOUBLE) AS order_total,
+  COUNT(*) OVER (PARTITION BY l_orderkey) AS order_lines,
+  l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER (PARTITION BY l_orderkey) AS DOUBLE) AS price_share
+FROM lineitem
+WHERE l_orderkey % 25 = 0
+"""
+
+
+@query("window_partition_aggregate", oracle=PARTITION_AGG_ORACLE, tags=("window",))
+def window_partition_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition windowed aggregate (no ORDER BY): per-row access
+    to the group total without a self-join."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 25 == 0)
+    w = W.partitionBy("l_orderkey")
+    total = F.sum(dec("l_extendedprice")).over(w).cast("double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        total.alias("order_total"),
+        F.count("*").over(w).alias("order_lines"),
+        (F.col("l_extendedprice") / total).alias("price_share"),
+    )
