@@ -1,1 +1,252 @@
-"""Placeholder — filled in Phase 1."""
+"""Join catalog entries (SURVEY.md §2B "Joins" — every flavor the
+reference product exposes through DuckDB v1.5.5).
+
+Scale notes inline per entry; the common rules: dimension sides are
+broadcast (no shuffle of the fact table beyond its own keys), fact-fact
+joins shuffle both sides on the join key and rely on AQE for skew
+splitting, and the as-of join avoids range-explosion entirely (see
+operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+from ..operators.asof import asof_join
+from .tpch import dec
+
+INNER_ORACLE = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 250000
+"""
+
+
+@query("join_inner_equi", oracle=INNER_ORACLE, tags=("join",))
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi hash join; customer side broadcast (dimension)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    c = load(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+LEFT_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 400000
+WHERE c_custkey % 3 = 0
+"""
+
+
+@query("join_left_outer", oracle=LEFT_ORACLE, tags=("join",))
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with an extra ON-clause predicate (kept in the
+    join condition, NOT the WHERE — different semantics)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+RIGHT_ORACLE = """
+SELECT s_suppkey, s_name, n_name
+FROM nation RIGHT JOIN supplier ON n_nationkey = s_nationkey
+WHERE s_suppkey % 2 = 0
+"""
+
+
+@query("join_right_outer", oracle=RIGHT_ORACLE, tags=("join",))
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (nation may miss → null n_name)."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0)
+    return n.join(s, n.n_nationkey == s.s_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+FULL_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+)
+SELECT
+  COALESCE(c.nationkey, s.nationkey) AS nationkey,
+  c.n_customers,
+  s.n_suppliers
+FROM c FULL JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+@query("join_full_outer", oracle=FULL_ORACLE, tags=("join",))
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (either side may be missing)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full").select(
+        F.coalesce(c.c_nk, s.s_nk).alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+"""
+
+
+@query("join_semi", oracle=SEMI_ORACLE, tags=("join",))
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS). No row multiplication — probe-only."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("join_anti", oracle=ANTI_ORACLE, tags=("join",))
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS) — customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+CROSS_ORACLE = """
+SELECT r_name, t.o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) t
+"""
+
+
+@query("join_cross", oracle=CROSS_ORACLE, tags=("join",))
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two small relations (broadcast nested loop)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    st = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st)
+
+
+RANGE_ORACLE = """
+SELECT o_orderkey, l_linenumber, CAST(o_orderdate AS VARCHAR) AS order_date,
+       CAST(l_shipdate AS VARCHAR) AS ship_date
+FROM orders JOIN lineitem
+  ON o_orderkey = l_orderkey
+ AND l_shipdate > o_orderdate + INTERVAL 100 DAY
+WHERE o_orderkey % 50 = 0
+"""
+
+
+@query("join_range_inequality", oracle=RANGE_ORACLE, tags=("join",))
+def join_range_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + inequality residual (DuckDB IEJoin territory). The
+    equi key carries the shuffle; the range predicate is a post-probe
+    filter — no nested-loop blowup."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 100)),
+        )
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            F.col("o_orderdate").cast("string").alias("order_date"),
+            F.col("l_shipdate").cast("string").alias("ship_date"),
+        )
+    )
+
+
+ASOF_ORACLE = """
+WITH marks AS (
+  SELECT user_id, ts, max(value) AS signup_value
+  FROM events
+  WHERE event_type = 'signup'
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, CAST(e.ts AS VARCHAR) AS ts_str, e.event_type,
+       m.signup_value
+FROM events e
+ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts >= m.ts
+"""
+
+
+@query("join_asof_backward", oracle=ASOF_ORACLE, tags=("join", "asof"))
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the value of the user's most
+    recent signup at-or-before it. Oracle is DuckDB's native ASOF LEFT
+    JOIN; Spark side is the union+window operator (operators/asof.py)
+    — one shuffle on user_id, no range explosion."""
+    ev = load(spark, sf_dir, "events")
+    marks = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        marks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        "event_type",
+        "signup_value",
+    )
+
+
+SELF_ORACLE = """
+SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b, a.s_nationkey AS nationkey
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+"""
+
+
+@query("join_self_pairs", oracle=SELF_ORACLE, tags=("join",))
+def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join producing unordered pairs within a group (the building
+    block of pairwise dedup/similarity ops — see operators/dedup.py)."""
+    s = load(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("suppkey_a"), F.col("s_nationkey").alias("nationkey"))
+    b = s.select(F.col("s_suppkey").alias("suppkey_b"), F.col("s_nationkey").alias("nationkey_b"))
+    return (
+        a.join(b, (a.nationkey == b.nationkey_b) & (a.suppkey_a < b.suppkey_b))
+        .select("suppkey_a", "suppkey_b", "nationkey")
+    )
