@@ -1,1 +1,304 @@
-"""Placeholder — filled in Phase 1."""
+"""Deduplication operators for training-data pipelines (SURVEY.md §2C):
+exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+
+All are DataFrame→DataFrame functions built from JVM-side column
+algebra (no Python UDFs in any hot path). Scale design per operator:
+
+- **exact**: one hash-shuffle on the content fingerprint; map-side
+  partial aggregation. The canonical 100 TB shape.
+- **MinHash+LSH**: signature computation is per-row (no shuffle);
+  candidate generation explodes k buckets per doc and self-joins per
+  bucket — cost is Σ bucket² , controlled by shingling (rarer keys) and
+  a bucket-size cap (hot-bucket guard) rather than O(n²) brute force.
+- **SimHash**: per-row 64-bit signature; near-dup candidates via
+  band-exact match on signature prefixes (same join shape as LSH).
+- **n-gram Jaccard**: exact pairwise verification used on candidate
+  pairs; brute-force variant only for oracle-sized data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+from .text import tokens
+
+# --- shared shingling ---------------------------------------------------
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct n-token shingles (word n-grams joined by single space).
+    Documents shorter than n tokens contribute their full token string
+    as one shingle so they still participate in dedup."""
+    toks = tokens(col)
+    full = F.array(F.array_join(toks, " "))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(full))
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return inter / union
+
+
+# DuckDB mirror of shingles()+jaccard for oracles.
+_DUCK_SHINGLES = """
+CASE WHEN len({toks}) >= 3
+     THEN list_distinct(list_transform(range(1, len({toks}) - 1),
+                        i -> array_to_string(list_slice({toks}, i, i + 2), ' ')))
+     ELSE [array_to_string({toks}, ' ')]
+END
+"""
+
+
+def _duck_shingles(toks_expr: str) -> str:
+    return _DUCK_SHINGLES.format(toks=toks_expr)
+
+
+_DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+
+
+# --- exact dedup ---------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups on the canonical token-set hash: catches
+    byte-identical AND word-order-shuffled duplicates. Returns one row
+    per content group: canonical (min) id, group size."""
+    key = F.md5(F.array_join(F.sort_array(F.array_distinct(tokens(text_col))), " "))
+    return (
+        df.select(F.col(id_col), key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+EXACT_ORACLE = f"""
+SELECT
+  md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS content_key,
+  min(doc_id) AS keep_id,
+  COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_exact_content_hash", oracle=EXACT_ORACLE, tags=("dedup", "llm", "flagship"))
+def dedup_exact_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (token-set canonical form)."""
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+# --- n-gram Jaccard ------------------------------------------------------
+
+
+def ngram_jaccard_pairs_bruteforce(
+    df: DataFrame, threshold: float, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold, O(n²) — correct at
+    any size but only *affordable* as the verifier on candidate pairs
+    or on oracle-scale corpora; the scale path is minhash_lsh_pairs."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_duck_shingles(_DUCK_TOKS)} AS sh
+  FROM documents
+)
+SELECT
+  a.id AS doc_a,
+  b.id AS doc_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard_pairs", oracle=NGRAM_ORACLE, tags=("dedup", "llm"))
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs (J ≥ 0.5), exact pairwise."""
+    return ngram_jaccard_pairs_bruteforce(load(spark, sf_dir, "documents"), 0.5)
+
+
+# --- MinHash + LSH -------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs via MinHash+LSH with exact-Jaccard verification.
+
+    Pipeline: shingle → k minhash signatures (xxhash64 seeded per
+    hash index, computed per-row with zero shuffle) → band buckets
+    (r=1: each minhash is its own band, recall ≥ 1-(1-t)^k, ~1-2e-12
+    at t=0.8, k=16) → per-bucket self-join for candidates (hot buckets
+    capped at ``max_bucket`` docs — a bucket that large is a stop-shingle
+    artifact, not a dup cluster) → exact shingle-Jaccard verification
+    ≥ threshold, so the output has NO false positives; recall is the
+    LSH catch probability above.
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+
+    def _seeded_hash(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    minhashes = F.array(
+        *[F.array_min(F.transform("sh", _seeded_hash(i))) for i in range(num_hashes)]
+    )
+    sig = sh.select("id", "sh", minhashes.alias("mh"))
+    buckets = sig.select(
+        "id", F.posexplode("mh").alias("band", "h")
+    )
+    bucket_sizes = buckets.groupBy("band", "h").agg(F.count("*").alias("bn"))
+    buckets = buckets.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket), ["band", "h"]
+    )
+    a = buckets.select(F.col("band"), F.col("h"), F.col("id").alias("doc_a"))
+    b = buckets.select(F.col("band"), F.col("h"), F.col("id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = sig.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_duck_shingles(_DUCK_TOKS)} AS sh
+  FROM documents
+)
+SELECT
+  a.id AS doc_a,
+  b.id AS doc_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+"""
+
+
+@query("dedup_minhash_lsh_pairs", oracle=MINHASH_ORACLE, tags=("dedup", "llm", "flagship"))
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs at J ≥ 0.8, verified exactly.
+
+    Oracle is the brute-force pair set: the LSH output equals it
+    whenever no true pair is missed (miss probability ≤ (1-0.8)^16 ≈
+    7e-12 per pair) — the oracle checks recall, the verify step
+    guarantees precision."""
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over distinct tokens (xxhash64 fast path).
+    Near-dups have small Hamming distance between signatures."""
+    toks = F.array_distinct(tokens(text_col))
+
+    def _bit_acc(j: int):
+        return lambda acc, t: acc + (
+            F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    bits = []
+    for j in range(64):
+        contrib = F.aggregate(toks, F.lit(0).cast("bigint"), _bit_acc(j))
+        bits.append((contrib > 0).cast("bigint") * F.lit(2**j if j < 63 else -(2**63)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def _portable_simhash_spark(text_col: str) -> Column:
+    """SimHash whose hash primitive is md5 (identical in Spark and
+    DuckDB), surfaced as a 16-hex-digit string — cross-engine-checkable.
+    Bit source: hex digit d of md5(token) contributes 4 bits."""
+    toks = F.array_distinct(tokens(text_col))
+
+    def _digit_bit_acc(d: int, j: int):
+        return lambda acc, t: acc + (
+            F.shiftright(
+                F.position(F.substring(F.md5(t), d + 1, 1), F.lit("0123456789abcdef")).cast(
+                    "bigint"
+                )
+                - 1,
+                j,
+            ).bitwiseAND(F.lit(1))
+            * 2
+            - 1
+        )
+
+    digit_chars = []
+    for d in range(16):
+        digit_val = None
+        for j in range(4):
+            contrib = F.aggregate(toks, F.lit(0).cast("bigint"), _digit_bit_acc(d, j))
+            bit = (contrib > 0).cast("bigint") * F.lit(2**j)
+            digit_val = bit if digit_val is None else digit_val + bit
+        digit_chars.append(F.substring(F.lit("0123456789abcdef"), (digit_val + 1).cast("int"), 1))
+    return F.concat(*digit_chars)
+
+
+def _portable_simhash_duck() -> str:
+    toks = f"list_distinct({_DUCK_TOKS})"
+    digits = []
+    for d in range(16):
+        bit_terms = []
+        for j in range(4):
+            s = (
+                f"list_sum(list_transform({toks}, t -> "
+                f"(((strpos('0123456789abcdef', substr(md5(t), {d + 1}, 1)) - 1) // {2**j}) % 2) * 2 - 1))"
+            )
+            bit_terms.append(f"(CASE WHEN {s} > 0 THEN {2**j} ELSE 0 END)")
+        digit = " + ".join(bit_terms)
+        digits.append(f"substr('0123456789abcdef', ({digit}) + 1, 1)")
+    return " || ".join(digits)
+
+
+SIMHASH_ORACLE = f"""
+SELECT doc_id, {_portable_simhash_duck()} AS simhash_hex
+FROM documents
+"""
+
+
+@query("dedup_simhash_signatures", oracle=SIMHASH_ORACLE, tags=("dedup", "llm", "hash"))
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable (md5-bit) SimHash signatures, hex-string form, verified
+    bit-for-bit against the same construction in DuckDB. The fast path
+    for production is simhash() above (xxhash64, single 64-bit column).
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", _portable_simhash_spark("text").alias("simhash_hex"))

@@ -1,1 +1,250 @@
-"""Placeholder — filled in Phase 1."""
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2C
+north-star): language ID, quality scoring, token counting, document
+fingerprinting. All pure ``pyspark.sql.functions`` column expressions —
+JVM-side, whole-stage-codegen'd, zero Python in the hot path — so they
+scale to any corpus size as embarrassingly-parallel per-row transforms.
+
+Each operator is both a reusable DataFrame→DataFrame function and a
+catalog entry with a DuckDB oracle over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+
+# Stopwords for the quality heuristic: tiny, fixed, English-ish. The
+# point is the Spark plumbing (set-membership ratio over tokens), not
+# linguistic fidelity.
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization; empty strings filtered (parity with
+    DuckDB string_split + list_filter)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def word_token_count(col) -> Column:
+    """BPE-ish token proxy: count word pieces + standalone punctuation.
+
+    A real BPE vocab isn't in this container; the regex splits on word
+    boundaries the way subword tokenizers pre-tokenize, giving a
+    deterministic, cheap token-count estimate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(F.split(c, r"[^0-9A-Za-z]+"), lambda t: t != "")
+    ).cast("bigint")
+
+
+def stopword_ratio(col) -> Column:
+    toks = tokens(col)
+    stop = F.filter(toks, lambda t: F.lower(t).isin(*_STOPWORDS))
+    return (
+        F.size(stop).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    )
+
+
+def punct_ratio(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def mean_token_len(col) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword
+    presence + moderate punctuation + sane mean token length. Formula
+    chosen to be exactly expressible in ANSI SQL for the oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_ok = (F.length(c) >= 100) & (F.length(c) <= 20000)
+    stop_ok = stopword_ratio(c) > 0.05
+    punct_ok = punct_ratio(c) < 0.2
+    tok_ok = mean_token_len(c).between(2.0, 12.0)
+    return (
+        len_ok.cast("int")
+        + stop_ok.cast("int")
+        + punct_ok.cast("int")
+        + tok_ok.cast("int")
+    ).cast("double") / 4.0
+
+
+def lang_id(col) -> Column:
+    """N-gram-heuristic language ID over a closed tag set.
+
+    Deterministic rule cascade on character classes and frequent-word
+    hits; returns 'en' / 'xx' (unknown). The testdata corpus is
+    synthetic English-ish text, so the interesting property is the
+    plumbing: a pure-column cascade a real char-n-gram model would
+    slot into (weights as a broadcast map)."""
+    c = F.col(col) if isinstance(col, str) else col
+    en_hits = F.size(
+        F.filter(tokens(c), lambda t: F.lower(t).isin("the", "and", "of", "to", "is"))
+    )
+    non_ascii = F.length(F.regexp_replace(c, r"[\x00-\x7F]", ""))
+    return (
+        F.when(non_ascii > F.length(c) * 0.3, "xx")
+        .when(en_hits >= 2, "en")
+        .otherwise("xx")
+    )
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: 64-bit hash of the normalized text
+    (lowercased, whitespace-collapsed) — the exact-dedup key. xxhash64
+    is Spark-native; the oracle uses an md5-prefix equivalent, so the
+    catalog entry fingerprints via md5 for cross-engine checkability
+    while this helper stays on the faster xxhash64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(_normalized(c))
+
+
+def _normalized(c: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def md5_fingerprint(col) -> Column:
+    """Cross-engine-checkable fingerprint (md5 of normalized text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(_normalized(c))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family to a corpus."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        word_token_count(text_col).alias("n_word_tokens"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        mean_token_len(text_col).alias("mean_token_len"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        md5_fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+# --- catalog entries ----------------------------------------------------
+
+TOKEN_ORACLE = """
+SELECT
+  doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
+  len(list_filter(string_split_regex(text, '[^0-9A-Za-z]+'), x -> x != '')) AS n_word_tokens,
+  length(text) AS n_chars_computed
+FROM documents
+"""
+
+
+@query("text_token_count", oracle=TOKEN_ORACLE, tags=("text", "llm"))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        word_token_count("text").alias("n_word_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+QUALITY_ORACLE = """
+WITH t AS (
+  SELECT
+    doc_id,
+    text,
+    list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks,
+    length(text) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT
+    doc_id,
+    n_chars,
+    len(toks) AS n_toks,
+    len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+      AS n_stop,
+    length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nonpunct,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_len_sum
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST(n_stop AS DOUBLE) / greatest(n_toks, 1) AS stopword_ratio,
+  CAST(n_chars - n_nonpunct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+  tok_len_sum / greatest(n_toks, 1) AS mean_token_len,
+  CAST(
+    CAST(n_chars BETWEEN 100 AND 20000 AS INTEGER)
+    + CAST(CAST(n_stop AS DOUBLE) / greatest(n_toks, 1) > 0.05 AS INTEGER)
+    + CAST(CAST(n_chars - n_nonpunct AS DOUBLE) / greatest(n_chars, 1) < 0.2 AS INTEGER)
+    + CAST(tok_len_sum / greatest(n_toks, 1) BETWEEN 2.0 AND 12.0 AS INTEGER)
+  AS DOUBLE) / 4.0 AS quality
+FROM m
+"""
+
+
+@query("text_quality_score", oracle=QUALITY_ORACLE, tags=("text", "llm", "flagship"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword/token-shape bands
+    composed into a [0,1] score. Pure column algebra → codegen."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        stopword_ratio("text").alias("stopword_ratio"),
+        punct_ratio("text").alias("punct_ratio"),
+        mean_token_len("text").alias("mean_token_len"),
+        quality_score("text").alias("quality"),
+    )
+
+
+LANG_ORACLE = """
+SELECT
+  doc_id,
+  lang,
+  CASE
+    WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) > length(text) * 0.3 THEN 'xx'
+    WHEN len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x != ''),
+             x -> lower(x) IN ('the','and','of','to','is'))) >= 2 THEN 'en'
+    ELSE 'xx'
+  END AS lang_pred
+FROM documents
+"""
+
+
+@query("text_language_id", oracle=LANG_ORACLE, tags=("text", "llm"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (frequent-word + non-ASCII-ratio cascade)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+FINGERPRINT_ORACLE = """
+SELECT
+  doc_id,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+@query("text_fingerprint", oracle=FINGERPRINT_ORACLE, tags=("text", "llm", "hash"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (the exact-dedup key)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", md5_fingerprint("text").alias("fingerprint"))
