@@ -206,13 +206,15 @@ WITH pairs AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
 )
-SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.30
 """
 
 
 @query("similarity_neardup_pairs", oracle=PAIRS_ORACLE, tags=("similarity", "dedup", "llm"))
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.95) over a 10%
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.30 — the synthetic
+    embeddings are near-orthogonal, max pairwise cos ≈ 0.41, so a
+    production-style 0.95 threshold would test nothing) over a 10%
     sample — the embedding-space analogue of MinHash dedup."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
@@ -220,5 +222,5 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.95)
+        .filter(F.col("cos_sim") >= 0.30)
     )

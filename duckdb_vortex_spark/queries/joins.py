@@ -129,15 +129,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANTI_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
 """
 
 
 @query("join_anti", oracle=ANTI_ORACLE, tags=("join",))
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (NOT EXISTS) — customers with no orders."""
+    """Left anti join (NOT EXISTS) — customers with no high-value
+    orders (the unfiltered variant is empty at sf0.01: every customer
+    has at least one order)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

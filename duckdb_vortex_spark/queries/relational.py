@@ -104,7 +104,7 @@ def timestamp_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILTER_TS_ORACLE = """
 SELECT event_id, user_id, event_type, CAST(ts AS VARCHAR) AS ts_str
 FROM events
-WHERE ts > TIMESTAMP '2024-06-01 00:00:00' AND event_type = 'purchase'
+WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'purchase'
 """
 
 
@@ -114,7 +114,7 @@ def filter_timestamp_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both predicates push down to the parquet scan (PushedFilters)."""
     ev = load(spark, sf_dir, "events")
     return ev.filter(
-        (F.col("ts") > F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        (F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
         & (F.col("event_type") == "purchase")
     ).select("event_id", "user_id", "event_type", F.col("ts").cast("string").alias("ts_str"))
 
@@ -296,7 +296,7 @@ SELECT
   l_orderkey,
   l_linenumber,
   abs(l_quantity - 25)                 AS abs_dev,
-  round(l_extendedprice / 1000, 2)     AS price_k,
+  CAST(round(CAST(l_extendedprice / 1000 AS DECIMAL(30,6)), 2) AS DOUBLE) AS price_k,
   CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
   CAST(floor(l_tax * 100) AS BIGINT)     AS tax_pct_floor,
   sqrt(l_quantity)                     AS qty_sqrt,
@@ -321,7 +321,11 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
-        F.round(F.col("l_extendedprice") / 1000, 2).alias("price_k"),
+        # decimal(30,6) intermediate: exact at the .005 half-way points
+        # where double division diverges between engines
+        F.round((F.col("l_extendedprice") / 1000).cast("decimal(30,6)"), 2)
+        .cast("double")
+        .alias("price_k"),
         F.ceil(F.col("l_discount") * 100).cast("bigint").alias("disc_pct_ceil"),
         F.floor(F.col("l_tax") * 100).cast("bigint").alias("tax_pct_floor"),
         F.sqrt("l_quantity").alias("qty_sqrt"),

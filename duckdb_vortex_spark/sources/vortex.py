@@ -1,0 +1,326 @@
+"""Vortex-semantics Spark DataSource (SURVEY.md §2A rows A1-A9).
+
+The reference extension's value-add is columnar file I/O for the
+Vortex format: ``read_vortex(path)`` scan with schema-from-footer
+bind, glob expansion, projection + filter pushdown with zone-map
+pruning, chunked multi-batch scans, and ``COPY TO (FORMAT VORTEX)``
+compressed writes (/root/reference/README.md:63-79, test/sql/
+sequence.test:11-15). This module re-expresses that capability as a
+Spark **Python DataSource** ("vortex"), per the survey's mapping:
+
+- A1 scan source ........ ``spark.read.format("vortex").load(path)``
+- A2 glob expansion ..... glob patterns in ``load()`` path
+- A4 file sink .......... ``df.write.format("vortex").save(path)``
+- A5 projection pushdown. only Spark-pruned columns are decoded
+- A6 filter pushdown .... ``pushFilters`` → zone-map row-group skip +
+                          batch-level pyarrow filtering
+- A7 statistics ......... per-chunk min/max/null-count (parquet stats)
+- A8 chunked scan ....... one InputPartition per (file, row-group)
+- A9 type matrix ........ Arrow ↔ Spark conversion (SURVEY.md §1.2)
+
+Container format: parquet with zstd compression and dictionary
+encoding — per BASELINE.json, "format-specific optimizations are
+peripheral"; capability parity (compressed, chunked, stats-bearing,
+pushdown-friendly columnar files) is the target, and the reader/writer
+pair is a drop-in point for a real ``.vortex`` codec (rung (b) of
+SURVEY.md §7 Phase 2).
+
+Scale: the scan parallelism unit is the row-group (chunk), so a
+1000-executor cluster gets even work distribution for any file count;
+pushdown happens before any Arrow batch is materialized; reads stream
+RecordBatches (never whole files) across the Python↔JVM boundary.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import uuid
+from collections.abc import Iterable, Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.pandas.types import from_arrow_schema
+from pyspark.sql.types import StructType
+
+FILE_SUFFIX = ".vortex.parquet"
+
+
+def _expand(path: str) -> list[str]:
+    """Glob expansion (A2). A directory means all chunked files in it;
+    glob matches may themselves be dataset directories."""
+    matches = sorted(globmod.glob(path)) if any(ch in path for ch in "*?[") else [path]
+    files: list[str] = []
+    for m in matches:
+        if os.path.isdir(m):
+            files.extend(
+                sorted(
+                    globmod.glob(os.path.join(m, f"*{FILE_SUFFIX}"))
+                    or globmod.glob(os.path.join(m, "*.parquet"))
+                )
+            )
+        elif os.path.exists(m):
+            files.append(m)
+    return files
+
+
+@dataclass
+class VortexChunk(InputPartition):
+    """One scan unit = one row-group (chunk) of one file (A8)."""
+
+    file: str
+    row_group: int
+
+
+class VortexReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vortex scan requires a path")
+        self.files = _expand(self.path)
+        if not self.files:
+            raise FileNotFoundError(f"no vortex files match {self.path!r}")
+        self.schema = schema
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: N802
+        """A6: accept the comparison/null filters we can evaluate against
+        chunk statistics and batch data; everything else goes back to
+        Spark. Spark also re-applies accepted filters — acceptance here
+        is a pruning hint, correctness stays with the engine."""
+        supported = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            IsNull,
+            IsNotNull,
+            In,
+        )
+        rest = []
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            else:
+                rest.append(f)
+        return rest
+
+    def partitions(self) -> Sequence[VortexChunk]:
+        import pyarrow.parquet as pq
+
+        chunks = []
+        for f in self.files:
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                if self._chunk_survives(meta.row_group(rg)):
+                    chunks.append(VortexChunk(f, rg))
+        # Empty scan still needs ≥1 partition for a valid (empty) result.
+        return chunks or [VortexChunk(self.files[0], -1)]
+
+    def _chunk_survives(self, rg_meta) -> bool:
+        """A7: zone-map pruning — skip a chunk when its min/max/null
+        stats refute a pushed filter."""
+        stats = {}
+        for ci in range(rg_meta.num_columns):
+            col = rg_meta.column(ci)
+            name = col.path_in_schema
+            if col.statistics is not None and col.statistics.has_min_max:
+                stats[name] = col.statistics
+        for f in self.pushed:
+            name = f.attribute[0]
+            s = stats.get(name)
+            if s is None:
+                continue
+            try:
+                if isinstance(f, GreaterThan) and s.max <= f.value:
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and s.max < f.value:
+                    return False
+                if isinstance(f, LessThan) and s.min >= f.value:
+                    return False
+                if isinstance(f, LessThanOrEqual) and s.min > f.value:
+                    return False
+                if isinstance(f, EqualTo) and not (s.min <= f.value <= s.max):
+                    return False
+                if isinstance(f, IsNull) and s.null_count == 0:
+                    return False
+            except TypeError:
+                continue  # incomparable stats (e.g. bytes vs str) — keep chunk
+        return True
+
+    def _arrow_predicate(self):
+        import pyarrow.compute as pc
+
+        expr = None
+        for f in self.pushed:
+            name = f.attribute[0]
+            field = pc.field(name)
+            if isinstance(f, EqualTo):
+                e = field == f.value
+            elif isinstance(f, GreaterThan):
+                e = field > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                e = field >= f.value
+            elif isinstance(f, LessThan):
+                e = field < f.value
+            elif isinstance(f, LessThanOrEqual):
+                e = field <= f.value
+            elif isinstance(f, IsNull):
+                e = field.is_null()
+            elif isinstance(f, IsNotNull):
+                e = ~field.is_null()
+            elif isinstance(f, In):
+                e = field.isin(list(f.value))
+            else:
+                continue
+            expr = e if expr is None else (expr & e)
+        return expr
+
+    def read(self, partition: VortexChunk):
+        """Decode one chunk: prune columns (A5), filter batches (A6),
+        yield Arrow RecordBatches (A9 — zero-copy into Spark)."""
+        import pyarrow.parquet as pq
+
+        cols = [f.name for f in self.schema.fields]
+        pf = pq.ParquetFile(partition.file)
+        if partition.row_group < 0:
+            # survives-nothing scan: emit an empty batch with the schema
+            empty = pf.schema_arrow.empty_table().select(cols)
+            yield from empty.to_batches(max_chunksize=1)
+            return
+        table = pf.read_row_group(partition.row_group, columns=cols)
+        pred = self._arrow_predicate()
+        if pred is not None:
+            table = table.filter(pred)
+        yield from table.to_batches()
+
+
+class VortexCommit(WriterCommitMessage):
+    pass
+
+
+class VortexWriter(DataSourceArrowWriter):
+    """A4: the COPY-TO sink. Each task streams its Arrow batches into
+    one zstd-compressed, dictionary-encoded, chunked file — the same
+    per-thread sink shape as the reference's copy function
+    (SURVEY.md §3.3)."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vortex write requires a path")
+        self.chunk_rows = int(options.get("chunk_rows", 65536))
+        self.compression = options.get("compression", "zstd")
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}{FILE_SUFFIX}")
+        writer = None
+        pending: list = []
+        n_pending = 0
+
+        def flush(tail: bool) -> None:
+            # Re-chunk buffered Arrow batches into exact chunk_rows row
+            # groups, independent of incoming batch boundaries — chunk
+            # size is the scan-parallelism unit (A8), so it must be
+            # stable, not an artifact of the Python↔JVM batch size.
+            nonlocal pending, n_pending
+            table = pa.Table.from_batches(pending).combine_chunks()
+            full = n_pending if tail else (n_pending // self.chunk_rows) * self.chunk_rows
+            if full:
+                writer.write_table(table.slice(0, full), row_group_size=self.chunk_rows)
+            rest = table.slice(full)
+            pending = rest.to_batches() if rest.num_rows else []
+            n_pending = rest.num_rows
+
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        out,
+                        batch.schema,
+                        compression=self.compression,
+                        use_dictionary=True,
+                        write_statistics=True,
+                    )
+                pending.append(batch)
+                n_pending += batch.num_rows
+                if n_pending >= self.chunk_rows:
+                    flush(tail=False)
+            if writer is not None and n_pending:
+                flush(tail=True)
+        finally:
+            if writer is not None:
+                writer.close()
+        return VortexCommit()
+
+
+class VortexDataSource(DataSource):
+    """``spark.read.format("vortex")`` / ``df.write.format("vortex")``.
+
+    Registration parity with the reference's extension bootstrap
+    (SURVEY.md §3.1): ``register(spark)`` below is our
+    ``initialize_extension_from_raw``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "vortex"
+
+    def schema(self) -> StructType:
+        """A1: bind schema from the file footer — no user input."""
+        import pyarrow.parquet as pq
+
+        files = _expand(self.options.get("path", ""))
+        if not files:
+            raise FileNotFoundError(
+                f"cannot bind vortex schema: no files at {self.options.get('path')!r}"
+            )
+        # prefer_timestamp_ntz: tz-naive arrow timestamps are NTZ
+        # (DuckDB-timestamp semantics, SURVEY.md §1.2); tz-aware ones
+        # still map to TimestampType. All columns read back nullable —
+        # same convention as Spark's builtin parquet source.
+        bound = from_arrow_schema(
+            pq.ParquetFile(files[0]).schema_arrow, prefer_timestamp_ntz=True
+        )
+        return StructType([f.__class__(f.name, f.dataType, True) for f in bound.fields])
+
+    def reader(self, schema: StructType) -> VortexReader:
+        return VortexReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> VortexWriter:
+        if overwrite:
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for f in globmod.glob(os.path.join(path, f"*{FILE_SUFFIX}")):
+                    os.remove(f)
+        return VortexWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    """Register the vortex DataSource against the session catalog —
+    parity with ``vortex_init`` (/root/reference/src/vortex_extension.cpp:9-11)."""
+    # filter pushdown into Python sources is gated by a SQL conf
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(VortexDataSource)

@@ -1,0 +1,181 @@
+"""Vortex DataSource tests — mirrors the reference's own sqllogictest
+suite (SURVEY.md §5): round-trip golden tests per type matrix
+(table.test), null round trip (nulls.test), timestamp normalization +
+filter pushdown (timestamp.test), multi-batch scale tier
+(table.test_slow), plus glob / pruning / overwrite behaviors."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_vortex_spark.sources.vortex import (
+    VortexChunk,
+    VortexReader,
+    register,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _typed_matrix(spark, n: int):
+    """FIXTURES.md F1 — the reference's full-type-matrix generator
+    (/root/reference/test/sql/table.test:30-50)."""
+    seq = F.col("id") + 1
+    return spark.range(n).select(
+        seq.alias("id_col"),
+        ((seq % 2) == 0).alias("bool_col"),
+        ((seq % 256) - 128).cast("tinyint").alias("tinyint_col"),
+        ((seq % 65536) - 32768).cast("smallint").alias("smallint_col"),
+        seq.cast("int").alias("int_col"),
+        (seq * 10).cast("bigint").alias("bigint_col"),
+        (seq * 10).cast("decimal(20,0)").alias("ubigint_col"),
+        (seq.cast("float") / 100.0).alias("float_col"),
+        (seq.cast("double") / 1000.0).alias("double_col"),
+        (seq.cast("decimal(10,2)") / 10.0).cast("decimal(10,2)").alias("decimal_col"),
+        F.concat(F.lit("Value "), seq.cast("string")).alias("varchar_col"),
+        F.date_add(F.lit("1992-03-22").cast("date"), seq.cast("int")).alias("date_col"),
+        (
+            F.lit("2025-01-01 00:00:00").cast("timestamp_ntz")
+            + F.make_interval(secs=seq.cast("double"))
+        ).alias("timestamp_col"),
+        F.unbase64(F.base64(F.encode(seq.cast("string"), "UTF-8"))).alias("blob_col"),
+    )
+
+
+def test_roundtrip_typed_matrix_quick(spark, tmp_path):
+    df = _typed_matrix(spark, 100)
+    path = str(tmp_path / "typed.vortex")
+    df.write.format("vortex").mode("append").save(path)
+    back = spark.read.format("vortex").load(path)
+    # all-nullable on read (Spark parquet-source convention); names and
+    # types must round-trip exactly
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_roundtrip_many_chunks_40k(spark, tmp_path):
+    """table.test_slow parity: 40,000 rows, many batches; also A8 —
+    chunked files parallelize into one partition per row group."""
+    df = _typed_matrix(spark, 40000)
+    path = str(tmp_path / "typed40k.vortex")
+    df.coalesce(1).write.format("vortex").mode("append").option("chunk_rows", 4096).save(path)
+    back = spark.read.format("vortex").load(path)
+    assert back.count() == 40000
+    assert back.agg(F.sum("bigint_col")).collect()[0][0] == sum(
+        (i + 1) * 10 for i in range(40000)
+    )
+    reader = VortexReader({"path": path}, back.schema)
+    assert len(reader.partitions()) == 40000 // 4096 + 1
+
+
+def test_roundtrip_nulls(spark, tmp_path):
+    """FIXTURES.md F2 — nulls.test parity: all-null prefix + typed
+    decimal/bigint columns through write/read."""
+    rows = [(s, None, None) if s < 5 else (s, decimal.Decimal(s), s + 1) for s in range(9)]
+    schema = T.StructType(
+        [
+            T.StructField("s", T.LongType()),
+            T.StructField("s1", T.DecimalType(15, 2)),
+            T.StructField("s2", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "nulls.vortex")
+    df.write.format("vortex").mode("append").save(path)
+    back = spark.read.format("vortex").load(path).orderBy("s").collect()
+    assert [tuple(r) for r in back] == [
+        (0, None, None), (1, None, None), (2, None, None), (3, None, None),
+        (4, None, None),
+        (5, decimal.Decimal("5.00"), 6), (6, decimal.Decimal("6.00"), 7),
+        (7, decimal.Decimal("7.00"), 8), (8, decimal.Decimal("8.00"), 9),
+    ]
+
+
+def test_timestamp_filter_pushdown(spark, tmp_path):
+    """timestamp.test:39-48 parity: predicate on a timestamp column
+    returns 50 of 100 rows; chunk pruning skips refuted row groups."""
+    df = spark.range(1, 101).select(
+        F.col("id"),
+        (
+            F.lit("2025-01-01 00:00:00").cast("timestamp_ntz")
+            + F.make_interval(secs=F.col("id").cast("double"))
+        ).alias("ts"),
+    )
+    path = str(tmp_path / "ts.vortex")
+    df.coalesce(1).write.format("vortex").mode("append").option("chunk_rows", 10).save(path)
+    back = spark.read.format("vortex").load(path)
+    cutoff = "2025-01-01 00:00:50"
+    n = back.filter(F.col("ts") > F.lit(cutoff).cast("timestamp_ntz")).count()
+    assert n == 50
+
+    # chunk-level zone-map pruning: 10-row chunks, ts sorted → only
+    # chunks overlapping (00:00:50, ...] survive
+    reader = VortexReader({"path": path}, back.select("id").schema)
+    from pyspark.sql.datasource import GreaterThan
+
+    reader.pushed = [GreaterThan(("ts",), datetime.datetime(2025, 1, 1, 0, 0, 50))]
+    survived = reader.partitions()
+    assert len(survived) == 5  # 5 of 10 chunks pruned
+
+
+def test_projection_pushdown_schema(spark, tmp_path):
+    """A5: reading a projection only decodes requested columns."""
+    df = _typed_matrix(spark, 50)
+    path = str(tmp_path / "proj.vortex")
+    df.write.format("vortex").mode("append").save(path)
+    back = spark.read.format("vortex").load(path).select("varchar_col")
+    assert back.columns == ["varchar_col"]
+    assert back.count() == 50
+
+
+def test_glob_read(spark, tmp_path):
+    """A2: glob patterns expand to multiple files."""
+    a = spark.range(10).select(F.col("id").alias("v"))
+    b = spark.range(10, 30).select(F.col("id").alias("v"))
+    a.write.format("vortex").mode("append").save(str(tmp_path / "g1.vortex"))
+    b.write.format("vortex").mode("append").save(str(tmp_path / "g2.vortex"))
+    back = spark.read.format("vortex").load(str(tmp_path / "g*.vortex"))
+    assert back.count() == 30
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(range(30))
+
+
+def test_overwrite_mode(spark, tmp_path):
+    path = str(tmp_path / "ow.vortex")
+    spark.range(100).write.format("vortex").mode("append").save(path)
+    spark.range(7).write.format("vortex").mode("overwrite").save(path)
+    assert spark.read.format("vortex").load(path).count() == 7
+
+
+def test_write_from_query_copy_to_parity(spark, tmp_path):
+    """sequence.test:9-21 parity: COPY (query) TO file, read back,
+    identical results — via an arbitrary UNION query like nulls.test."""
+    q = spark.sql(
+        """
+        SELECT id AS s, CAST(NULL AS DOUBLE) AS v FROM range(5)
+        UNION ALL
+        SELECT id AS s, CAST(id AS DOUBLE) / 2 AS v FROM range(5, 9)
+        """
+    )
+    path = str(tmp_path / "copy.vortex")
+    q.write.format("vortex").mode("append").save(path)
+    back = spark.read.format("vortex").load(path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in q.collect()}
+
+
+def test_missing_path_errors(spark):
+    with pytest.raises(Exception) as ei:
+        spark.read.format("vortex").load("/nonexistent/nowhere.vortex").count()
+    assert "no files" in str(ei.value) or "cannot bind" in str(ei.value)
