@@ -160,13 +160,26 @@ def minhash_lsh_pairs(
     """
     sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
 
-    def _seeded_hash(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    minhashes = F.array(
-        *[F.array_min(F.transform("sh", _seeded_hash(i))) for i in range(num_hashes)]
+    # All k minhashes in ONE aggregate pass that references `sh` exactly
+    # once. The naive per-hash form (k × array_min(transform(sh, …)))
+    # is 10× slower: CollapseProject inlines the whole shingling
+    # expression into each of the k minhash expressions, so the
+    # tokenize+shingle work runs k times per row.
+    init = F.array(*[F.lit(2**63 - 1).cast("bigint") for _ in range(num_hashes)])
+    minhashes = F.aggregate(
+        "sh",
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda x, y: F.least(x, y),
+        ),
     )
-    sig = sh.select("id", "sh", minhashes.alias("mh"))
+    # The signature table feeds three consumers (bucketing, and both
+    # sides of the verify join); persist it so shingling+hashing runs
+    # once — at 100 TB this is the classic two-phase layout where the
+    # signature table would be written out before the join phase.
+    sig = sh.select("id", "sh", minhashes.alias("mh")).persist()
     buckets = sig.select(
         "id", F.posexplode("mh").alias("band", "h")
     )
