@@ -55,16 +55,27 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
     Cross join + per-query window; ties broken by candidate id."""
+    # Norms are precomputed per side (|Q|+|C| norm evaluations instead
+    # of 2·|Q|·|C| inside the cross join); the value is IEEE-identical
+    # to computing them per pair, so oracle parity is unaffected.
     q = queries_df.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = candidates_df.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
