@@ -1,0 +1,105 @@
+"""Real Structured Streaming runs (readStream → writeStream) of the
+same transforms the catalog checks in batch mode — asserts
+stream-mode results equal batch-mode results on the events corpus,
+which is the unified-model guarantee the module's design rests on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vortex_spark.catalog import load
+from duckdb_vortex_spark.streaming.windows import (
+    dedup_events,
+    run_to_memory,
+    session_windows,
+    sliding_counts,
+    stream_from_directory,
+    tumbling_counts,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """Events re-written as 8 parquet files → 8 micro-batch replay."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, SF_DIR, "events").repartition(8).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _batch_events(spark, path):
+    return spark.read.parquet(path)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, event_stream_dir):
+    schema = _batch_events(spark, event_stream_dir).schema
+    stream = stream_from_directory(spark, event_stream_dir, schema, max_files_per_trigger=2)
+    run_to_memory(tumbling_counts(stream), "tumbling_sink", "complete")
+    got = _rows(spark.table("tumbling_sink"))
+    want = _rows(tumbling_counts(_batch_events(spark, event_stream_dir)))
+    assert got == want
+
+
+def test_stream_sliding_equals_batch(spark, event_stream_dir):
+    schema = _batch_events(spark, event_stream_dir).schema
+    stream = stream_from_directory(spark, event_stream_dir, schema, max_files_per_trigger=3)
+    run_to_memory(sliding_counts(stream), "sliding_sink", "complete")
+    got = _rows(spark.table("sliding_sink"))
+    want = _rows(sliding_counts(_batch_events(spark, event_stream_dir)))
+    assert got == want
+
+
+def test_stream_session_windows_equals_batch(spark, event_stream_dir):
+    schema = _batch_events(spark, event_stream_dir).schema
+    stream = stream_from_directory(spark, event_stream_dir, schema, max_files_per_trigger=4)
+    run_to_memory(session_windows(stream), "session_sink", "complete")
+    got = _rows(spark.table("session_sink"))
+    want = _rows(session_windows(_batch_events(spark, event_stream_dir)))
+    assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, event_stream_dir, tmp_path):
+    """Duplicate the stream input (every event twice, in different
+    files) and assert dropDuplicatesWithinWatermark restores exactly
+    the original id set."""
+    base = _batch_events(spark, event_stream_dir)
+    dup_dir = str(tmp_path / "dup_events")
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+
+    stream = stream_from_directory(
+        spark, dup_dir, base.schema, watermark="1 hour", max_files_per_trigger=100
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = spark.table("dedup_sink")
+    assert got.count() == base.count()
+    assert _rows(got.select("event_id")) == _rows(base.select("event_id"))
+
+
+def test_batch_dedup_transform(spark, event_stream_dir):
+    base = _batch_events(spark, event_stream_dir)
+    doubled = base.union(base)
+    assert dedup_events(doubled).count() == base.count()
+
+
+def test_watermark_is_set(spark, event_stream_dir):
+    schema = _batch_events(spark, event_stream_dir).schema
+    stream = stream_from_directory(spark, event_stream_dir, schema, watermark="42 minutes")
+    assert stream.isStreaming
+    # watermark node present in the analyzed plan
+    assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
