@@ -1,0 +1,96 @@
+"""Geometry column support (SURVEY.md §2A row A17 — peripheral).
+
+The reference engine carries WKB geometry arrays via the ``vortex-geo``
+crate (Cargo.lock:4223,4346-4367); no SQL surface is pinned by its
+tests. Parity here is the storage convention + a couple of scalar
+helpers:
+
+- geometry at rest is **WKB in a BinaryType column** (the same
+  convention Spark's ecosystem uses, e.g. GeoParquet);
+- ``wkb_point`` / ``wkb_point_xy`` encode/decode little-endian WKB
+  2-D points as vectorized Arrow-batched pandas UDFs (numpy struct
+  packing — no per-row Python);
+- planar ``st_distance`` / ``st_within_bbox`` are pure column math
+  over (x, y) pairs, whole-stage-codegen'd, usable after decode.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, DoubleType, StructField, StructType
+
+from ..catalog import load, query
+
+_WKB_POINT_LE = b"\x01\x01\x00\x00\x00"  # little-endian, geometry type 1
+
+# DataType objects (not DDL strings): string return types are parsed
+# through the active session, which doesn't exist at import time.
+_XY_TYPE = StructType([StructField("x", DoubleType()), StructField("y", DoubleType())])
+
+
+@pandas_udf(BinaryType())
+def wkb_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    """Encode (x, y) doubles as WKB 2-D points (vectorized)."""
+    import numpy as np
+
+    xs = np.asarray(x, dtype="<f8").tobytes()
+    ys = np.asarray(y, dtype="<f8").tobytes()
+    return pd.Series(
+        [_WKB_POINT_LE + xs[i * 8 : i * 8 + 8] + ys[i * 8 : i * 8 + 8] for i in range(len(x))],
+        dtype=object,
+    )
+
+
+@pandas_udf(_XY_TYPE)
+def wkb_point_xy(wkb: pd.Series) -> pd.DataFrame:
+    """Decode WKB 2-D points back to (x, y) (vectorized; raises on
+    non-point geometries rather than guessing)."""
+    import numpy as np
+
+    buf = b"".join(wkb)
+    n = len(wkb)
+    if any(len(b) != 21 or b[:5] != _WKB_POINT_LE for b in wkb):
+        raise ValueError("wkb_point_xy supports little-endian 2-D WKB points only")
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(n, 21)
+    xs = arr[:, 5:13].copy().view("<f8").ravel()
+    ys = arr[:, 13:21].copy().view("<f8").ravel()
+    return pd.DataFrame({"x": xs, "y": ys})
+
+
+def st_distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Planar euclidean distance."""
+    return F.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
+
+
+def st_within_bbox(x: Column, y: Column, xmin, ymin, xmax, ymax) -> Column:
+    return (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+
+
+GEO_ORACLE = """
+SELECT
+  s_suppkey,
+  CAST(round(sqrt(CAST(s_acctbal AS DOUBLE) * CAST(s_acctbal AS DOUBLE)
+       + CAST(s_nationkey * 100 AS DOUBLE) * CAST(s_nationkey * 100 AS DOUBLE)), 6) AS DOUBLE)
+    AS dist_origin,
+  (CAST(s_acctbal AS DOUBLE) BETWEEN 0 AND 5000)
+    AND (CAST(s_nationkey * 100 AS DOUBLE) BETWEEN 0 AND 1500) AS in_bbox
+FROM supplier
+"""
+
+
+@query("geo_point_distance_bbox", oracle=GEO_ORACLE, tags=("geo",))
+def geo_point_distance_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar distance + bbox membership over synthetic (x, y) points
+    derived from supplier columns; the WKB encode/decode pair is
+    exercised in pytest (driver gate keeps scalar-only columns)."""
+    s = load(spark, sf_dir, "supplier")
+    x = F.col("s_acctbal").cast("double")
+    y = (F.col("s_nationkey") * 100).cast("double")
+    return s.select(
+        "s_suppkey",
+        F.round(st_distance(x, y, F.lit(0.0), F.lit(0.0)), 6).alias("dist_origin"),
+        st_within_bbox(x, y, 0.0, 0.0, 5000.0, 1500.0).alias("in_bbox"),
+    )

@@ -1,0 +1,87 @@
+"""Skew-handling utilities for 100 TB-scale shuffles (SURVEY.md §2C
+scale design; BASELINE.json north-star "design every operator for
+100 TB scale").
+
+Spark's AQE skew-join handling (enabled in session.py) splits
+oversized partitions at runtime, but two patterns still need explicit
+salting at extreme skew — a groupBy where one key holds >1 executor's
+worth of rows, and a join against a dimension where one foreign key
+dominates (the classic "null key" / "default value" hot spot):
+
+- ``salted_aggregate``: two-phase aggregation. Phase 1 shuffles on
+  (key, salt) spreading the hot key over ``n_salts`` reducers; phase 2
+  combines the per-salt partials (tiny shuffle: n_salts rows per key).
+  Works for any algebraic aggregate (sum/count/min/max; avg = sum+count
+  combined at the end).
+- ``salted_broadcast_left``: replicate-and-salt equi-join — the big
+  side gets a random salt, the small side is exploded ``n_salts``×,
+  then a plain equi-join on (key, salt) never concentrates a hot key
+  in one task. Only sensible when the small side fits ``n_salts``×
+  in memory; for larger dims prefer AQE.
+
+Salts are derived from row content (xxhash64 % n) rather than rand()
+so results are deterministic and retries/speculative tasks see the
+same salt — nondeterministic salting breaks exactly-once shuffle
+retry semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _content_salt(cols: Sequence[str], n_salts: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_source_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase salted groupBy.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {"sum", "count", "min", "max"}. The phase-1 partial and phase-2
+    combiner are derived per fn (count combines with sum).
+    ``salt_source_cols`` defaults to all non-group columns used by the
+    aggregates — any per-row-varying column works.
+    """
+    partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    combine_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    bad = [fn for _, (_, fn) in aggs.items() if fn not in partial_fns]
+    if bad:
+        raise ValueError(f"unsupported salted aggregate fns: {bad}")
+
+    salt_cols = salt_source_cols or sorted({c for _, (c, _) in aggs.items()})
+    salted = df.withColumn("__salt", _content_salt(salt_cols, n_salts))
+    phase1 = salted.groupBy(*group_cols, "__salt").agg(
+        *[partial_fns[fn](c).alias(out) for out, (c, fn) in aggs.items()]
+    )
+    return phase1.groupBy(*group_cols).agg(
+        *[combine_fns[fn](out).alias(out) for out, (_, fn) in aggs.items()]
+    )
+
+
+def salted_broadcast_left(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` with the big side salted and the
+    small side replicated n_salts×, so a hot join key spreads across
+    ``n_salts`` tasks instead of one."""
+    big_salt_src = [c for c in big.columns]
+    big_s = big.withColumn("__salt", _content_salt(big_salt_src, n_salts))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = big_s.join(small_s, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,88 @@
+"""plans/ utilities: salted skew handling equals unsalted results;
+recursive_cte loop semantics (UNION ALL + distinct fixpoint, cycles)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vortex_spark.catalog import load
+from duckdb_vortex_spark.plans.recursive import recursive_cte
+from duckdb_vortex_spark.plans.skew import salted_aggregate, salted_broadcast_left
+
+from .conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_aggregate_matches_plain(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sq"),
+        F.count("l_orderkey").alias("n"),
+        F.min("l_shipdate").alias("lo"),
+        F.max("l_shipdate").alias("hi"),
+    )
+    salted = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "sq": ("l_quantity", "sum"),
+            "n": ("l_orderkey", "count"),
+            "lo": ("l_shipdate", "min"),
+            "hi": ("l_shipdate", "max"),
+        },
+        n_salts=16,
+    )
+    assert _rows(plain) == _rows(salted)
+
+
+def test_salted_aggregate_spreads_hot_key(spark):
+    """The phase-1 shuffle key has ~n_salts× the cardinality for a
+    single hot key — verified by counting distinct (key, salt) pairs."""
+    df = spark.range(10000).select(F.lit("HOT").alias("k"), F.col("id").alias("v"))
+    from duckdb_vortex_spark.plans.skew import _content_salt
+
+    n = df.select(_content_salt(["v"], 16).alias("s")).distinct().count()
+    assert n == 16
+
+
+def test_salted_broadcast_left_matches_plain(spark):
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    p = load(spark, SF_DIR, "part").select("p_partkey", "p_name")
+    plain = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_partkey", "p_name"
+    )
+    salted = salted_broadcast_left(
+        li.withColumnRenamed("l_partkey", "p_partkey"), p, "p_partkey", n_salts=8
+    ).select("l_orderkey", F.col("p_partkey").alias("l_partkey"), "p_name")
+    assert _rows(plain) == _rows(salted)
+
+
+def test_recursive_distinct_terminates_on_cycle(spark):
+    """UNION-distinct recursion must reach a fixpoint on cyclic edges
+    (a→b→c→a) instead of looping to max_iterations."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    seed = spark.createDataFrame([("a",)], ["node"])
+
+    def step(frontier):
+        return frontier.join(edges, frontier.node == edges.src).select(
+            F.col("dst").alias("node")
+        )
+
+    out = recursive_cte(seed, step, distinct=True, max_iterations=10)
+    assert _rows(out) == [("a",), ("b",), ("c",)]
+
+
+def test_recursive_union_all_depth(spark):
+    seed = spark.createDataFrame([(0,)], ["n"])
+
+    def step(frontier):
+        return frontier.filter(F.col("n") < 5).select((F.col("n") + 1).alias("n"))
+
+    out = recursive_cte(seed, step)
+    assert _rows(out) == [(i,) for i in range(6)]
