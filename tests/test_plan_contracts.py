@@ -1,0 +1,91 @@
+"""Physical-plan contracts: the scale properties SURVEY.md §4 claims
+(pushdown, pruning, broadcast dimension joins, codegen) must be
+visible in the executed plans — these tests fail if a refactor
+regresses an operator to a slow plan shape, independent of result
+correctness."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_vortex_spark import catalog
+
+from .conftest import SF_DIR
+
+ENTRIES = catalog.entries()
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        ENTRIES[name]
+        .builder(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    # date + discount + quantity predicates reach the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # column pruning: only the 4 referenced lineitem columns are read
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_tpch_joins_broadcast_dimensions(spark):
+    for name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q10_returned_items",
+    ):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name  # dims must not shuffle lineitem
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    # partial aggregation before the shuffle (map-side combine): the
+    # shuffle carries one partial row per (flag, status) per task, not
+    # the raw lineitem rows
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    plan = _plan(spark, "dedup_exact_content_hash")
+    # one hash-shuffle for the groupBy; no joins, no sorts
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_asof_join_no_cartesian(spark):
+    plan = _plan(spark, "join_asof_backward")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_topk_partial_rank_pushdown(spark):
+    """Spark inserts a per-partition rank-limit (WindowGroupLimit)
+    below the shuffle for row_number <= k filters."""
+    plan = _plan(spark, "window_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_vortex_scan_prunes_columns(spark, tmp_path):
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    df = catalog.load(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation.vortex")
+    df.write.format("vortex").mode("append").save(path)
+    got = spark.read.format("vortex").load(path).select("n_name")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the pruned schema (only n_name) is what crosses the Python source
+    assert got.columns == ["n_name"]
+    assert "n_comment" not in plan.split("ReadSchema")[-1] if "ReadSchema" in plan else True
