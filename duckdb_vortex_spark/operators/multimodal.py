@@ -12,9 +12,9 @@ NotImplementedError for real codecs and provides a deterministic fake
 for the 'fake/raw' codec so the pipeline is end-to-end testable.
 
 The geo column note (SURVEY.md §2A A17): WKB geometry is likewise an
-opaque binary column here; ``wkb_point``/``wkb_point_x/y`` below give
-the minimal encode/decode pair, keeping parity "peripheral" as
-BASELINE.json directs.
+opaque binary column; the encode/decode pair lives in
+``functions/geo.py``, keeping parity "peripheral" as BASELINE.json
+directs.
 """
 
 from __future__ import annotations
@@ -162,6 +162,6 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal path: documents → media structs (binary
     payload + header) → Arrow-batched mapInPandas feature extraction.
-    Value correctness is pinned by tests/test_multimodal.py."""
+    Value correctness is pinned by tests/test_operators_quality.py."""
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return extract_features(media)
