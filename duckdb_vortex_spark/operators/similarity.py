@@ -204,6 +204,100 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
 
 
+# --- IVF (inverted-file) ANN ---------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by
+    cosine. Centroids are broadcast (|C| is small by construction), so
+    assignment is a map-side-only pass — no shuffle of the vectors."""
+    c = centroids.select(
+        F.col("cluster_id"), F.col("centroid"), _norm(F.col("centroid")).alias("cnorm")
+    )
+    v = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vnorm")
+    )
+    scored = v.join(F.broadcast(c), how="cross").select(
+        id_col,
+        vec_col,
+        "cluster_id",
+        (
+            _dot(F.col(vec_col), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm"))
+        ).alias("csim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cluster_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probe)
+        .drop("__r", "csim")
+    )
+
+
+def ivf_topk(
+    queries_df: DataFrame,
+    candidates_df: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: deterministic centroid sample → nearest-
+    centroid partition of the corpus (1 probe) → queries probe their
+    ``n_probe`` nearest clusters → exact cosine re-rank within probed
+    clusters.
+
+    The 100 TB shape: centroids broadcast; the corpus shuffles ONCE on
+    cluster_id (and would be written bucketed-by-cluster for reuse);
+    each query touches n_probe/n_clusters of the data instead of all
+    of it. Recall vs brute force asserted in tests."""
+    centroids = (
+        candidates_df.withColumn(
+            "__rk", F.row_number().over(W.orderBy(F.xxhash64(F.col(id_col))))
+        )
+        .filter(F.col("__rk") <= n_clusters)
+        .select(
+            (F.col("__rk") - 1).alias("cluster_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+    cand = ivf_assign(candidates_df, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cluster_id"
+    )
+    qry = ivf_assign(queries_df, centroids, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cluster_id"
+    )
+    scored = (
+        qry.join(cand, "cluster_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+@query(
+    "similarity_ivf_ann",
+    oracle=None,  # approximate by design; recall asserted in tests
+    tags=("similarity", "llm", "approx"),
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-10 (the bucketed-corpus scale
+    path, complementing the LSH variant)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
+
+
 PAIRS_ORACLE = """
 WITH pairs AS (
   SELECT
