@@ -34,7 +34,11 @@ HEADLINE = [
     "dedup_exact_content_hash",
     "dedup_minhash_lsh_pairs",
     "similarity_topk_bruteforce",
+    "similarity_ivf_ann",
     "text_quality_score",
+    "text_chunk_windows",
+    "stream_tumbling_window_counts",
+    "join_asof_backward",
     "window_topk_per_group",
 ]
 
