@@ -324,3 +324,26 @@ def register(spark) -> None:
     # filter pushdown into Python sources is gated by a SQL conf
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VortexDataSource)
+
+
+def write_sorted(df, path: str, sort_cols: list[str], chunk_rows: int = 65536, **options) -> None:
+    """Write a vortex dataset clustered on ``sort_cols``: range-
+    partition so each task owns a disjoint key range, sort within the
+    partition, then write. Every chunk's zone map (min/max) becomes a
+    tight, non-overlapping interval on the sort key, so a point or
+    range predicate prunes all but O(1) of the chunks instead of
+    matching every chunk's full-span statistics — the layout the
+    reference's statistics layer (SURVEY.md §2A A7) rewards, and at
+    100 TB the difference between scanning one chunk and scanning all
+    of them. Range partitioning also bounds per-task memory (no hot
+    partition), unlike a global orderBy(1-partition) write."""
+    cols = [c for c in sort_cols]
+    (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .write.format("vortex")
+        .mode(options.pop("mode", "append"))
+        .option("chunk_rows", chunk_rows)
+        .options(**options)
+        .save(path)
+    )

@@ -179,3 +179,37 @@ def test_missing_path_errors(spark):
     with pytest.raises(Exception) as ei:
         spark.read.format("vortex").load("/nonexistent/nowhere.vortex").count()
     assert "no files" in str(ei.value) or "cannot bind" in str(ei.value)
+
+
+def test_sorted_write_tightens_zone_maps(spark, tmp_path):
+    """A7: clustering on the filter column makes chunk pruning
+    effective — a range predicate keeps only the chunks whose key
+    range overlaps, vs ~all chunks on an unsorted layout."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from duckdb_vortex_spark.sources.vortex import write_sorted
+
+    df = spark.range(10000).select(
+        F.shiftright((F.col("id") * 2654435761) % (2**31), 0).alias("k")
+    )
+    unsorted_path = str(tmp_path / "unsorted.vortex")
+    sorted_path = str(tmp_path / "sorted.vortex")
+    df.coalesce(4).write.format("vortex").mode("append").option("chunk_rows", 500).save(
+        unsorted_path
+    )
+    write_sorted(df.coalesce(4), sorted_path, ["k"], chunk_rows=500)
+
+    cutoff = df.approxQuantile("k", [0.95], 0.001)[0]
+    pushed = [GreaterThan(("k",), int(cutoff))]
+
+    def surviving(path):
+        r = VortexReader({"path": path}, spark.read.format("vortex").load(path).schema)
+        r.pushed = pushed
+        return len(r.partitions())
+
+    n_unsorted, n_sorted = surviving(unsorted_path), surviving(sorted_path)
+    assert n_sorted <= n_unsorted // 4, (n_sorted, n_unsorted)
+    # correctness unaffected by layout
+    a = spark.read.format("vortex").load(sorted_path).filter(F.col("k") > int(cutoff)).count()
+    b = df.filter(F.col("k") > int(cutoff)).count()
+    assert a == b
