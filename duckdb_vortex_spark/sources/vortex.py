@@ -301,9 +301,19 @@ class VortexDataSource(DataSource):
         # (DuckDB-timestamp semantics, SURVEY.md §1.2); tz-aware ones
         # still map to TimestampType. All columns read back nullable —
         # same convention as Spark's builtin parquet source.
-        bound = from_arrow_schema(
-            pq.ParquetFile(files[0]).schema_arrow, prefer_timestamp_ntz=True
-        )
+        first = pq.ParquetFile(files[0]).schema_arrow
+        # A dataset is one schema (schema-on-read from the footer,
+        # nulls.test:27 semantics) — a drifted file must fail loudly at
+        # bind time, not decode garbage at scan time. Footer reads are
+        # cheap (no data pages), so checking every file is O(files).
+        for f in files[1:]:
+            other = pq.ParquetFile(f).schema_arrow
+            if other != first:
+                raise ValueError(
+                    f"vortex dataset schema mismatch: {files[0]!r} has {first}, "
+                    f"{f!r} has {other}"
+                )
+        bound = from_arrow_schema(first, prefer_timestamp_ntz=True)
         return StructType([f.__class__(f.name, f.dataType, True) for f in bound.fields])
 
     def reader(self, schema: StructType) -> VortexReader:

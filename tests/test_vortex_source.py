@@ -213,3 +213,16 @@ def test_sorted_write_tightens_zone_maps(spark, tmp_path):
     a = spark.read.format("vortex").load(sorted_path).filter(F.col("k") > int(cutoff)).count()
     b = df.filter(F.col("k") > int(cutoff)).count()
     assert a == b
+
+
+def test_schema_drift_fails_at_bind(spark, tmp_path):
+    """Mixed-schema datasets error loudly at bind time, not at scan."""
+    spark.range(5).select(F.col("id").alias("v")).write.format("vortex").mode(
+        "append"
+    ).save(str(tmp_path / "d1.vortex"))
+    spark.range(5).select(F.col("id").cast("string").alias("v")).write.format(
+        "vortex"
+    ).mode("append").save(str(tmp_path / "d2.vortex"))
+    with pytest.raises(Exception) as ei:
+        spark.read.format("vortex").load(str(tmp_path / "d*.vortex")).count()
+    assert "schema mismatch" in str(ei.value)
