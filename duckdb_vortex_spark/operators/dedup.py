@@ -232,6 +232,116 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
 
 
+# --- cluster + keep-canonical (the full dedup pipeline) -------------------
+
+
+def connected_components(edges: DataFrame, node_col_a: str = "doc_a", node_col_b: str = "doc_b") -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node's label converges to the minimum
+    node id in its component. Returns (node, component).
+
+    Scale: each iteration is one join + groupBy on the edge list
+    (shuffle on node id); iteration count is the graph diameter —
+    near-dup graphs are unions of small cliques, so it converges in
+    2-3 rounds. Lineage is truncated per round (localCheckpoint), the
+    same guard plans/recursive.py uses.
+    """
+    sym = edges.select(
+        F.col(node_col_a).alias("a"), F.col(node_col_b).alias("b")
+    ).union(
+        edges.select(F.col(node_col_b).alias("a"), F.col(node_col_a).alias("b"))
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(50):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node2"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels
+
+
+def minhash_dedup_keep(df: DataFrame, threshold: float = 0.8, **kwargs) -> DataFrame:
+    """The end-to-end near-dedup pipeline: LSH pairs → connected
+    components → keep the minimum doc_id per component. Returns every
+    doc with its canonical id and a keep flag — filter ``is_kept`` to
+    materialize the deduplicated corpus."""
+    id_col = kwargs.get("id_col", "doc_id")
+    pairs = minhash_lsh_pairs(df, threshold=threshold, **kwargs)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    return (
+        df.select(F.col(id_col))
+        .join(comp, F.col(id_col) == comp.node, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_kept", F.col(id_col) == F.col("canonical_id"))
+    )
+
+
+KEEP_ORACLE = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id AS id, {_duck_shingles(_DUCK_TOKS)} AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT reach.node, edges.b
+  FROM reach JOIN edges ON edges.a = reach.r
+)
+SELECT
+  node AS doc_id,
+  MIN(r) AS canonical_id,
+  node = MIN(r) AS is_kept
+FROM reach
+GROUP BY node
+"""
+
+
+@query("dedup_minhash_keep_canonical", oracle=KEEP_ORACLE, tags=("dedup", "llm", "flagship"))
+def dedup_minhash_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: near-dup clusters (LSH → components) with
+    the min-id doc kept per cluster; the DuckDB oracle recomputes the
+    same clusters with a recursive transitive closure over brute-force
+    Jaccard pairs."""
+    return minhash_dedup_keep(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
 # --- SimHash -------------------------------------------------------------
 
 
