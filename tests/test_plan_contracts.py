@@ -89,3 +89,35 @@ def test_vortex_scan_prunes_columns(spark, tmp_path):
     # the pruned schema (only n_name) is what crosses the Python source
     assert got.columns == ["n_name"]
     assert "n_comment" not in plan.split("ReadSchema")[-1] if "ReadSchema" in plan else True
+
+
+# Entries where a nested-loop/cartesian strategy is the correct plan
+# (explicit cross join, non-equi-only predicates) or Python execution
+# is the point (UDTF).
+_NESTED_LOOP_OK = {
+    "join_cross",
+    "join_range_inequality",
+    "join_self_pairs",
+    "similarity_neardup_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "similarity_topk_bruteforce",
+    "structure_scalar_subquery",
+    "structure_correlated_exists",
+    "similarity_ivf_ann",  # vectors × broadcast centroid set (|C|=16) by design
+}
+_PYTHON_EVAL_OK = {
+    "udtf_split_sentences",       # Python UDTF by design
+    "multimodal_feature_extract",  # mapInPandas decode by design
+}
+
+
+@pytest.mark.parametrize("name", sorted(ENTRIES))
+def test_plan_lint(name, spark):
+    """Every catalog entry's physical plan is free of accidental
+    cartesian products and row-at-a-time Python evaluation."""
+    plan = _plan(spark, name)
+    if name not in _NESTED_LOOP_OK:
+        assert "CartesianProduct" not in plan, f"{name}: unexpected cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected NL join"
+    if name not in _PYTHON_EVAL_OK:
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
