@@ -207,6 +207,27 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF (inverted-file) ANN ---------------------------------------------
 
 
+def sample_centroids(
+    df: DataFrame, n_clusters: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid sample: hash-order the corpus, take the
+    first ``n_clusters``. orderBy+limit executes as a distributed
+    top-K (TakeOrderedAndProject) — per-partition heaps, no global
+    sort, no single-partition window — and the K winning rows collect
+    to the driver, which is fine because centroids are small by
+    definition (they get broadcast right back out)."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_clusters)
+        .collect()
+    )
+    return df.sparkSession.createDataFrame(
+        [(i, list(r[1])) for i, r in enumerate(rows)],
+        f"cluster_id int, centroid array<{dict(df.dtypes)[vec_col].split('<')[1]}",
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -257,15 +278,7 @@ def ivf_topk(
     cluster_id (and would be written bucketed-by-cluster for reuse);
     each query touches n_probe/n_clusters of the data instead of all
     of it. Recall vs brute force asserted in tests."""
-    centroids = (
-        candidates_df.withColumn(
-            "__rk", F.row_number().over(W.orderBy(F.xxhash64(F.col(id_col))))
-        )
-        .filter(F.col("__rk") <= n_clusters)
-        .select(
-            (F.col("__rk") - 1).alias("cluster_id"), F.col(vec_col).alias("centroid")
-        )
-    )
+    centroids = sample_centroids(candidates_df, n_clusters, id_col, vec_col)
     cand = ivf_assign(candidates_df, centroids, 1, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cluster_id"
     )

@@ -47,15 +47,10 @@ def test_ivf_corpus_partition_is_disjoint(spark):
     """Each corpus vector lands in exactly one cluster (1-probe
     assignment partitions the data — the property that makes the
     bucketed layout reusable)."""
-    from duckdb_vortex_spark.operators.similarity import ivf_assign
-    from pyspark.sql import Window as W
+    from duckdb_vortex_spark.operators.similarity import ivf_assign, sample_centroids
 
     emb = load(spark, SF_DIR, "embeddings")
-    centroids = (
-        emb.withColumn("__rk", F.row_number().over(W.orderBy(F.xxhash64("vec_id"))))
-        .filter(F.col("__rk") <= 8)
-        .select((F.col("__rk") - 1).alias("cluster_id"), F.col("embedding").alias("centroid"))
-    )
+    centroids = sample_centroids(emb, 8)
     assigned = ivf_assign(emb, centroids, n_probe=1)
     assert assigned.count() == emb.count()
     assert assigned.select("vec_id").distinct().count() == emb.count()
