@@ -245,3 +245,113 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+Q14_ORACLE = """
+SELECT
+  CAST(100.0 AS DOUBLE)
+    * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)
+    AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+@query("tpch_q14_promo_revenue", oracle=Q14_ORACLE, tags=("agg", "join", "flagship"))
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (adapted: testdata p_type is a plain category, no
+    'PROMO%' prefix): promo revenue share in one month.
+
+    Scale: part is the broadcast side; lineitem's month predicate
+    pushes to the scan; single scalar output — no shuffle beyond the
+    final ungrouped agg's partial merge."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+    )
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
+    return j.agg(
+        (
+            (F.lit(100.0) * F.sum(dec(promo)).cast("double"))
+            / F.sum(dec(disc)).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@query("tpch_q18_large_volume_customer", oracle=Q18_ORACLE, tags=("agg", "join", "subquery", "flagship"))
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers behind orders whose total quantity
+    exceeds 300 (IN-subquery with HAVING).
+
+    Scale: the HAVING subquery aggregates lineitem once (shuffle on
+    l_orderkey), its survivors semi-join back (small set → broadcast
+    under AQE), and only surviving orders shuffle for the final
+    5-key group."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = load(spark, sf_dir, "customer")
+    j = c.join(o, c.c_custkey == o.o_custkey).join(li, F.col("o_orderkey") == li.l_orderkey)
+    return j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice").agg(
+        dsum("l_quantity").alias("total_qty")
+    )
+
+
+Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE
+  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@query("tpch_q19_discounted_revenue", oracle=Q19_ORACLE, tags=("agg", "join", "flagship"))
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted: no p_container in testdata): disjunction of
+    brand/size/quantity conjunctions over an equi-join.
+
+    Scale: despite the OR-of-ANDs, the p_partkey = l_partkey equi
+    condition keeps this a hash join (broadcast part); the residual
+    disjunction evaluates post-probe — the plan lint asserts no
+    nested-loop regression."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
