@@ -355,3 +355,330 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
+
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", oracle=Q4_ORACLE, tags=("agg", "subquery", "flagship"))
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: testdata has no l_commitdate/l_receiptdate,
+    so "late" = shipped >60 days after order date): order-priority
+    count over an EXISTS semi-join.
+
+    Scale: semi-join probes lineitem once (no row multiplication),
+    quarter predicate pushes to the orders scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    j = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return j.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+Q7_ORACLE = """
+SELECT
+  n1.n_name AS supp_nation,
+  n2.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+"""
+
+
+@query("tpch_q7_volume_shipping", oracle=Q7_ORACLE, tags=("agg", "join", "flagship"))
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year between two nations.
+
+    Scale: lineitem is the only big table; every dimension broadcasts;
+    the nation-pair disjunction evaluates post-probe."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+Q8_ORACLE = """
+WITH all_nations AS (
+  SELECT
+    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+    l_extendedprice * (1 - l_discount) AS volume,
+    n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+)
+SELECT
+  o_year,
+  CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
+    / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+FROM all_nations
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_market_share", oracle=Q8_ORACLE, tags=("agg", "join", "flagship"))
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted: p_type category, fixed nation names):
+    a nation's market share of PROMO-part volume sold into ASIA.
+
+    Scale: 7-way join where only lineitem and orders are large;
+    dims broadcast; the share division happens after one grouped agg."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("ck_n"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("sk_n"), F.col("n_name").alias("nation"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("ck_n"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sk_n"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (F.sum(dec(target)).cast("double") / F.sum(dec(vol)).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+Q9_ORACLE = """
+SELECT
+  n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity
+           AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+@query("tpch_q9_product_profit", oracle=Q9_ORACLE, tags=("agg", "join", "flagship"))
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp table, so supply cost is
+    modeled as 0.5 × p_retailprice): profit by nation and year for a
+    part-name pattern."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).agg(dsum(profit).alias("sum_profit"))
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13_customer_distribution", oracle=Q13_ORACLE, tags=("agg", "join", "flagship"))
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (adapted: filter on priority instead of the missing
+    o_comment): distribution of order counts per customer, keeping
+    zero-order customers via the outer join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=Q15_ORACLE, tags=("agg", "subquery", "flagship"))
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max quarterly revenue (CTE reused
+    for both the per-supplier aggregate and its max).
+
+    Scale: revenue aggregates once; the scalar max broadcasts back —
+    no second scan of lineitem (the CTE result is reused)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("m"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q17_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+@query("tpch_q17_small_quantity", oracle=Q17_ORACLE, tags=("agg", "subquery", "flagship"))
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted: brand filter only, no container): revenue
+    of orders below 20%% of a part's average quantity.
+
+    Scale: the correlated AVG decorrelates into one groupBy over
+    lineitem joined back on partkey — two shuffles total, no per-row
+    subquery execution."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+    )
+    return j.agg((F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+
+
+Q22_ORACLE = """
+WITH eligible AS (
+  SELECT c_custkey, c_nationkey % 5 AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+)
+SELECT
+  cntrycode,
+  COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+FROM eligible
+GROUP BY cntrycode
+"""
+
+
+@query("tpch_q22_global_sales_opportunity", oracle=Q22_ORACLE, tags=("agg", "subquery", "flagship"))
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: country code from nationkey, "never
+    ordered" relaxed to "no large orders" since every customer has
+    orders in testdata): wealthy inactive customers per country."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    eligible = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select((F.col("c_nationkey") % 5).alias("cntrycode"), "c_acctbal")
+    )
+    return eligible.groupBy("cntrycode").agg(
+        F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal")
+    )

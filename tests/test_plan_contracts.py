@@ -104,6 +104,7 @@ _NESTED_LOOP_OK = {
     "structure_scalar_subquery",
     "structure_correlated_exists",
     "similarity_ivf_ann",  # vectors × broadcast centroid set (|C|=16) by design
+    "tpch_q22_global_sales_opportunity",  # 1-row scalar (avg balance) broadcast cross
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design
