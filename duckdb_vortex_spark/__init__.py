@@ -29,3 +29,47 @@ def version() -> str:
     """Extension self-version, parity with ``vortex_version()``
     (/root/reference/src/vortex_extension.cpp:48-50)."""
     return __version__
+
+
+_EXPORTS = {
+    # session / registration
+    "get_spark": ("duckdb_vortex_spark.session", "get_spark"),
+    "register_vortex": ("duckdb_vortex_spark.sources.vortex", "register"),
+    "write_sorted": ("duckdb_vortex_spark.sources.vortex", "write_sorted"),
+    # relational extension operators
+    "asof_join": ("duckdb_vortex_spark.operators.asof", "asof_join"),
+    "recursive_cte": ("duckdb_vortex_spark.plans.recursive", "recursive_cte"),
+    "salted_aggregate": ("duckdb_vortex_spark.plans.skew", "salted_aggregate"),
+    "salted_broadcast_left": ("duckdb_vortex_spark.plans.skew", "salted_broadcast_left"),
+    # LLM-pipeline operators
+    "exact_dedup": ("duckdb_vortex_spark.operators.dedup", "exact_dedup"),
+    "minhash_lsh_pairs": ("duckdb_vortex_spark.operators.dedup", "minhash_lsh_pairs"),
+    "minhash_dedup_keep": ("duckdb_vortex_spark.operators.dedup", "minhash_dedup_keep"),
+    "connected_components": ("duckdb_vortex_spark.operators.dedup", "connected_components"),
+    "simhash": ("duckdb_vortex_spark.operators.dedup", "simhash"),
+    "topk_bruteforce": ("duckdb_vortex_spark.operators.similarity", "topk_bruteforce"),
+    "lsh_topk": ("duckdb_vortex_spark.operators.similarity", "lsh_topk"),
+    "ivf_topk": ("duckdb_vortex_spark.operators.similarity", "ivf_topk"),
+    "chunk_documents": ("duckdb_vortex_spark.operators.chunking", "chunk_documents"),
+    "normalize_embeddings": ("duckdb_vortex_spark.operators.chunking", "normalize_embeddings"),
+    "extract_features": ("duckdb_vortex_spark.operators.multimodal", "extract_features"),
+    # streaming
+    "tumbling_counts": ("duckdb_vortex_spark.streaming.windows", "tumbling_counts"),
+    "sliding_counts": ("duckdb_vortex_spark.streaming.windows", "sliding_counts"),
+    "session_windows": ("duckdb_vortex_spark.streaming.windows", "session_windows"),
+    "running_user_totals": ("duckdb_vortex_spark.streaming.stateful", "running_user_totals"),
+}
+
+__all__ = ["version", "get_spark", *sorted(_EXPORTS)]
+
+
+def __getattr__(name: str):
+    """Lazy top-level API: importing the package stays cheap (no
+    SparkSession, no pandas) until an operator is actually used."""
+    try:
+        mod_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
