@@ -203,20 +203,23 @@ def _signatures_arrow(
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
-    num_hashes: int = 16,
+    num_hashes: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     max_bucket: int = 1000,
     engine: str = "arrow",
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """Near-dup pairs via MinHash+LSH with exact-Jaccard verification.
 
-    Pipeline: shingle → k minhash signatures (xxhash64 seeded per
-    hash index, computed per-row with zero shuffle) → band buckets
-    (r=1: each minhash is its own band, recall ≥ 1-(1-t)^k, ~1-2e-12
-    at t=0.8, k=16) → per-bucket self-join for candidates (hot buckets
-    capped at ``max_bucket`` docs — a bucket that large is a stop-shingle
+    Pipeline: shingle → k minhash signatures (per-row, zero shuffle) →
+    band buckets of ``rows_per_band`` consecutive minhashes hashed
+    into one key (b = k/r bands; candidate probability 1-(1-J^r)^b —
+    r=2, k=32 gives recall 1-(1-0.64)^16 ≈ 1-7e-8 at J=0.8 while
+    cutting coincidental single-hash collisions quadratically) →
+    per-bucket self-join for candidates (hot buckets capped at
+    ``max_bucket`` docs — a bucket that large is a stop-shingle
     artifact, not a dup cluster) → exact shingle-Jaccard verification
     ≥ threshold, so the output has NO false positives; recall is the
     LSH catch probability above.
@@ -225,6 +228,8 @@ def minhash_lsh_pairs(
     Python batches; ``engine="jvm"`` keeps everything in column
     expressions — same outputs either way (the verify step is exact).
     """
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
     if engine == "arrow":
         sig = _signatures_arrow(df, text_col, id_col, num_hashes, n)
     else:
@@ -250,8 +255,18 @@ def minhash_lsh_pairs(
     # once — at 100 TB this is the classic two-phase layout where the
     # signature table would be written out before the join phase.
     sig = sig.persist()
+    # band key = hash of r consecutive minhashes (classic banding)
+    n_bands = num_hashes // rows_per_band
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                *[F.element_at("mh", b * rows_per_band + j + 1) for j in range(rows_per_band)]
+            )
+            for b in range(n_bands)
+        ]
+    )
     buckets = sig.select(
-        "id", F.posexplode("mh").alias("band", "h")
+        "id", F.posexplode(band_keys).alias("band", "h")
     )
     bucket_sizes = buckets.groupBy("band", "h").agg(F.count("*").alias("bn"))
     buckets = buckets.join(
