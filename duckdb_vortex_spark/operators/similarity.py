@@ -252,6 +252,16 @@ def ivf_assign(
             _dot(F.col(vec_col), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm"))
         ).alias("csim"),
     )
+    if n_probe == 1:
+        # argmin via groupBy min-of-struct: partial aggregation happens
+        # map-side (each task reduces its |C| candidate rows per vector
+        # before any shuffle), unlike a window which must sort. Ordering
+        # matches the window form: csim desc, cluster_id asc.
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct((1 - F.col("csim")).alias("d"), F.col("cluster_id"))).alias("b"),
+            F.first(vec_col).alias(vec_col),
+        )
+        return best.select(id_col, vec_col, F.col("b.cluster_id").alias("cluster_id"))
     w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cluster_id"))
     return (
         scored.withColumn("__r", F.row_number().over(w))
