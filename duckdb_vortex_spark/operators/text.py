@@ -248,3 +248,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint (the exact-dedup key)."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", md5_fingerprint("text").alias("fingerprint"))
+
+
+CORPUS_STATS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+  FROM documents
+)
+SELECT
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+  (SELECT COUNT(DISTINCT lower(tok)) FROM (SELECT unnest(toks) AS tok FROM t)) AS vocab_size,
+  CAST(quantile_cont(len(toks), 0.5) AS DOUBLE) AS p50_tokens,
+  CAST(quantile_cont(len(toks), 0.9) AS DOUBLE) AS p90_tokens,
+  CAST(MAX(len(toks)) AS BIGINT) AS max_tokens
+FROM t
+"""
+
+
+@query("text_corpus_stats", oracle=CORPUS_STATS_ORACLE, tags=("text", "llm", "agg"))
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile: doc/token totals, case-folded vocabulary size,
+    exact token-count quantiles — the summary every training-data
+    pipeline computes before filtering decisions.
+
+    Scale: token counts per doc are map-only; the vocabulary distinct
+    is the one real shuffle (explode → distinct), and the exact
+    percentiles aggregate a single long column. At 100 TB vocab_size
+    would switch to approx_count_distinct (HLL, no shuffle of raw
+    tokens) — kept exact here for the oracle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("toks")).persist()
+    counts = toks.select(F.size("toks").cast("bigint").alias("n"))
+    vocab = (
+        toks.select(F.explode("toks").alias("tok"))
+        .select(F.lower("tok").alias("tok"))
+        .distinct()
+        .count()
+    )
+    return counts.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.lit(vocab).cast("bigint").alias("vocab_size"),
+        F.percentile("n", F.lit(0.5)).alias("p50_tokens"),
+        F.percentile("n", F.lit(0.9)).alias("p90_tokens"),
+        F.max("n").alias("max_tokens"),
+    )
