@@ -255,3 +255,45 @@ def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a.nationkey == b.nationkey_b) & (a.suppkey_a < b.suppkey_b))
         .select("suppkey_a", "suppkey_b", "nationkey")
     )
+
+
+ASOF_FWD_ORACLE = """
+WITH marks AS (
+  SELECT user_id, ts, max(value) AS next_purchase_value
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, CAST(e.ts AS VARCHAR) AS ts_str, e.event_type,
+       m.next_purchase_value
+FROM events e
+ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts <= m.ts
+"""
+
+
+@query("join_asof_forward", oracle=ASOF_FWD_ORACLE, tags=("join", "asof"))
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event picks up the user's NEXT
+    purchase at-or-after it (DuckDB ASOF with ``<=``) — same
+    union+window operator, descending sort direction."""
+    ev = load(spark, sf_dir, "events")
+    marks = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase_value"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        marks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        "event_type",
+        "next_purchase_value",
+    )
