@@ -510,3 +510,70 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", _portable_simhash_spark("text").alias("simhash_hex"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Classic Hamming-band trick: split the 64-bit signature into
+    ``n_bands`` contiguous blocks; any pair within Hamming distance
+    d < n_bands must agree exactly on ≥ 1 block (pigeonhole), so
+    block-equality joins find ALL such pairs — recall 1.0, no
+    probabilistic miss. Verification is ``bit_count(xor)`` on the two
+    64-bit signatures. Same shuffle shape as MinHash LSH: per-row
+    signatures, band-bucket equi-join, cheap exact verify (two longs
+    per pair, no arrays shipped).
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    sig = simhash(df, text_col, id_col).withColumnRenamed(id_col, "id").persist()
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select("id", F.posexplode(band_vals).alias("band", "h"))
+    a = buckets.select("band", "h", F.col("id").alias("doc_a"))
+    b = buckets.select("band", "h", F.col("id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "dedup_simhash_neardup_pairs",
+    oracle=None,  # 64-bit xxhash simhash isn't reproducible in DuckDB SQL; properties pinned in pytest
+    tags=("dedup", "llm", "hash"),
+)
+def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 4 bands): exact recall
+    by pigeonhole, bit_count verify. Value properties (identical docs
+    at distance 0, pigeonhole completeness vs brute force) are pinned
+    in tests/test_operators_quality.py."""
+    return simhash_neardup_pairs(load(spark, sf_dir, "documents"))

@@ -122,3 +122,35 @@ def test_asof_forward_and_edges(spark):
     assert fwd[(1, 10)] == 100.0
     assert fwd[(1, 20)] is None
     assert fwd[(2, 5)] == 500.0
+
+
+def test_simhash_neardup_pigeonhole_complete(spark):
+    """Band join must find EVERY pair with Hamming ≤ 3 (pigeonhole is
+    a guarantee, not a probability): compare against the brute-force
+    pair set on a corpus slice, and identical docs sit at distance 0."""
+    from duckdb_vortex_spark.catalog import load
+    from duckdb_vortex_spark.operators.dedup import simhash, simhash_neardup_pairs
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").limit(200)
+    # duplicate a doc under a new id: must appear at hamming 0
+    dup = docs.limit(1).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    corpus = docs.union(dup)
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_neardup_pairs(corpus, max_hamming=3).collect()
+    }
+    sig = simhash(corpus).collect()
+    want = {}
+    for i, a in enumerate(sig):
+        for b in sig[i + 1 :]:
+            d = bin((a.simhash ^ b.simhash) & (2**64 - 1)).count("1")
+            if d <= 3:
+                k = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+                want[k] = d
+    assert got == want
+    orig_id = dup.collect()[0].doc_id - 10_000_000
+    assert got.get((orig_id, orig_id + 10_000_000)) == 0
