@@ -1,0 +1,277 @@
+"""Statistical aggregates, bit/bool aggregates, deterministic sampling,
+and string-distance operators (SURVEY.md §2B "Aggregation" + scalar
+function families; DuckDB v1.5.5 core surface [public]).
+
+Determinism strategy (same as aggregates.py): corr / covariance /
+regression / higher-moment aggregates are computed from **exact decimal
+moment sums** (Σx, Σx², Σx³, Σx⁴, Σxy — associative, order-independent)
+and combined with the *identical* double-arithmetic expression tree on
+both engines, so results are bit-identical. Native corr()/skewness()
+use Welford-style streaming updates whose value depends on accumulation
+order — non-deterministic under Spark's shuffle, and differently biased
+between engines (DuckDB skewness/kurtosis are sample-corrected, Spark's
+are population) — so they are deliberately not used in oracle-checked
+entries.
+
+Scale notes: every entry is a single groupBy with map-side partial
+aggregation (moment sums combine associatively), so the shuffle carries
+one row per (partition, key) — the canonical 100 TB aggregate shape.
+The sampling entry filters *before* any shuffle, so downstream work
+scales with the sample, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+from .tpch import dec
+
+# --- correlation / covariance / linear regression -----------------------
+
+_MOMENTS_XY = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+  CAST(SUM(round(CAST(l_extendedprice AS DECIMAL(25,6)) * CAST(l_extendedprice AS DECIMAL(25,6)),
+                 1)) AS DOUBLE) AS syy,
+  CAST(SUM(round(CAST(l_quantity AS DECIMAL(10,0)) * CAST(l_extendedprice AS DECIMAL(25,6)),
+                 3)) AS DOUBLE) AS sxy
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+CORR_ORACLE = f"""
+WITH m AS ({_MOMENTS_XY})
+SELECT
+  l_returnflag,
+  n,
+  (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+  (sxy - sx * sy / n) / n AS covar_pop,
+  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_xy,
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope,
+  sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n) AS regr_intercept,
+  ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    * ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) AS regr_r2
+FROM m
+"""
+
+
+@query("agg_corr_covar_regr", oracle=CORR_ORACLE, tags=("agg", "stats"))
+def agg_corr_covar_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp / covar_pop / regr_slope / regr_intercept /
+    regr_r2 between l_quantity and l_extendedprice, from exact decimal
+    moment sums (see module docstring for why not the native aggs)."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    # Moment-sum determinism has TWO constraints, not one:
+    # (1) each addend must be an exact integer/decimal (associative sum);
+    # (2) the final sum's scaled integer must stay below 2^53, because
+    #     DuckDB converts decimal→double as round(int128→double)/10^s —
+    #     a second rounding that diverges from Spark's correctly-rounded
+    #     BigDecimal→double once the integer exceeds 2^53.
+    # So: quantity moments are pure BIGINT (qty is integral); price
+    # products are exact decimal×decimal rounded to a coarse scale
+    # (1 resp. 3) that keeps Σ·10^s ≪ 2^53 at oracle scale factors.
+    xb = x.cast("bigint")
+    dy = y.cast("decimal(18,6)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xb).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum(xb * xb).cast("double").alias("sxx"),
+        F.sum(F.round(dy * dy, 1)).cast("double").alias("syy"),
+        F.sum(F.round(x.cast("decimal(10,0)") * dy, 3)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    corr = num / F.sqrt(denx * deny)
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((sxy - sx * sy / n) / (n - F.lit(1))).alias("covar_samp"),
+        ((sxy - sx * sy / n) / n).alias("covar_pop"),
+        corr.alias("corr_xy"),
+        (num / denx).alias("regr_slope"),
+        (sy / n - (num / denx) * (sx / n)).alias("regr_intercept"),
+        (corr * corr).alias("regr_r2"),
+    )
+
+
+# --- skewness / kurtosis (population, from raw moments) ------------------
+
+_MOMENTS_X4 = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+           * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+           * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+SKEW_ORACLE = f"""
+WITH m AS ({_MOMENTS_X4})
+SELECT
+  l_returnflag,
+  n,
+  s1 / n AS mean_qty,
+  s2 / n - (s1 / n) * (s1 / n) AS m2,
+  (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+    / ((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness_pop,
+  (s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+     - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS kurtosis_excess
+FROM m
+"""
+
+
+@query("agg_skewness_kurtosis", oracle=SKEW_ORACLE, tags=("agg", "stats"))
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness (g1 = m3/m2^1.5) and excess kurtosis
+    (m4/m2² − 3) from exact decimal raw-moment sums. The central
+    moments are expanded in raw moments with the same literal
+    expression tree on both engines (see module docstring)."""
+    li = load(spark, sf_dir, "lineitem")
+    # l_quantity is integral (TPC-H 1..50): integer power sums are exact
+    # in BIGINT on both engines (max Σq⁴ ≈ 4e13 ≪ 2^63), so the raw
+    # moments are bit-identical with no decimal mediation at all.
+    xb = F.col("l_quantity").cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xb).cast("double").alias("s1"),
+        F.sum(xb * xb).cast("double").alias("s2"),
+        F.sum(xb * xb * xb).cast("double").alias("s3"),
+        F.sum(xb * xb * xb * xb).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    s1, s2, s3, s4 = F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3) * mu * (s2 / n) + F.lit(2) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4) * mu * (s3 / n)
+        + F.lit(6) * mu * mu * (s2 / n)
+        - F.lit(3) * mu * mu * mu * mu
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        mu.alias("mean_qty"),
+        m2.alias("m2"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness_pop"),
+        (m4 / (m2 * m2) - F.lit(3)).alias("kurtosis_excess"),
+    )
+
+
+# --- bool_and / bool_or / bit_and / bit_or / bit_xor ---------------------
+
+BOOLBIT_ORACLE = """
+SELECT
+  event_type,
+  bool_and(value > 0) AS all_positive,
+  bool_or(value > 900) AS any_large,
+  CAST(bit_and(CAST(user_id AS BIGINT)) AS BIGINT) AS uid_bit_and,
+  CAST(bit_or(CAST(user_id AS BIGINT)) AS BIGINT) AS uid_bit_or,
+  CAST(bit_xor(CAST(user_id AS BIGINT)) AS BIGINT) AS uid_bit_xor
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_bool_bit", oracle=BOOLBIT_ORACLE, tags=("agg",))
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or and bitwise AND/OR/XOR aggregates — exact
+    integer/boolean lattice operations, associative and commutative,
+    so map-side partial aggregation is trivially correct at scale."""
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 900).alias("any_large"),
+        F.bit_and(uid).cast("bigint").alias("uid_bit_and"),
+        F.bit_or(uid).cast("bigint").alias("uid_bit_or"),
+        F.bit_xor(uid).cast("bigint").alias("uid_bit_xor"),
+    )
+
+
+# --- deterministic hash sampling -----------------------------------------
+
+SAMPLE_ORACLE = """
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_sampled,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sampled_price
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@query("sample_hash_deterministic", oracle=SAMPLE_ORACLE, tags=("sample", "llm"))
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~5% Bernoulli sample via a portable key hash
+    (md5-prefix bucket), then a downstream aggregate.
+
+    This is the 100 TB sampling primitive: unlike TABLESAMPLE /
+    df.sample (engine- and partitioning-dependent RNG), a key-hash
+    bucket is stable across engines, runs, and repartitions, so
+    experiment subsets are exactly reproducible anywhere. The filter
+    evaluates in the scan stage — no shuffle touches unsampled rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 20
+    )
+    from .tpch import dsum
+
+    return (
+        o.filter(bucket == 0)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_sampled"), dsum("o_totalprice").alias("sampled_price"))
+    )
+
+
+# --- string similarity (edit distance) -----------------------------------
+
+LEVENSHTEIN_ORACLE = """
+SELECT
+  a.n_name AS name_a,
+  b.n_name AS name_b,
+  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+FROM nation a
+JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 2
+"""
+
+
+@query("string_levenshtein_pairs", oracle=LEVENSHTEIN_ORACLE, tags=("string", "join"))
+def string_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-identical name pairs by Levenshtein edit distance ≤ 2.
+
+    Spark plans the theta-join as BroadcastNestedLoopJoin (nation is
+    tiny); at scale the same operator runs as blocked fuzzy matching:
+    LSH/prefix blocking first, edit distance only inside blocks —
+    exactly the shape of dedup_minhash_lsh_pairs' verify stage.
+    """
+    n = load(spark, sf_dir, "nation")
+    a = n.select(F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, (F.col("key_a") < F.col("key_b")) & (dist <= 2))
+        .select("name_a", "name_b", dist.cast("bigint").alias("edit_dist"))
+    )

@@ -105,6 +105,7 @@ _NESTED_LOOP_OK = {
     "structure_correlated_exists",
     "similarity_ivf_ann",  # vectors × broadcast centroid set (|C|=16) by design
     "tpch_q22_global_sales_opportunity",  # 1-row scalar (avg balance) broadcast cross
+    "string_levenshtein_pairs",  # theta-join over a tiny broadcast dim by design
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design
