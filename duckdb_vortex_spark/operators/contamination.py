@@ -1,0 +1,84 @@
+"""Cross-corpus contamination detection (SURVEY.md §2C north-star).
+
+The train/test-overlap question every large-scale training pipeline
+has to answer: which corpus partitions (here: ``documents.source``)
+share verbatim n-gram content? Implemented as shingle inverted-index
+self-join — the same join shape as MinHash-LSH candidate generation
+(dedup.py), but aggregated to the corpus-pair level instead of the
+document level.
+
+Scale design (100 TB): the exploded (source, shingle) index is built
+map-side and deduplicated with one hash shuffle keyed by shingle;
+hot "stop shingles" (present in more than ``max_sources`` partitions)
+are dropped *before* the self-join — they carry no contamination
+signal and are exactly the keys that would skew the join (a shingle
+in k sources contributes k² candidate rows). The surviving join is
+bounded by rare keys, and the final aggregate is one pair-keyed
+hash agg over at most |sources|² rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+from .dedup import _DUCK_TOKS, _duck_shingles, shingles
+
+
+def cross_source_shared_shingles(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    max_sources: int = 10,
+) -> DataFrame:
+    """Per pair of groups: count of distinct n-gram shingles present in
+    both — the corpus-level contamination matrix."""
+    sh = df.select(
+        F.col(group_col).alias("src"), F.explode(shingles(text_col, n)).alias("sh")
+    ).distinct()
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("src").alias("nsrc"))
+        .filter(F.col("nsrc") <= max_sources)
+        .select("sh")
+    )
+    idx = sh.join(rare, "sh")
+    a = idx.select(F.col("sh"), F.col("src").alias("src_a"))
+    b = idx.select(F.col("sh"), F.col("src").alias("src_b"))
+    return (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_duck_shingles(_DUCK_TOKS)} AS sh FROM documents
+), e AS (
+  SELECT DISTINCT source AS src, unnest(sh) AS s FROM t
+), f AS (
+  SELECT s FROM e GROUP BY s HAVING COUNT(DISTINCT src) <= 10
+), g AS (
+  SELECT e.src, e.s FROM e JOIN f USING (s)
+)
+SELECT a.src AS src_a, b.src AS src_b, COUNT(DISTINCT a.s) AS n_shared
+FROM g a JOIN g b ON a.s = b.s AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "contamination_cross_source",
+    oracle=CONTAMINATION_ORACLE,
+    tags=("dedup", "llm", "join"),
+)
+def contamination_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination matrix over the documents corpus: distinct
+    3-gram shingles shared per source pair, stop-shingle-filtered
+    (see module docstring for the skew analysis)."""
+    d = load(spark, sf_dir, "documents")
+    return cross_source_shared_shingles(d, "source", "text", n=3, max_sources=10)

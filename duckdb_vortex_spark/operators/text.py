@@ -294,3 +294,140 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n", F.lit(0.9)).alias("p90_tokens"),
         F.max("n").alias("max_tokens"),
     )
+
+
+# --- PII redaction (training-data hygiene) -------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[A-Za-z0-9./_-]+"
+
+PII_ORACLE = f"""
+WITH p AS (
+  SELECT
+    doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or https://site'
+         || CAST(doc_id % 97 AS VARCHAR) || '.example.com/page now' AS pii_text
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(pii_text, '{_URL_RE}')) AS BIGINT) AS n_urls,
+  md5(regexp_replace(regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{_URL_RE}', '<URL>', 'g')) AS redacted_md5
+FROM p
+"""
+
+
+@query("text_pii_redaction", oracle=PII_ORACLE, tags=("text", "llm"))
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails/URLs with pure JVM-side
+    regexp column expressions (no Python in the hot path — the 100 TB
+    shape is a per-row map with zero shuffle).
+
+    The corpus is synthetic and PII-free, so a deterministic
+    email+URL suffix derived from doc_id is appended first; the
+    oracle applies the identical construction and patterns (regex
+    subset chosen to behave identically under Java regex and RE2).
+    Output carries md5 of the redacted text, not the text itself.
+    """
+    d = load(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://site"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example.com/page now"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(pii, F.lit(_EMAIL_RE), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(pii, F.lit(_URL_RE), F.lit(0))).cast("bigint").alias("n_urls"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --- repetition ratio (quality signal) -----------------------------------
+
+NGRAM_RATIO_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE CAST([] AS VARCHAR[])
+         END AS tri
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST(len(tri) AS BIGINT) AS n_trigrams,
+  CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct,
+  CASE WHEN len(tri) > 0
+       THEN 1 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+       ELSE 0.0
+  END AS repetition
+FROM g
+"""
+
+
+@query("text_distinct_ngram_ratio", oracle=NGRAM_RATIO_ORACLE, tags=("text", "llm"))
+def text_distinct_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: 1 − (distinct trigrams / total
+    trigrams) per document. High values flag boilerplate / template
+    spam — a standard pretraining-corpus filter. Pure higher-order
+    column functions; per-row, no shuffle, scales linearly."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    tri = F.when(F.size(toks) >= 3, grams).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(tri).cast("bigint")
+    n_dis = F.size(F.array_distinct(tri)).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_tri.alias("n_trigrams"),
+        n_dis.alias("n_distinct"),
+        F.when(n_tri > 0, F.lit(1) - n_dis.cast("double") / n_tri)
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
+    )
+
+
+# --- token document frequency --------------------------------------------
+
+DOC_FREQ_ORACLE = """
+SELECT tok, COUNT(*) AS df
+FROM (
+  SELECT unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS tok
+  FROM documents
+)
+GROUP BY tok
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("text_token_doc_frequency", oracle=DOC_FREQ_ORACLE, tags=("text", "llm", "agg"))
+def text_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per token (stopword discovery / IDF input):
+    per-doc distinct tokens exploded, then one hash aggregate. The
+    explode happens map-side; the shuffle carries (token, partial
+    count) — vocabulary-sized, not corpus-sized, so this is the same
+    plan at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+    )
