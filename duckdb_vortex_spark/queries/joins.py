@@ -297,3 +297,44 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_purchase_value",
     )
+
+
+NULL_SAFE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS prio_key
+  FROM orders
+), d AS (
+  SELECT DISTINCT o_orderpriority AS prio_key FROM orders
+  UNION ALL SELECT NULL
+)
+SELECT d.prio_key, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM d LEFT JOIN o ON o.prio_key IS NOT DISTINCT FROM d.prio_key
+GROUP BY d.prio_key
+"""
+
+
+@query("join_null_safe_equi", oracle=NULL_SAFE_ORACLE, tags=("join",))
+def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (Spark ``<=>`` ≡ DuckDB ``IS NOT DISTINCT
+    FROM``): NULL keys match each other instead of vanishing. Catalyst
+    treats EqualNullSafe as an equi-condition, so this stays a hash
+    join (broadcast here — the dim is tiny), NOT a nested loop; at
+    scale the NULL bucket is one key and can skew — salt it like any
+    hot key if the null share is large."""
+    o = load(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.col("o_orderkey").alias("fact_orderkey"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("fact_prio"),
+    )
+    dim = (
+        o.select(F.col("o_orderpriority").alias("prio_key")).distinct()
+        .unionAll(o.sparkSession.createDataFrame([(None,)], "prio_key string"))
+    )
+    return (
+        dim.join(keyed, F.col("fact_prio").eqNullSafe(F.col("prio_key")), "left")
+        .groupBy("prio_key")
+        .agg(F.count("fact_orderkey").alias("n_orders"))
+    )

@@ -446,3 +446,108 @@ sql_query(
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     tags=("distinct",),
 )
+
+
+STRING_EXT_ORACLE = """
+SELECT
+  p_partkey,
+  split_part(p_type, ' ', 2) AS type_word2,
+  translate(p_brand, 'B#', 'b-') AS brand_translated,
+  repeat(p_brand, 2) AS brand_twice,
+  left(p_name, 6) AS name_left,
+  right(p_name, 4) AS name_right,
+  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a_pos,
+  CAST(ascii(p_type) AS BIGINT) AS type_first_char,
+  chr(65 + CAST(p_partkey % 26 AS INTEGER)) AS letter_code,
+  printf('%s-%03d', p_brand, CAST(p_size AS INTEGER)) AS brand_size_fmt
+FROM part
+"""
+
+
+@query("string_functions_extended", oracle=STRING_EXT_ORACLE, tags=("string",))
+def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-family tranche: split_part / translate / repeat /
+    left / right / strpos / ascii / chr / printf-style formatting
+    (SURVEY.md §2B string fns; DuckDB core surface [public])."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_word2"),
+        F.translate(F.col("p_brand"), "B#", "b-").alias("brand_translated"),
+        F.expr("repeat(p_brand, 2)").alias("brand_twice"),
+        F.expr("left(p_name, 6)").alias("name_left"),
+        F.expr("right(p_name, 4)").alias("name_right"),
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("first_a_pos"),
+        F.ascii(F.col("p_type")).cast("bigint").alias("type_first_char"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("letter_code"),
+        F.format_string("%s-%03d", F.col("p_brand"), F.col("p_size").cast("int")).alias(
+            "brand_size_fmt"
+        ),
+    )
+
+
+DATE_EXT_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)::VARCHAR AS plus_3_months,
+  CAST(make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1)
+       AS VARCHAR) AS month_first,
+  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+  CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_95
+FROM orders
+WHERE o_orderkey % 10 = 0
+"""
+
+
+@query("date_functions_extended", oracle=DATE_EXT_ORACLE, tags=("datetime",))
+def date_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date-family tranche: last_day / add_months / make_date /
+    dayofyear / ISO week / quarter / ISO day-of-week / datediff.
+    Day-of-week dialects differ (Spark dayofweek is 1=Sunday; DuckDB
+    dayofweek is 0=Sunday) — the entry pins ISO numbering on both
+    (Spark weekday()+1, DuckDB isodow)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("string").alias("month_end"),
+        F.add_months(d, 3).cast("string").alias("plus_3_months"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).cast("string").alias("month_first"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias(
+            "days_since_epoch_95"
+        ),
+    )
+
+
+DISTINCT_ON_ORACLE = """
+SELECT DISTINCT ON (o_custkey)
+  o_custkey, o_orderkey, o_orderdate
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@query("distinct_on_per_key_first", oracle=DISTINCT_ON_ORACLE, tags=("window", "dedup"))
+def distinct_on_per_key_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's DISTINCT ON (first row per key under an ORDER BY) as
+    the canonical Spark window pattern: row_number()==1 over a fully
+    deterministic order. This is also exact-dedup's "keep canonical"
+    step — one shuffle on the key, top-1 computed partially within
+    partitions (no global sort)."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )

@@ -266,3 +266,29 @@ def structure_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT id, label FROM VALUES (1, 'one'), (2, 'two'), (3, 'three') AS t(id, label)"
     )
+
+
+UNION_BY_NAME_ORACLE = """
+SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind FROM customer
+UNION ALL BY NAME
+SELECT 'supplier' AS kind, s_name AS entity_name, s_suppkey AS entity_key FROM supplier
+"""
+
+
+@query("setop_union_by_name", oracle=UNION_BY_NAME_ORACLE, tags=("setop",))
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-independent union (DuckDB ``UNION ALL BY NAME`` ≡ Spark
+    ``unionByName``): columns are matched by name, not ordinal — the
+    safe way to append corpus shards whose writers emitted different
+    column orders."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_suppkey").alias("entity_key"),
+    )
+    return c.unionByName(s)
