@@ -142,7 +142,15 @@ def _ensure_loaded() -> None:
     # Import side effect: module import registers entries.
     from .queries import aggregates, joins, nested, relational, setops, stats, tpch, windows  # noqa: F401
     from .functions import geo, udtfs  # noqa: F401
-    from .operators import chunking, contamination, dedup, multimodal, similarity, text  # noqa: F401
+    from .operators import (  # noqa: F401
+        chunking,
+        contamination,
+        dedup,
+        multimodal,
+        pipeline,
+        similarity,
+        text,
+    )
     from .streaming import windows as stream_windows  # noqa: F401
 
 

@@ -1,0 +1,104 @@
+"""End-to-end training-data preparation pipeline (SURVEY.md §2C): the
+composition every pretraining corpus goes through — quality filter →
+exact dedup (keep canonical) → deterministic train/val split — as ONE
+declarative DataFrame expression with a full SQL oracle.
+
+The point of this entry is that the *composition* stays a single
+Catalyst plan: the quality filter folds into the scan stage, dedup is
+the only shuffle (hash by content key), and the split assignment is a
+per-row hash — so the whole pipeline costs one pass + one shuffle at
+any corpus size. A pipeline built as separate materialized steps would
+pay a scan per stage; this one does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load, query
+from .dedup import _DUCK_TOKS
+from .text import md5_fingerprint, quality_score, token_count, tokens
+
+
+def prepare_training_data(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.75,
+    train_buckets: int = 8,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """documents → (id, split, n_tokens, fingerprint) training manifest."""
+    filtered = df.filter(quality_score(text_col) >= min_quality)
+    content_key = F.md5(
+        F.array_join(F.sort_array(F.array_distinct(tokens(text_col))), " ")
+    )
+    keyed = filtered.withColumn("content_key", content_key)
+    keep = F.min(id_col).over(Window.partitionBy("content_key"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    return (
+        keyed.withColumn("keep_id", keep)
+        .filter(F.col(id_col) == F.col("keep_id"))
+        .select(
+            id_col,
+            F.when(bucket < train_buckets, F.lit("train"))
+            .otherwise(F.lit("val"))
+            .alias("split"),
+            token_count(text_col).alias("n_tokens"),
+            md5_fingerprint(text_col).alias("fingerprint"),
+        )
+    )
+
+
+PIPELINE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks, length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT
+    doc_id, text, toks,
+    CAST(
+      CAST(n_chars BETWEEN 100 AND 20000 AS INTEGER)
+      + CAST(CAST(len(list_filter(toks, x -> lower(x) IN
+              ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+          / greatest(len(toks), 1) > 0.05 AS INTEGER)
+      + CAST(CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / greatest(n_chars, 1) < 0.2 AS INTEGER)
+      + CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+          / greatest(len(toks), 1) BETWEEN 2.0 AND 12.0 AS INTEGER)
+    AS DOUBLE) / 4.0 AS quality
+  FROM t
+), q AS (
+  SELECT doc_id, text, toks,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS content_key
+  FROM m WHERE quality >= 0.75
+), dd AS (
+  SELECT doc_id, text, toks,
+         min(doc_id) OVER (PARTITION BY content_key) AS keep_id
+  FROM q
+)
+SELECT
+  doc_id,
+  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+       THEN 'train' ELSE 'val' END AS split,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM dd
+WHERE doc_id = keep_id
+"""
+
+
+@query(
+    "pipeline_training_data_prep",
+    oracle=PIPELINE_ORACLE,
+    tags=("llm", "dedup", "flagship"),
+)
+def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter → exact-dedup-keep-canonical → reproducible
+    80/20 split, as one Catalyst plan (see module docstring)."""
+    return prepare_training_data(load(spark, sf_dir, "documents"))

@@ -60,3 +60,60 @@ def test_exact_dedup_groups_scale(spark, multiplied):
     assert big.count() == base  # same distinct contents
     total = big.agg(F.sum("n_dups")).collect()[0][0]
     assert total == docs.count() * K
+
+
+def test_doc_frequency_scales_exactly(spark):
+    """Replicating every document k× (fresh ids) multiplies each
+    token's document frequency exactly k×."""
+    from duckdb_vortex_spark.operators import text as T
+
+    docs = load(spark, SF_DIR, "documents")
+    docs_k = docs.crossJoin(spark.range(K).select(F.col("id").alias("__c"))).select(
+        (F.col("doc_id") + F.col("__c") * 1_000_000).alias("doc_id"), "text"
+    )
+
+    def df_map(d):
+        return {
+            r.tok: r.df
+            for r in d.select(
+                F.explode(F.array_distinct(T.tokens("text"))).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+
+    base, big = df_map(docs), df_map(docs_k)
+    assert base.keys() == big.keys()
+    assert all(big[t] == base[t] * K for t in base)
+
+
+def test_contamination_matrix_invariant_under_doc_replication(spark):
+    """The cross-source shared-shingle matrix counts DISTINCT shingles,
+    so replicating documents within each source must not change it."""
+    from duckdb_vortex_spark.operators.contamination import cross_source_shared_shingles
+
+    docs = load(spark, SF_DIR, "documents")
+    docs_k = docs.crossJoin(spark.range(3).select(F.col("id").alias("__c"))).select(
+        (F.col("doc_id") + F.col("__c") * 1_000_000).alias("doc_id"), "text", "source"
+    )
+    key = lambda r: (r.src_a, r.src_b)  # noqa: E731
+    base = {key(r): r.n_shared for r in cross_source_shared_shingles(docs).collect()}
+    big = {key(r): r.n_shared for r in cross_source_shared_shingles(docs_k).collect()}
+    assert base == big
+
+
+def test_pipeline_split_is_reproducible_and_partition_independent(spark):
+    """The train/val assignment depends only on doc_id (portable md5
+    bucket), so it is identical across runs and repartitionings."""
+    from duckdb_vortex_spark.operators.pipeline import prepare_training_data
+
+    docs = load(spark, SF_DIR, "documents")
+    a = {r.doc_id: r.split for r in prepare_training_data(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in prepare_training_data(docs.repartition(17, "source")).collect()
+    }
+    assert a == b
+    shares = {s: sum(1 for v in a.values() if v == s) for s in ("train", "val")}
+    assert shares["train"] > shares["val"] > 0  # ~80/20
