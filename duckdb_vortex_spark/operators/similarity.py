@@ -352,3 +352,81 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.30)
     )
+
+
+# --- label-centroid cosine matrix ----------------------------------------
+
+CENTROID_SIM_ORACLE = """
+WITH pe AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+), q AS (
+  SELECT CAST(label AS BIGINT) AS label, dim,
+         CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS vi
+  FROM pe
+), s AS (
+  SELECT label, dim, CAST(SUM(vi) AS BIGINT) AS si FROM q GROUP BY 1, 2
+), n AS (
+  SELECT label, CAST(SUM(si * si) AS BIGINT) AS n2 FROM s GROUP BY 1
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(SUM(a.si * b.si) AS DOUBLE)
+         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+FROM s a
+JOIN s b ON a.dim = b.dim AND a.label < b.label
+JOIN n na ON na.label = a.label
+JOIN n nb ON nb.label = b.label
+GROUP BY a.label, b.label, na.n2, nb.n2
+"""
+
+
+@query("similarity_label_centroid_matrix", oracle=CENTROID_SIM_ORACLE, tags=("similarity", "llm"))
+def similarity_label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label mean embeddings,
+    computed exactly in a distributed-deterministic way:
+
+    - cosine is scale-invariant, so per-label SUM vectors replace mean
+      vectors (no division, no float accumulation order);
+    - components are quantized to integers (floor(v·1000)) *before*
+      aggregation, so every sum is exact BIGINT arithmetic — the result
+      is bit-identical regardless of partitioning, and Σ(Σvi)² stays
+      < 2^63 through sf10 at this quantization;
+    - the long (label, dim) form keeps the shuffle key-count at
+      |labels|·dims rows — independent of corpus size — and the final
+      pair join touches 64·|labels|² rows at most.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    pe = e.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    )
+    q = pe.select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000).cast("bigint").alias("vi"),
+    )
+    s = q.groupBy("label", "dim").agg(F.sum("vi").alias("si"))
+    n = s.groupBy("label").agg(F.sum(F.col("si") * F.col("si")).alias("n2"))
+    a = s.select(F.col("label").alias("label_a"), "dim", F.col("si").alias("sa"))
+    b = s.select(F.col("label").alias("label_b"), F.col("dim").alias("dim_b"), F.col("si").alias("sb"))
+    dot = (
+        a.join(b, (F.col("dim") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("n2").alias("n2a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("n2").alias("n2b"))
+    return (
+        dot.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double")))
+            ).alias("cos_sim"),
+        )
+    )

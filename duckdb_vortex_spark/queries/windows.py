@@ -231,3 +231,40 @@ def window_partition_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("order_lines"),
         (F.col("l_extendedprice") / total).alias("price_share"),
     )
+
+
+TIME_RANGE_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  ts,
+  CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("window_time_range_rolling", oracle=TIME_RANGE_ORACLE, tags=("window", "datetime"))
+def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user aggregates via a RANGE frame over epoch
+    microseconds — the batch twin of the streaming sliding window
+    (stream_sliding_window_counts), but exact per event rather than
+    per bucket. Both engines order on the same integer key, so tie
+    groups (peers) are identical by construction. One shuffle on
+    user_id; within-partition sort only — no global sort."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt_1h"),
+        F.sum(dec(F.col("value"))).over(w).cast("double").alias("sum_value_1h"),
+    )
