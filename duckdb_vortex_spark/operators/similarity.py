@@ -247,6 +247,7 @@ def ivf_assign(
     scored = v.join(F.broadcast(c), how="cross").select(
         id_col,
         vec_col,
+        "vnorm",
         "cluster_id",
         (
             _dot(F.col(vec_col), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm"))
@@ -260,8 +261,9 @@ def ivf_assign(
         best = scored.groupBy(id_col).agg(
             F.min(F.struct((1 - F.col("csim")).alias("d"), F.col("cluster_id"))).alias("b"),
             F.first(vec_col).alias(vec_col),
+            F.first("vnorm").alias("vnorm"),
         )
-        return best.select(id_col, vec_col, F.col("b.cluster_id").alias("cluster_id"))
+        return best.select(id_col, vec_col, "vnorm", F.col("b.cluster_id").alias("cluster_id"))
     w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cluster_id"))
     return (
         scored.withColumn("__r", F.row_number().over(w))
@@ -289,17 +291,28 @@ def ivf_topk(
     each query touches n_probe/n_clusters of the data instead of all
     of it. Recall vs brute force asserted in tests."""
     centroids = sample_centroids(candidates_df, n_clusters, id_col, vec_col)
+    # Norms ride along from assignment (computed once per vector);
+    # each probed pair then costs ONE array fold (the dot), not three.
     cand = ivf_assign(candidates_df, centroids, 1, id_col, vec_col).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cluster_id"
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        F.col("vnorm").alias("cn"), "cluster_id",
     )
     qry = ivf_assign(queries_df, centroids, n_probe, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cluster_id"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("vnorm").alias("qn"), "cluster_id",
     )
+    # No distinct(): candidates live in exactly one cluster (1-probe
+    # partition) and a query probes n_probe DISTINCT clusters, so each
+    # (query, cand) pair appears at most once — a dedup here would be
+    # a second full shuffle of the scored pairs for nothing.
     scored = (
         qry.join(cand, "cluster_id")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
-        .distinct()
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
