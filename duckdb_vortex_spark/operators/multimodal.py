@@ -165,3 +165,47 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value correctness is pinned by tests/test_operators_quality.py."""
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+FRAME_SAMPLE_ORACLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 64) AS BIGINT))) AS frame_idx
+  FROM documents
+)
+SELECT
+  doc_id,
+  frame_idx,
+  md5(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_md5,
+  CAST(length(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS BIGINT) AS frame_len
+FROM f
+WHERE frame_idx % 4 = 0
+"""
+
+
+@query("multimodal_frame_sample", oracle=FRAME_SAMPLE_ORACLE, tags=("multimodal", "llm"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque payloads: split each payload into
+    fixed-size 64-unit frames and keep every 4th — the video
+    keyframe-sampling access pattern, kept entirely in column algebra
+    (sequence → filter → explode → substring), zero Python. A real
+    codec slots in as a mapInPandas stage *after* sampling, so only
+    sampled frames ever cross into Python — at 100 TB the sampler
+    prunes the decode work 4x before it happens. Payload here is the
+    document text (ASCII corpus: chars == bytes), so the oracle checks
+    frame boundaries and hashes exactly."""
+    d = load(spark, sf_dir, "documents")
+    n_frames = F.ceil(F.length("text") / F.lit(64)).cast("bigint")
+    sampled = F.filter(
+        F.sequence(F.lit(0).cast("bigint"), n_frames - 1), lambda i: i % 4 == 0
+    )
+    frame = F.expr("substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)")
+    return (
+        d.select("doc_id", "text", F.explode(sampled).alias("frame_idx"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5(frame).alias("frame_md5"),
+            F.length(frame).cast("bigint").alias("frame_len"),
+        )
+    )

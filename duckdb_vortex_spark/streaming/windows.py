@@ -220,3 +220,48 @@ def stream_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count("*").alias("n"))
     )
+
+
+def enriched_segment_windows(
+    events: DataFrame, customer: DataFrame, duration: str = "1 hour"
+) -> DataFrame:
+    """Stream-static enrichment: join the (possibly streaming) event
+    feed to a static dimension, then window-aggregate by the enriched
+    attribute. In streaming mode Spark re-broadcasts the static side
+    per micro-batch — no state is kept for the dim, so this is the
+    standard shape for joining a 100 TB/day feed against reference
+    data."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = events.join(dim, "user_id")
+    return (
+        joined.groupBy(F.window("ts", duration).alias("w"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n_events", "sum_value")
+    )
+
+
+ENRICHED_ORACLE = """
+SELECT
+  time_bucket(INTERVAL 1 HOUR, e.ts) AS window_start,
+  c.c_mktsegment AS segment,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query("stream_static_enrichment_join", oracle=ENRICHED_ORACLE, tags=("streaming", "join"))
+def stream_static_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed aggregate over a stream-static dimension join (batch
+    mode of the streaming transform; streaming execution pinned by
+    tests/test_streaming.py)."""
+    return enriched_segment_windows(
+        load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
+    )

@@ -103,3 +103,17 @@ def test_watermark_is_set(spark, event_stream_dir):
     assert stream.isStreaming
     # watermark node present in the analyzed plan
     assert "EventTimeWatermark" in stream._jdf.queryExecution().analyzed().toString()
+
+
+def test_stream_static_enrichment_equals_batch(spark, event_stream_dir):
+    """Stream-static dimension join: streaming result equals batch
+    result; the static side is re-read per micro-batch by Spark."""
+    from duckdb_vortex_spark.streaming.windows import enriched_segment_windows
+
+    customer = load(spark, SF_DIR, "customer")
+    schema = _batch_events(spark, event_stream_dir).schema
+    stream = stream_from_directory(spark, event_stream_dir, schema, max_files_per_trigger=3)
+    run_to_memory(enriched_segment_windows(stream, customer), "enriched_sink", "complete")
+    got = _rows(spark.table("enriched_sink"))
+    want = _rows(enriched_segment_windows(_batch_events(spark, event_stream_dir), customer))
+    assert got == want and len(got) > 0
