@@ -40,6 +40,10 @@ HEADLINE = [
     "stream_tumbling_window_counts",
     "join_asof_backward",
     "window_topk_per_group",
+    "pipeline_training_data_prep",
+    "contamination_cross_source",
+    "similarity_label_centroid_matrix",
+    "window_time_range_rolling",
 ]
 
 

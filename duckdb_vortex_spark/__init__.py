@@ -53,10 +53,19 @@ _EXPORTS = {
     "chunk_documents": ("duckdb_vortex_spark.operators.chunking", "chunk_documents"),
     "normalize_embeddings": ("duckdb_vortex_spark.operators.chunking", "normalize_embeddings"),
     "extract_features": ("duckdb_vortex_spark.operators.multimodal", "extract_features"),
+    "prepare_training_data": ("duckdb_vortex_spark.operators.pipeline", "prepare_training_data"),
+    "cross_source_shared_shingles": (
+        "duckdb_vortex_spark.operators.contamination",
+        "cross_source_shared_shingles",
+    ),
     # streaming
     "tumbling_counts": ("duckdb_vortex_spark.streaming.windows", "tumbling_counts"),
     "sliding_counts": ("duckdb_vortex_spark.streaming.windows", "sliding_counts"),
     "session_windows": ("duckdb_vortex_spark.streaming.windows", "session_windows"),
+    "enriched_segment_windows": (
+        "duckdb_vortex_spark.streaming.windows",
+        "enriched_segment_windows",
+    ),
     "running_user_totals": ("duckdb_vortex_spark.streaming.stateful", "running_user_totals"),
 }
 

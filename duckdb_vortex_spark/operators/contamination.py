@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
-from .dedup import _DUCK_TOKS, _duck_shingles, shingles
+from .dedup import _DUCK_TOKS, _duck_shingles, shingles_from_tokens
+from .text import tokens
 
 
 def cross_source_shared_shingles(
@@ -35,23 +36,42 @@ def cross_source_shared_shingles(
 ) -> DataFrame:
     """Per pair of groups: count of distinct n-gram shingles present in
     both — the corpus-level contamination matrix."""
-    sh = df.select(
-        F.col(group_col).alias("src"), F.explode(shingles(text_col, n)).alias("sh")
-    ).distinct()
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.countDistinct("src").alias("nsrc"))
-        .filter(F.col("nsrc") <= max_sources)
-        .select("sh")
+    # One shuffle, no self-join: group by shingle collecting its source
+    # SET (collect_set dedups, so no pre-distinct pass), drop stop
+    # shingles, then expand each shingle's ordered source pairs
+    # map-side. Each shingle row contributes every pair exactly once,
+    # so a plain count IS the distinct-shingle count — the previous
+    # formulation (inverted-index self-join + countDistinct) computed
+    # the same matrix with 5 shuffles and a pair-explosion join.
+    # Tokenize ONCE per row behind a persist barrier: Catalyst inlines
+    # expression trees into per-index lambdas (no CSE), so building
+    # shingles straight off tokens(text) re-runs split+filter per
+    # shingle — 5× slower (see shingles() docstring).
+    tk = df.select(
+        F.col(group_col).alias("src"), tokens(text_col).alias("toks")
+    ).persist()
+    sh = tk.select(
+        "src", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("sh")
     )
-    idx = sh.join(rare, "sh")
-    a = idx.select(F.col("sh"), F.col("src").alias("src_a"))
-    b = idx.select(F.col("sh"), F.col("src").alias("src_b"))
+    sets = (
+        sh.groupBy("sh")
+        .agg(F.collect_set("src").alias("srcs"))
+        .filter((F.size("srcs") >= 2) & (F.size("srcs") <= max_sources))
+    )
+    s = F.array_sort(F.col("srcs"))
+    pairs = F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + 2, F.size(s)),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "sh")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.countDistinct("sh").alias("n_shared"))
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
     )
 
 
