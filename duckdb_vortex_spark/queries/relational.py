@@ -551,3 +551,76 @@ def distinct_on_per_key_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_orderdate")
     )
+
+
+TRY_CAST_ORACLE = """
+WITH s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+              ELSE CAST(o_orderkey AS VARCHAR) || '.5' END AS numstr,
+         CASE WHEN o_orderkey % 4 = 0 THEN '1995-13-99' ELSE '1995-07-16' END AS datestr
+  FROM orders
+)
+SELECT
+  o_orderkey,
+  TRY_CAST(numstr AS DOUBLE) AS as_double,
+  TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN numstr
+                ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS as_bigint,
+  CAST(TRY_CAST(datestr AS DATE) AS VARCHAR) AS as_date_str
+FROM s
+"""
+
+
+@query("cast_try_safe", oracle=TRY_CAST_ORACLE, tags=("cast",))
+def cast_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST parity: malformed numerics/dates coerce to NULL instead
+    of failing the job — the ingestion-hardening cast for dirty data
+    (both engines use ANSI semantics under try_cast, so '123.5' → NULL
+    as BIGINT on both)."""
+    o = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    numstr = F.when(key % 3 == 0, F.concat(F.lit("x"), key.cast("string"))).otherwise(
+        F.concat(key.cast("string"), F.lit(".5"))
+    )
+    datestr = F.when(key % 4 == 0, F.lit("1995-13-99")).otherwise(F.lit("1995-07-16"))
+    return o.select(
+        "o_orderkey",
+        numstr.try_cast("double").alias("as_double"),
+        F.when(key % 3 == 0, numstr).otherwise(key.cast("string"))
+        .try_cast("bigint")
+        .alias("as_bigint"),
+        datestr.try_cast("date").cast("string").alias("as_date_str"),
+    )
+
+
+BITWISE_ORACLE = """
+SELECT
+  l_orderkey,
+  l_partkey,
+  CAST(l_orderkey & l_partkey AS BIGINT) AS b_and,
+  CAST(l_orderkey | l_partkey AS BIGINT) AS b_or,
+  CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS b_xor,
+  CAST(l_partkey << 2 AS BIGINT) AS b_shl,
+  CAST(l_orderkey >> 3 AS BIGINT) AS b_shr,
+  CAST(~l_orderkey AS BIGINT) AS b_not
+FROM lineitem
+WHERE l_linenumber = 1
+"""
+
+
+@query("bitwise_scalar_ops", oracle=BITWISE_ORACLE, tags=("math",))
+def bitwise_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: & | xor << >> ~ (two's-complement BIGINT
+    semantics on both engines)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    a, b = F.col("l_orderkey"), F.col("l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        a.bitwiseAND(b).cast("bigint").alias("b_and"),
+        a.bitwiseOR(b).cast("bigint").alias("b_or"),
+        a.bitwiseXOR(b).cast("bigint").alias("b_xor"),
+        F.shiftleft(b, 2).cast("bigint").alias("b_shl"),
+        F.shiftright(a, 3).cast("bigint").alias("b_shr"),
+        F.bitwise_not(a).cast("bigint").alias("b_not"),
+    )

@@ -268,3 +268,51 @@ def window_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("cnt_1h"),
         F.sum(dec(F.col("value"))).over(w).cast("double").alias("sum_value_1h"),
     )
+
+
+IGNORE_NULLS_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS val_n
+  FROM events
+)
+SELECT
+  event_id,
+  user_id,
+  first_value(val_n IGNORE NULLS) OVER w AS first_seen,
+  last_value(val_n IGNORE NULLS) OVER w AS last_seen,
+  nth_value(val_n, 2 IGNORE NULLS) OVER wf AS second_seen
+FROM s
+WINDOW
+  w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("window_ignore_nulls_family", oracle=IGNORE_NULLS_ORACLE, tags=("window",))
+def window_ignore_nulls_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation: first/last non-null running values and
+    the partition's 2nd non-null — the gap-filling primitives (e.g.
+    last-observation-carried-forward over sparse sensor columns)."""
+    ev = load(spark, sf_dir, "events")
+    val_n = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    s = ev.select("event_id", "user_id", "ts", val_n.alias("val_n"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        F.first("val_n", ignorenulls=True).over(w).alias("first_seen"),
+        F.last("val_n", ignorenulls=True).over(w).alias("last_seen"),
+        F.nth_value("val_n", 2, ignoreNulls=True).over(wf).alias("second_seen"),
+    )
