@@ -141,7 +141,7 @@ def _wrap_utc(fn: QueryFn) -> QueryFn:
 def _ensure_loaded() -> None:
     # Import side effect: module import registers entries.
     from .queries import aggregates, joins, nested, relational, setops, stats, tpch, windows  # noqa: F401
-    from .functions import geo, udtfs  # noqa: F401
+    from .functions import geo, udafs, udtfs  # noqa: F401
     from .operators import (  # noqa: F401
         chunking,
         contamination,

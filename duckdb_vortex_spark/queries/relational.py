@@ -624,3 +624,30 @@ def bitwise_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(a, 3).cast("bigint").alias("b_shr"),
         F.bitwise_not(a).cast("bigint").alias("b_not"),
     )
+
+
+SERIES_TS_ORACLE = """
+SELECT CAST(unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                   TIMESTAMP '2024-01-03 00:00:00',
+                                   INTERVAL 6 HOUR)) AS VARCHAR) AS ts_str
+"""
+
+
+@query("series_timestamp_range", oracle=SERIES_TS_ORACLE, tags=("generator", "datetime"))
+def series_timestamp_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-typed series generator (inclusive bounds, interval
+    step) — DuckDB generate_series over timestamps ≡ Spark F.sequence
+    with an interval step, exploded."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-03 00:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 6 HOURS"),
+                )
+            ).alias("ts")
+        )
+        .select(F.col("ts").cast("string").alias("ts_str"))
+    )
