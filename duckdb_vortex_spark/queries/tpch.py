@@ -682,3 +682,106 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eligible.groupBy("cntrycode").agg(
         F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal")
     )
+
+
+Q12A_ORACLE = """
+SELECT
+  l_returnflag AS ship_class,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+GROUP BY l_returnflag
+"""
+
+
+@query("tpch_q12_late_shipment_priority", oracle=Q12A_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to the testdata schema (reference product =
+    DuckDB core, so Q12's shape is in scope; the driver tables lack
+    l_shipmode/l_receiptdate, so 'late shipment' is shipdate > 60 days
+    after order date and the mode dimension is l_returnflag). Same
+    plan shape as canonical Q12: fact-fact equi join + conditional
+    two-way counts. Spark broadcasts neither side (both large) — a
+    shuffled hash join on the order key, which co-partitions with the
+    groupBy key's upstream."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(late)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(hi.cast("int")).cast("bigint").alias("high_line_count"),
+            F.sum((~hi).cast("int")).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q21A_ORACLE = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+), ag AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS nsup,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate
+  FROM lo GROUP BY 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lo
+JOIN ag USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE lo.late = 1 AND ag.nsup > 1 AND ag.nlate = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@query("tpch_q21_waiting_supplier", oracle=Q21A_ORACLE, tags=("tpch", "join", "subquery"))
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no l_commitdate/l_receiptdate in testdata:
+    'late' = shipped >90 days after order date). Keeps Q21's defining
+    shape — EXISTS (another supplier on the order) + NOT EXISTS
+    (another LATE supplier) — but decorrelated by hand into one
+    order-level aggregate (supplier count, late-supplier count)
+    joined back to the late lines: the two correlated subqueries
+    become ONE extra pass instead of two self-joins, which is also
+    the right plan at 100 TB (both joins co-partition on l_orderkey).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    lo = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90)
+            .cast("int")
+            .alias("late"),
+        )
+    )
+    ag = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsup"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("nlate"),
+    )
+    return (
+        lo.filter(F.col("late") == 1)
+        .join(ag, "l_orderkey")
+        .filter((F.col("nsup") > 1) & (F.col("nlate") == 1))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
