@@ -40,6 +40,8 @@ _EXPORTS = {
     "asof_join": ("duckdb_vortex_spark.operators.asof", "asof_join"),
     "recursive_cte": ("duckdb_vortex_spark.plans.recursive", "recursive_cte"),
     "salted_aggregate": ("duckdb_vortex_spark.plans.skew", "salted_aggregate"),
+    "lint_plan": ("duckdb_vortex_spark.plans.lint", "lint_plan"),
+    "assert_plan_clean": ("duckdb_vortex_spark.plans.lint", "assert_plan_clean"),
     "salted_broadcast_left": ("duckdb_vortex_spark.plans.skew", "salted_broadcast_left"),
     # LLM-pipeline operators
     "exact_dedup": ("duckdb_vortex_spark.operators.dedup", "exact_dedup"),

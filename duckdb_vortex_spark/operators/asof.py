@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 _SRC = "__asof_src"
 _TS = "__asof_ts"
+_MTS = "__asof_match_ts"
 
 
 def asof_join(
@@ -32,6 +33,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join. Every ``left`` row is kept; value columns of
     ``right`` (everything except ``on`` + ``right_ts``) are filled from
@@ -40,24 +42,35 @@ def asof_join(
 
     Matches DuckDB ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``
     (inclusive) for ``backward``; ``<=`` for ``forward``.
+
+    ``tolerance_us`` (pandas ``merge_asof(tolerance=...)`` semantics):
+    matches farther than this many microseconds from the left
+    timestamp are treated as no-match (values become NULL). Applied as
+    a post-fill mask, so it adds zero shuffles.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     on = list(on)
     right_vals = [c for c in right.columns if c not in on and c != right_ts]
+    fill_vals = list(right_vals)
+    if tolerance_us is not None:
+        fill_vals.append(_MTS)
 
     l2 = left.withColumn(_TS, F.col(left_ts)).withColumn(_SRC, F.lit(1))
     for c in right_vals:
         l2 = l2.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    if tolerance_us is not None:
+        l2 = l2.withColumn(_MTS, F.lit(None).cast(dict(right.dtypes)[right_ts]))
     r2 = right.select(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SRC),
         *[F.col(c) for c in right_vals],
+        *([F.col(right_ts).alias(_MTS)] if tolerance_us is not None else []),
     )
     left_cols = [c for c in left.columns]
-    unioned = l2.select(*on, _TS, _SRC, *right_vals, *[c for c in left_cols if c not in on]).unionByName(
+    unioned = l2.select(*on, _TS, _SRC, *fill_vals, *[c for c in left_cols if c not in on]).unionByName(
         r2, allowMissingColumns=True
     )
 
@@ -79,7 +92,20 @@ def asof_join(
         *on,
         _TS,
         _SRC,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_vals],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_vals],
         *[c for c in left_cols if c not in on],
     )
-    return filled.filter(F.col(_SRC) == 1).drop(_SRC, _TS)
+    out = filled.filter(F.col(_SRC) == 1)
+    if tolerance_us is not None:
+        gap = F.unix_micros(F.col(_TS)) - F.unix_micros(F.col(_MTS))
+        if direction == "forward":
+            gap = -gap
+        in_tol = F.col(_MTS).isNotNull() & (gap <= tolerance_us)
+        out = out.select(
+            *on,
+            _TS,
+            _SRC,
+            *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in right_vals],
+            *[c for c in left_cols if c not in on],
+        )
+    return out.drop(_SRC, _TS, _MTS)

@@ -338,3 +338,55 @@ def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prio_key")
         .agg(F.count("fact_orderkey").alias("n_orders"))
     )
+
+
+ASOF_TOL_ORACLE = """
+WITH marks AS (
+  SELECT user_id, ts, max(value) AS signup_value
+  FROM events
+  WHERE event_type = 'signup'
+  GROUP BY user_id, ts
+), j AS (
+  SELECT e.event_id, e.user_id, e.ts, e.event_type, m.signup_value, m.ts AS mts
+  FROM events e
+  ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts >= m.ts
+)
+SELECT
+  event_id,
+  user_id,
+  CAST(ts AS VARCHAR) AS ts_str,
+  event_type,
+  CASE WHEN mts IS NOT NULL AND epoch_us(ts) - epoch_us(mts) <= 604800000000
+       THEN signup_value END AS signup_value
+FROM j
+"""
+
+
+@query("join_asof_tolerance", oracle=ASOF_TOL_ORACLE, tags=("join", "asof"))
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 7-day tolerance (pandas merge_asof semantics):
+    matches older than the tolerance become NULL. The mask is applied
+    after the union+window fill, so the plan is identical to the plain
+    as-of join — one shuffle on the key, no range explosion."""
+    ev = load(spark, sf_dir, "events")
+    marks = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        marks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+        tolerance_us=7 * 24 * 3600 * 1_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        "event_type",
+        "signup_value",
+    )

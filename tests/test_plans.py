@@ -86,3 +86,18 @@ def test_recursive_union_all_depth(spark):
 
     out = recursive_cte(seed, step)
     assert _rows(out) == [(i,) for i in range(6)]
+
+
+def test_lint_plan_flags_cartesian_and_passes_clean(spark):
+    from duckdb_vortex_spark.plans.lint import assert_plan_clean, lint_plan
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    clean = a.join(b, a["id"] == b["id2"])
+    assert lint_plan(clean) == []
+    assert_plan_clean(clean)
+
+    dirty = a.crossJoin(b)
+    rules = {f.rule for f in lint_plan(dirty)}
+    assert rules & {"cartesian-product", "nested-loop-join"}
+    assert lint_plan(dirty, allow=("cartesian-product", "nested-loop-join")) == []
