@@ -53,6 +53,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.pandas.types import from_arrow_schema
@@ -112,6 +113,7 @@ class VortexReader(DataSourceReader):
             IsNull,
             IsNotNull,
             In,
+            StringStartsWith,
         )
         rest = []
         for f in filters:
@@ -158,8 +160,19 @@ class VortexReader(DataSourceReader):
                     return False
                 if isinstance(f, EqualTo) and not (s.min <= f.value <= s.max):
                     return False
+                if isinstance(f, In) and all(
+                    v < s.min or v > s.max for v in f.value
+                ):
+                    return False
                 if isinstance(f, IsNull) and s.null_count == 0:
                     return False
+                if isinstance(f, StringStartsWith) and isinstance(s.max, str):
+                    # chunk can hold a prefix match only if [min, max]
+                    # intersects [prefix, next(prefix)): max < prefix or
+                    # min >= next(prefix) refute it.
+                    nxt = f.value[:-1] + chr(ord(f.value[-1]) + 1) if f.value else ""
+                    if s.max < f.value or (nxt and s.min >= nxt):
+                        return False
             except TypeError:
                 continue  # incomparable stats (e.g. bytes vs str) — keep chunk
         return True
@@ -187,6 +200,8 @@ class VortexReader(DataSourceReader):
                 e = ~field.is_null()
             elif isinstance(f, In):
                 e = field.isin(list(f.value))
+            elif isinstance(f, StringStartsWith):
+                e = pc.starts_with(field, pattern=f.value)
             else:
                 continue
             expr = e if expr is None else (expr & e)

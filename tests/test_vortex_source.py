@@ -226,3 +226,24 @@ def test_schema_drift_fails_at_bind(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         spark.read.format("vortex").load(str(tmp_path / "d*.vortex")).count()
     assert "schema mismatch" in str(ei.value)
+
+
+def test_in_and_prefix_pushdown(spark, tmp_path):
+    """In-list and prefix filters are pushed (A6) and prune chunks via
+    zone maps (A7) when the file is sorted on the filter column."""
+    from duckdb_vortex_spark import catalog
+    from duckdb_vortex_spark.sources.vortex import register, write_sorted
+
+    from .conftest import SF_DIR
+
+    register(spark)
+    n = catalog.load(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_sorted.vortex")
+    write_sorted(n, path, sort_cols=["n_name"], chunk_rows=5)
+
+    got = spark.read.format("vortex").load(path).filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    assert sorted(r.n_name for r in got.collect()) == ["NATION_3", "NATION_7"]
+
+    pref = spark.read.format("vortex").load(path).filter(F.col("n_name").startswith("NATION_1"))
+    names = sorted(r.n_name for r in pref.collect())
+    assert names == sorted(f"NATION_1{s}" for s in [""] + list("0123456789"))
