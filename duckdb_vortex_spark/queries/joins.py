@@ -390,3 +390,37 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "signup_value",
     )
+
+
+POSITIONAL_ORACLE = """
+WITH a AS (
+  SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS rn
+  FROM nation
+), b AS (
+  SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS rn
+  FROM region
+)
+SELECT a.rn AS pos, a.n_name, b.r_name
+FROM a LEFT JOIN b USING (rn)
+"""
+
+
+@query("join_positional", oracle=POSITIONAL_ORACLE, tags=("join",))
+def join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB POSITIONAL JOIN (row-aligned zip of two relations).
+    Physical row order is undefined in a distributed engine, so the
+    position is made explicit: row_number over a total order on each
+    side, then an equi join on it — semantics identical whenever the
+    order keys are unique, and deterministic under any partitioning
+    (which raw positional alignment is not)."""
+    from pyspark.sql import Window as W
+
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    a = n.select(
+        "n_name", F.row_number().over(W.orderBy("n_nationkey")).alias("rn")
+    )
+    b = r.select(
+        "r_name", F.row_number().over(W.orderBy("r_regionkey")).alias("rn")
+    )
+    return a.join(b, "rn", "left").select(F.col("rn").alias("pos"), "n_name", "r_name")
