@@ -44,6 +44,8 @@ HEADLINE = [
     "contamination_cross_source",
     "similarity_label_centroid_matrix",
     "window_time_range_rolling",
+    "similarity_topk_vectorized",
+    "tpch_q21_waiting_supplier",
 ]
 
 

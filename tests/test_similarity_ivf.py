@@ -54,3 +54,15 @@ def test_ivf_corpus_partition_is_disjoint(spark):
     assigned = ivf_assign(emb, centroids, n_probe=1)
     assert assigned.count() == emb.count()
     assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_vectorized_topk_equals_bruteforce(spark):
+    """The Arrow/numpy exact path returns the same (query, cand) sets
+    as the HOF brute force (cos values identical up to fp assoc.)."""
+    from duckdb_vortex_spark.operators.similarity import topk_vectorized
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    base = _pairs(topk_bruteforce(q, emb, k=5))
+    fast = _pairs(topk_vectorized(q, emb, k=5))
+    assert fast == base
