@@ -771,9 +771,16 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("late"),
         )
     )
-    ag = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("nsup"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("nlate"),
+    # Two stacked groupBys instead of two COUNT(DISTINCT)s: a multi-
+    # distinct aggregate plans as an Expand (row duplication per
+    # distinct column) — collapsing to (order, supplier) first computes
+    # both counts from plain rows, no expansion, same shuffle key.
+    per_sup = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("sup_late")
+    )
+    ag = per_sup.groupBy("l_orderkey").agg(
+        F.count("*").alias("nsup"),
+        F.sum("sup_late").alias("nlate"),
     )
     return (
         lo.filter(F.col("late") == 1)
