@@ -792,3 +792,222 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --- derived partsupp: q2/q11/q16/q20 ------------------------------------
+# The testdata has no partsupp table; the four queries that need it run
+# over a DERIVED one — distinct (part, supplier) pairs from lineitem
+# with ps_supplycost = min unit price (deterministic double: same
+# per-row quotient and same min on both engines) and ps_availqty =
+# total shipped quantity (exact BIGINT). Both engines derive it with
+# the same text, so the oracle checks the full query including the
+# derivation.
+
+_DUCK_PARTSUPP = """
+SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       min(l_extendedprice / l_quantity) AS ps_supplycost,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"),
+    )
+
+
+Q2A_ORACLE = f"""
+WITH ps AS ({_DUCK_PARTSUPP}),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+costs AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost, eu.s_name, eu.s_acctbal, eu.n_name
+  FROM ps JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+),
+mins AS (
+  SELECT ps_partkey, min(ps_supplycost) AS min_cost FROM costs GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+FROM costs
+JOIN mins ON costs.ps_partkey = mins.ps_partkey AND costs.ps_supplycost = mins.min_cost
+JOIN part ON p_partkey = costs.ps_partkey
+WHERE p_size = 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2_min_cost_supplier", oracle=Q2A_ORACLE, tags=("tpch", "join", "subquery"))
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 over the derived partsupp (see module comment): for
+    size-15 parts, the EUROPE supplier(s) at the per-part minimum
+    supply cost. The correlated min decorrelates into one aggregate
+    joined back — dims (supplier×nation×region) broadcast; the only
+    big shuffles are the partsupp derivation and the per-part min."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = ps.join(eu, ps["ps_suppkey"] == eu["s_suppkey"]).select(
+        "ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name"
+    )
+    mins = costs.groupBy(F.col("ps_partkey").alias("min_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            mins,
+            (costs["ps_partkey"] == mins["min_partkey"])
+            & (costs["ps_supplycost"] == mins["min_cost"]),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == costs["ps_partkey"])
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q11A_ORACLE = f"""
+WITH ps AS ({_DUCK_PARTSUPP}),
+v AS (
+  SELECT ps_partkey,
+         CAST(SUM(CAST(floor(ps_supplycost * 100) AS BIGINT) * ps_availqty) AS BIGINT) AS val_c
+  FROM ps GROUP BY 1
+),
+t AS (SELECT CAST(SUM(val_c) AS BIGINT) AS total_c FROM v)
+SELECT ps_partkey, CAST(val_c AS DOUBLE) / 100 AS part_value
+FROM v, t
+WHERE val_c > total_c * 0.0005
+"""
+
+
+@query("tpch_q11_important_stock", oracle=Q11A_ORACLE, tags=("tpch", "agg", "subquery"))
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 over the derived partsupp: parts whose inventory value
+    exceeds 0.05% of the total. Supply cost is quantized to integer
+    cents with floor() (deterministic on identical doubles) BEFORE the
+    value product, so every sum is exact BIGINT — a direct
+    CAST(cost*qty AS DECIMAL(30,6)) diverges in the last ulp because
+    the two engines round a full-precision double to 6dp differently
+    (shortest-repr vs exact-binary). The global total is a 1-row
+    broadcast cross join."""
+    ps = _partsupp(spark, sf_dir)
+    cost_c = F.floor(F.col("ps_supplycost") * 100).cast("bigint")
+    v = ps.groupBy("ps_partkey").agg(
+        F.sum(cost_c * F.col("ps_availqty")).alias("val_c")
+    )
+    t = v.agg(F.sum("val_c").cast("bigint").alias("total_c"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("val_c") > F.col("total_c") * 0.0005)
+        .select("ps_partkey", (F.col("val_c").cast("double") / 100).alias("part_value"))
+    )
+
+
+Q16A_ORACLE = f"""
+WITH ps AS ({_DUCK_PARTSUPP})
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#13'
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+GROUP BY 1, 2, 3
+"""
+
+
+@query("tpch_q16_supplier_part_count", oracle=Q16A_ORACLE, tags=("tpch", "agg", "subquery"))
+def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 over the derived partsupp: distinct supplier count per
+    part attribute group, excluding one brand and a NOT-IN supplier
+    list (the testdata has no complaint strings, so the excluded set is
+    a deterministic key predicate). NOT IN compiles to a broadcast
+    anti join — no shuffle of the fact side."""
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#13")
+    excl = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 7 == 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(excl, ps["ps_suppkey"] == excl["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q20A_ORACLE = f"""
+WITH ps AS ({_DUCK_PARTSUPP}),
+shipped96 AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty96
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT ps_suppkey
+  FROM ps
+  JOIN shipped96 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+    AND ps_availqty > 2 * qty96
+)
+SELECT DISTINCT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+"""
+
+
+@query("tpch_q20_excess_stock_supplier", oracle=Q20A_ORACLE, tags=("tpch", "join", "subquery"))
+def tpch_q20_excess_stock_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 over the derived partsupp: suppliers of '%bolt%'
+    parts whose all-time availqty exceeds 2× their 1996 shipments —
+    the nested IN-chain (part list → excess partsupp → supplier)
+    becomes two semi joins, all integer arithmetic."""
+    ps = _partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    shipped96 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty96"))
+    )
+    bolt_parts = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey"
+    )
+    excess = (
+        ps.join(bolt_parts, ps["ps_partkey"] == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped96,
+            (F.col("ps_partkey") == shipped96["l_partkey"])
+            & (F.col("ps_suppkey") == shipped96["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") > 2 * F.col("qty96"))
+        .select("ps_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(excess, s["s_suppkey"] == excess["ps_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+    )

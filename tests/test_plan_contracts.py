@@ -106,6 +106,7 @@ _NESTED_LOOP_OK = {
     "similarity_ivf_ann",  # vectors × broadcast centroid set (|C|=16) by design
     "tpch_q22_global_sales_opportunity",  # 1-row scalar (avg balance) broadcast cross
     "string_levenshtein_pairs",  # theta-join over a tiny broadcast dim by design
+    "tpch_q11_important_stock",  # 1-row global total broadcast cross by design
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design

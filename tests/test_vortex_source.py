@@ -247,3 +247,39 @@ def test_in_and_prefix_pushdown(spark, tmp_path):
     pref = spark.read.format("vortex").load(path).filter(F.col("n_name").startswith("NATION_1"))
     names = sorted(r.n_name for r in pref.collect())
     assert names == sorted(f"NATION_1{s}" for s in [""] + list("0123456789"))
+
+
+def test_roundtrip_nested_array_struct_map(spark, tmp_path):
+    """Stretch parity (SURVEY §1.2 nested row): ARRAY / STRUCT / MAP
+    columns round-trip value-exact through the vortex source. The
+    reference's pinned surface is flat; the Vortex format itself has
+    struct/list layouts, so the Spark source supports them outright.
+    Schema equality is modulo nullability (footer marks all nullable).
+    """
+    from duckdb_vortex_spark import catalog
+    from duckdb_vortex_spark.sources.vortex import register
+
+    from .conftest import SF_DIR
+
+    register(spark)
+    emb = catalog.load(spark, SF_DIR, "embeddings")
+    nested = emb.select(
+        "vec_id",
+        "embedding",
+        F.struct("label", F.size("embedding").alias("dim")).alias("meta"),
+        F.create_map(F.lit("label"), F.col("label").cast("string")).alias("tags"),
+    )
+    path = str(tmp_path / "nested.vortex")
+    nested.write.format("vortex").mode("append").save(path)
+    back = spark.read.format("vortex").load(path)
+
+    def canon(df):
+        return sorted(
+            (r.vec_id, tuple(r.embedding), tuple(r.meta), tuple(sorted(r.tags.items())))
+            for r in df.collect()
+        )
+
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in nested.schema.fields
+    ]
+    assert canon(back) == canon(nested)
