@@ -102,3 +102,112 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter → exact-dedup-keep-canonical → reproducible
     80/20 split, as one Catalyst plan (see module docstring)."""
     return prepare_training_data(load(spark, sf_dir, "documents"))
+
+
+# --- stratified sampling --------------------------------------------------
+
+STRATIFIED_ORACLE = """
+SELECT lang, COUNT(*) AS n_kept
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 5 END
+GROUP BY lang
+"""
+
+
+@query("sample_stratified_hash", oracle=STRATIFIED_ORACLE, tags=("sample", "llm"))
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-class rates (50%/20%/5% by lang)
+    from the same portable md5 bucket as sample_hash_deterministic —
+    the language-rebalancing primitive for corpus mixing. Still a
+    scan-stage filter: per-row hash, no shuffle of rejected rows."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "de", 20).otherwise(5)
+    )
+    return (
+        d.filter(bucket < rate).groupBy("lang").agg(F.count("*").alias("n_kept"))
+    )
+
+
+# --- per-class balancing --------------------------------------------------
+
+BALANCE_ORACLE = """
+SELECT doc_id, lang, rnk
+FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+  FROM documents
+) t
+WHERE rnk <= 30
+"""
+
+
+@query("balance_downsample_per_class", oracle=BALANCE_ORACLE, tags=("sample", "llm"))
+def balance_downsample_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing: cap each language at 30 documents, chosen in
+    deterministic hash order (not "first 30 in storage order", which
+    is partitioning-dependent and biased toward old shards). One
+    shuffle on the class key; rank-limit pushdown keeps the per-group
+    sort bounded."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rnk"))
+        .filter(F.col("rnk") <= 30)
+    )
+
+
+# --- token-budget packing -------------------------------------------------
+
+PACKING_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin
+FROM c
+"""
+
+
+@query("pack_documents_token_bins", oracle=PACKING_ORACLE, tags=("llm", "window"))
+def pack_documents_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed 2048-token training
+    bins by running token count within each source shard (bin = tokens
+    consumed before this doc ÷ budget — the streaming-concat packing
+    rule). Exact integer window sum, so bin assignment is reproducible
+    under any partitioning; one shuffle on the shard key."""
+    from pyspark.sql.window import Window
+
+    from .text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        ((cum - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
+    )
