@@ -94,3 +94,44 @@ def geo_point_distance_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st_distance(x, y, F.lit(0.0), F.lit(0.0)), 6).alias("dist_origin"),
         st_within_bbox(x, y, 0.0, 0.0, 5000.0, 1500.0).alias("in_bbox"),
     )
+
+
+RADIUS_ORACLE = """
+WITH pts AS (
+  SELECT s_suppkey AS id,
+         CAST(s_suppkey % 97 AS BIGINT) AS x,
+         CAST(s_suppkey % 89 AS BIGINT) AS y
+  FROM supplier
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM pts a
+JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25
+"""
+
+
+@query("geo_points_within_radius", oracle=RADIUS_ORACLE, tags=("geo", "join"))
+def geo_points_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join: point pairs within planar distance 5, compared
+    on SQUARED distance (no sqrt — exact integer arithmetic on the
+    synthetic grid, and the standard trick for avoiding fp comparisons
+    in range predicates). Small-side theta join here; at scale this is
+    a grid-cell (geohash) bucket join: assign each point to ⌈r⌉-sized
+    cells, join same-and-neighbor cells, verify exact distance — the
+    identical candidate→verify shape as the LSH dedup path."""
+    s = load(spark, sf_dir, "supplier")
+    pts = s.select(
+        F.col("s_suppkey").alias("id"),
+        (F.col("s_suppkey") % 97).cast("bigint").alias("x"),
+        (F.col("s_suppkey") % 89).cast("bigint").alias("y"),
+    )
+    a = pts.select(F.col("id").alias("id_a"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select(F.col("id").alias("id_b"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, (F.col("id_a") < F.col("id_b")) & (d2 <= 25))
+        .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
+    )

@@ -154,3 +154,16 @@ def test_simhash_neardup_pigeonhole_complete(spark):
     assert got == want
     orig_id = dup.collect()[0].doc_id - 10_000_000
     assert got.get((orig_id, orig_id + 10_000_000)) == 0
+
+
+def test_approx_percentile_error_bound(spark):
+    """A7 sketch parity: approx_percentile lands within 1% relative
+    error of the exact percentile on lineitem prices (both engines use
+    mergeable quantile sketches; exact value equality is impossible by
+    design, bounded error is the contract)."""
+    li = load(spark, SF_DIR, "lineitem")
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.01

@@ -107,6 +107,7 @@ _NESTED_LOOP_OK = {
     "tpch_q22_global_sales_opportunity",  # 1-row scalar (avg balance) broadcast cross
     "string_levenshtein_pairs",  # theta-join over a tiny broadcast dim by design
     "tpch_q11_important_stock",  # 1-row global total broadcast cross by design
+    "geo_points_within_radius",  # small-side theta join; grid-cell join at scale
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design
