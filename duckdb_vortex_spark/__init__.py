@@ -69,6 +69,7 @@ _EXPORTS = {
         "enriched_segment_windows",
     ),
     "running_user_totals": ("duckdb_vortex_spark.streaming.stateful", "running_user_totals"),
+    "sessionize_users": ("duckdb_vortex_spark.streaming.stateful", "sessionize_users"),
 }
 
 __all__ = ["version", "get_spark", *sorted(_EXPORTS)]
