@@ -195,3 +195,43 @@ def structure_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ = register_views  # re-exported for sql_query builders
+
+
+LIST_SETOP_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS a,
+         ['the', 'a', 'scan', 'join', 'merge'] AS b
+  FROM documents
+  WHERE doc_id % 5 = 0
+)
+SELECT
+  doc_id,
+  COALESCE(array_to_string(list_sort(list_filter(a, x -> list_contains(b, x))), ','), '')
+    AS inter_csv,
+  COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '')
+    AS union_csv,
+  COALESCE(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '')
+    AS except_csv
+FROM t
+"""
+
+
+@query("list_set_operations", oracle=LIST_SETOP_ORACLE, tags=("array",))
+def list_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (array_intersect/union/except ≡ DuckDB list
+    filters over membership), order-normalized with array_sort and
+    serialized to CSV for cross-engine value comparison (engines repr
+    arrays differently; DuckDB array_to_string is NULL on empty lists
+    where Spark array_join is empty-string - COALESCEd in the oracle)."""
+    from ..operators.text import tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    a = F.array_distinct(tokens("text"))
+    b = F.array(*[F.lit(w) for w in ("the", "a", "scan", "join", "merge")])
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("inter_csv"),
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("union_csv"),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("except_csv"),
+    )
