@@ -312,3 +312,32 @@ def agg_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_discounted"),
     )
+
+
+STRING_AGG_ORDERED_ORACLE = """
+SELECT
+  n_regionkey,
+  string_agg(n_name, ',' ORDER BY n_nationkey DESC) AS nations_desc_csv,
+  CAST(count_if(n_nationkey % 2 = 0) AS BIGINT) AS n_even
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("agg_string_agg_ordered", oracle=STRING_AGG_ORDERED_ORACLE, tags=("agg",))
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg with an explicit ORDER BY on a different column
+    (DuckDB's in-aggregate ordering ≡ Spark collect-structs →
+    array_sort → project: the sort key rides in the struct, negated
+    for DESC since array_sort is field-ascending), plus count_if.
+    Collect-then-sort is per-group memory — fine for bounded groups,
+    the same caveat as any string_agg at scale."""
+    n = load(spark, sf_dir, "nation")
+    items = F.collect_list(
+        F.struct((-F.col("n_nationkey")).alias("k"), F.col("n_name").alias("v"))
+    )
+    csv = F.array_join(F.transform(F.array_sort(items), lambda x: x["v"]), ",")
+    return n.groupBy("n_regionkey").agg(
+        csv.alias("nations_desc_csv"),
+        F.count_if((F.col("n_nationkey") % 2) == 0).cast("bigint").alias("n_even"),
+    )
