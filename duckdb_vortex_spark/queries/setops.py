@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load, query, sql_query
+from ..catalog import load, query, register_views, sql_query
 
 UNION_DISTINCT_ORACLE = """
 SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
@@ -292,3 +292,35 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("entity_key"),
     )
     return c.unionByName(s)
+
+
+PARAM_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > 300000.0
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderstatus
+"""
+
+
+@query("structure_parameterized_query", oracle=PARAM_ORACLE, tags=("structure",))
+def structure_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prepared-statement parity (SURVEY §2B query structure): DuckDB
+    prepared statements map to Spark's parameterized SQL — named
+    ``:param`` markers bound server-side with typed values, not string
+    interpolation (same injection-safety property as PREPARE/EXECUTE).
+    The oracle inlines the literals."""
+    import datetime
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > :minprice AND o_orderdate >= :mindate
+        GROUP BY o_orderstatus
+        """,
+        args={"minprice": 300000.0, "mindate": datetime.datetime(1996, 1, 1)},
+    )
