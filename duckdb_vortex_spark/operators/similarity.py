@@ -329,9 +329,11 @@ def ivf_topk(
 )
 def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-10 (the bucketed-corpus scale
-    path, complementing the LSH variant)."""
+    path, complementing the LSH variant). Runs the per-cluster-BLAS
+    probe stage (ivf_topk_vectorized) — result-equal to the HOF form
+    ivf_topk, pinned in tests."""
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
+    return ivf_topk_vectorized(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
 
 
 PAIRS_ORACLE = """
@@ -517,3 +519,119 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_similarity_ivf.py."""
     emb = load(spark, sf_dir, "embeddings")
     return topk_vectorized(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
+
+
+def ivf_topk_vectorized(
+    queries_df: DataFrame,
+    candidates_df: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with the probe stage as per-cluster BLAS: queries and
+    candidates are cogrouped by cluster_id and each cluster computes
+    one (|Q_c| × |C_c|) similarity matrix in numpy, emitting its local
+    top-k per query; the global window then ranks n_probe·k rows per
+    query. Candidate selection is identical to ivf_topk (same
+    assignment, same probed clusters, exact cosine), so results match
+    it exactly up to fp association — pinned in tests.
+
+    This is the cluster-scale shape: each cogroup task holds ONE
+    cluster (corpus/|clusters| rows), so memory per task is bounded
+    and clusters process in parallel; nothing quadratic is resident.
+    """
+    import numpy as np
+    import pandas as pd
+
+    centroids = sample_centroids(candidates_df, n_clusters, id_col, vec_col)
+    cand = ivf_assign_vectorized(candidates_df, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cluster_id"
+    )
+    qry = ivf_assign_vectorized(queries_df, centroids, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cluster_id"
+    )
+
+    def score(qpdfs, cpdfs) -> pd.DataFrame:
+        q = pd.concat(list(qpdfs)) if not isinstance(qpdfs, pd.DataFrame) else qpdfs
+        c = pd.concat(list(cpdfs)) if not isinstance(cpdfs, pd.DataFrame) else cpdfs
+        if len(q) == 0 or len(c) == 0:
+            return pd.DataFrame({"query_id": [], "cand_id": [], "cos_sim": []}).astype(
+                {"query_id": "int64", "cand_id": "int64", "cos_sim": "float64"}
+            )
+        qm = np.array(list(q["qv"]), dtype=np.float64)
+        cm = np.array(list(c["cv"]), dtype=np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = cm @ qm.T  # (|C_c|, |Q_c|)
+        kk = min(k + 1, len(c))  # +1 absorbs self-matches
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q["query_id"].to_numpy(), kk),
+                "cand_id": c["cand_id"].to_numpy()[top].T.ravel(),
+                "cos_sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
+            }
+        )
+
+    local = (
+        qry.groupBy("cluster_id")
+        .cogroup(cand.groupBy("cluster_id"))
+        .applyInPandas(
+            lambda lq, rc: score(lq, rc),
+            "query_id long, cand_id long, cos_sim double",
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        local.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "cand_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def ivf_assign_vectorized(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy twin of ivf_assign: centroids collect to a numpy
+    matrix (broadcast via closure capture — they are tiny) and each
+    Arrow batch assigns with one matmul + argsort. Ordering matches
+    the HOF form: cosine descending, cluster_id ascending on ties."""
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.select("cluster_id", "centroid").collect()
+    c_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    c_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    order = np.argsort(c_ids)
+    c_ids, c_mat = c_ids[order], c_mat[order]  # id-ascending → stable ties
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vm_n = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm_n @ c_mat.T  # (batch, |C|)
+            # stable argsort keeps id-ascending order on exact ties
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(n_probe)],
+                    "cluster_id": c_ids[top].ravel(),
+                }
+            )
+
+    vec_type = dict(df.dtypes)[vec_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} {vec_type}, cluster_id int"
+    )

@@ -66,3 +66,16 @@ def test_vectorized_topk_equals_bruteforce(spark):
     base = _pairs(topk_bruteforce(q, emb, k=5))
     fast = _pairs(topk_vectorized(q, emb, k=5))
     assert fast == base
+
+
+def test_ivf_vectorized_equals_hof(spark):
+    """Per-cluster BLAS probe scoring selects the same (query, cand)
+    top-k sets as the HOF probe join (identical candidate sets and
+    exact cosine on both paths)."""
+    from duckdb_vortex_spark.operators.similarity import ivf_topk_vectorized
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    a = _pairs(ivf_topk(q, emb, k=5, n_clusters=8, n_probe=3))
+    b = _pairs(ivf_topk_vectorized(q, emb, k=5, n_clusters=8, n_probe=3))
+    assert a == b
