@@ -50,8 +50,14 @@ _EXPORTS = {
     "connected_components": ("duckdb_vortex_spark.operators.dedup", "connected_components"),
     "simhash": ("duckdb_vortex_spark.operators.dedup", "simhash"),
     "topk_bruteforce": ("duckdb_vortex_spark.operators.similarity", "topk_bruteforce"),
+    "topk_vectorized": ("duckdb_vortex_spark.operators.similarity", "topk_vectorized"),
     "lsh_topk": ("duckdb_vortex_spark.operators.similarity", "lsh_topk"),
     "ivf_topk": ("duckdb_vortex_spark.operators.similarity", "ivf_topk"),
+    "ivf_topk_vectorized": (
+        "duckdb_vortex_spark.operators.similarity",
+        "ivf_topk_vectorized",
+    ),
+    "run_slt_file": ("duckdb_vortex_spark.compat.slt", "run_slt_file"),
     "chunk_documents": ("duckdb_vortex_spark.operators.chunking", "chunk_documents"),
     "normalize_embeddings": ("duckdb_vortex_spark.operators.chunking", "normalize_embeddings"),
     "extract_features": ("duckdb_vortex_spark.operators.multimodal", "extract_features"),
