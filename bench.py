@@ -49,11 +49,36 @@ HEADLINE = [
 ]
 
 
+def _checksum(df):
+    """Force FULL materialization of every output column.
+
+    ``df.count()`` lets Catalyst prune result columns (a non-aggregate
+    head devolves to a row count over the narrowest scan), understating
+    real cost. Hashing every column into one xxhash64 and XOR-folding
+    forces each projection to actually compute, while returning a single
+    row to the driver (no collect-bound measurement noise). Complex
+    types go through to_json (xxhash64 accepts only atomic inputs).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    cols = []
+    for fld in df.schema.fields:
+        c = F.col(fld.name)
+        if isinstance(fld.dataType, (ArrayType, MapType, StructType)):
+            c = F.to_json(c)
+        cols.append(c)
+    return (
+        df.select(F.xxhash64(*cols).alias("h"))
+        .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"))
+        .collect()[0][0]
+    )
+
+
 def run_one(spark, builder, sf_dir: str) -> float:
     t0 = time.monotonic()
     df = builder(spark, sf_dir)
-    n = df.count()
-    assert n >= 0
+    _checksum(df)
     return time.monotonic() - t0
 
 
@@ -68,6 +93,7 @@ def main() -> None:
         run_one(spark, qs[name], sf_dir)  # warm-up: plan + codegen + page cache
         timings[name] = round(run_one(spark, qs[name], sf_dir), 4)
     total = round(sum(timings.values()), 4)
+    _delta_report(timings)
     print(
         json.dumps(
             {
@@ -80,6 +106,30 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _delta_report(timings: dict[str, float]) -> None:
+    """Per-query delta vs the newest prior BENCH_r{N}.json, on stderr
+    (stdout is reserved for the single driver-parsed JSON line)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior:
+        return
+    try:
+        with open(prior[-1]) as f:
+            doc = json.load(f)
+        # the driver wraps bench stdout in {"parsed": {...}, ...}
+        old = (doc.get("parsed") or doc).get("queries", {})
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return
+    print(f"-- delta vs {os.path.basename(prior[-1])} --", file=sys.stderr)
+    for name, t in timings.items():
+        if name in old and old[name] > 0:
+            print(f"{name:45s} {old[name]:7.3f}s -> {t:7.3f}s ({t / old[name]:.2f}x)", file=sys.stderr)
+        else:
+            print(f"{name:45s}    new -> {t:7.3f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -203,16 +203,29 @@ def run_slt_file(spark: SparkSession, path: str, test_dir: str) -> SltResult:
                 try:
                     df = execute(sql)
                     rows = df.collect()
-                    got = [_render(v) for r in rows for v in r]
-                    want = [v for line in golden for v in line.split("\t")]
+                    ncol = len(df.columns)
+                    got = [tuple(_render(v) for v in r) for r in rows]
+                    # Golden rows are tab-separated per line (DuckDB style);
+                    # fall back to one-value-per-line regrouping when the
+                    # line width doesn't match the result arity.
+                    flat = [v for line in golden for v in line.split("\t")]
+                    if golden and len(golden[0].split("\t")) == ncol:
+                        want = [tuple(line.split("\t")) for line in golden]
+                    else:
+                        want = [
+                            tuple(flat[i : i + ncol]) for i in range(0, len(flat), ncol)
+                        ]
                     ordered = re.search(r"\bORDER\s+BY\b", sql, flags=re.I)
+                    # Row-major comparison: rows sorted as whole tuples when
+                    # unordered, never a flattened value multiset (a flat
+                    # sort would accept values permuted across rows/columns).
                     if (got if ordered else sorted(got)) == (
                         want if ordered else sorted(want)
                     ):
                         res.queries_ok += 1
                     else:
                         res.failures.append(
-                            f"query mismatch: {sql[:80]} got={got[:12]} want={want[:12]}"
+                            f"query mismatch: {sql[:80]} got={got[:4]} want={want[:4]}"
                         )
                 except Exception as e:  # noqa: BLE001
                     res.failures.append(f"query failed: {sql[:120]} -> {e}")

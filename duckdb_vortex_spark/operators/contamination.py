@@ -43,13 +43,18 @@ def cross_source_shared_shingles(
     # so a plain count IS the distinct-shingle count — the previous
     # formulation (inverted-index self-join + countDistinct) computed
     # the same matrix with 5 shuffles and a pair-explosion join.
-    # Tokenize ONCE per row behind a persist barrier: Catalyst inlines
+    # Tokenize ONCE per row behind an EXCHANGE barrier: Catalyst inlines
     # expression trees into per-index lambdas (no CSE), so building
     # shingles straight off tokens(text) re-runs split+filter per
-    # shingle — 5× slower (see shingles() docstring).
+    # shingle — 5× slower (see shingles() docstring). A round-robin
+    # repartition materializes the tokenized projection into shuffle
+    # files (compute-once) WITHOUT pinning the full tokenized corpus in
+    # executor memory the way persist() does — at 100 TB the persist is
+    # a standing memory tax, the exchange is streamed local disk.
+    spark = df.sparkSession
     tk = df.select(
         F.col(group_col).alias("src"), tokens(text_col).alias("toks")
-    ).persist()
+    ).repartition(spark.sparkContext.defaultParallelism)
     sh = tk.select(
         "src", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("sh")
     )

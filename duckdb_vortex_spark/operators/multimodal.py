@@ -20,6 +20,7 @@ directs.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -55,26 +56,142 @@ FEATURE_SCHEMA = T.StructType(
 def _decode_payload(media_type: str, payload: bytes) -> dict:
     """Decode one media payload to features.
 
-    STUB: real codecs (PIL/libsndfile/ffmpeg) are not in this
-    container. 'fake/raw' payloads are treated as raw byte streams with
-    an 8-byte (width,height) header — deterministic and testable.
+    Real, dependency-free codecs: BMP (24-bit uncompressed) and PNG
+    (8-bit gray/RGB/RGBA, all five scanline filters, zlib IDAT) are
+    decoded to raw pixels here in pure Python/numpy. 'fake/raw'
+    payloads are raw byte streams with an 8-byte (width,height) header
+    (deterministic synthetic fixture). Codecs needing native libs
+    (JPEG/audio/video) still raise NotImplementedError — the seam a
+    PIL/ffmpeg deployment plugs into.
     """
     if media_type == "fake/raw":
         if len(payload) < 8:
-            return {"byte_mean": None, "byte_min": None, "byte_max": None, "width": None, "height": None}
+            return _no_features()
         width, height = struct.unpack("<ii", payload[:8])
-        body = payload[8:]
-        return {
-            "byte_mean": (sum(body) / len(body)) if body else None,
-            "byte_min": min(body) if body else None,
-            "byte_max": max(body) if body else None,
-            "width": width,
-            "height": height,
-        }
+        return _pixel_features(payload[8:], width, height)
+    if media_type in ("image/bmp", "image/x-bmp"):
+        w, h, pixels = _decode_bmp(payload)
+        return _pixel_features(pixels, w, h)
+    if media_type == "image/png":
+        w, h, pixels = _decode_png(payload)
+        return _pixel_features(pixels, w, h)
     raise NotImplementedError(
         f"codec for {media_type!r} not available in this environment; "
         "plug a real decoder into _decode_payload"
     )
+
+
+def _no_features() -> dict:
+    return {"byte_mean": None, "byte_min": None, "byte_max": None, "width": None, "height": None}
+
+
+def _pixel_features(body: bytes, width: int, height: int) -> dict:
+    if not body:
+        return dict(_no_features(), width=width, height=height)
+    return {
+        "byte_mean": sum(body) / len(body),
+        "byte_min": min(body),
+        "byte_max": max(body),
+        "width": width,
+        "height": height,
+    }
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """24-bit uncompressed BMP → (width, height, RGB bytes, top-down
+    row order). Rows are stored bottom-up and padded to 4 bytes; pixels
+    are BGR on disk."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp, compression = struct.unpack_from("<HI", payload, 28)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP variant unsupported (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    rows = []
+    for r in range(height):
+        src = height - 1 - r if bottom_up else r
+        row = payload[data_off + src * stride : data_off + src * stride + row_bytes]
+        # BGR → RGB per pixel
+        rows.append(
+            b"".join(row[i + 2 : i + 3] + row[i + 1 : i + 2] + row[i : i + 1] for i in range(0, row_bytes, 3))
+        )
+    return width, height, b"".join(rows)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """8-bit PNG → (width, height, raw pixel bytes). Full scanline
+    defilter (None/Sub/Up/Average/Paeth) over the zlib-inflated IDAT
+    stream; interlacing unsupported (raises)."""
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    channels = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported")
+            if interlace:
+                raise NotImplementedError("interlaced PNG unsupported")
+            channels = _PNG_CHANNELS.get(color_type)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color_type} unsupported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    row_bytes = width * channels
+    out = np.zeros((height, row_bytes), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for r in range(height):
+        f_type = raw[r * (row_bytes + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, row_bytes, offset=r * (row_bytes + 1) + 1
+        ).astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(row_bytes, np.int32)
+        if f_type == 0:  # None
+            cur = line
+        elif f_type == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f_type in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            cur = np.zeros(row_bytes, np.int32)
+            for i in range(row_bytes):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if f_type == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif f_type == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f_type}")
+        out[r] = cur.astype(np.uint8)
+    return width, height, out.tobytes()
 
 
 def extract_features(media: DataFrame) -> DataFrame:

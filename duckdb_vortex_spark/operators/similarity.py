@@ -456,49 +456,73 @@ def topk_vectorized(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_block: int = 65536,
 ) -> DataFrame:
     """Exact cosine top-k, Arrow/numpy path: the query block is
-    collected once (queries are small by definition — they are the
-    thing you look up), broadcast to every task, and each candidate
-    partition computes a (batch × queries) similarity matrix with one
-    BLAS matmul, keeping only its local top-k per query. The global
-    top-k then aggregates |partitions|·k rows per query — the
-    standard two-phase top-k.
+    broadcast to every task, and each candidate partition computes a
+    (batch × queries) similarity matrix with one BLAS matmul, keeping
+    only its local top-k per query. The global top-k then aggregates
+    |partitions|·k rows per query — the standard two-phase top-k.
+
+    Driver memory is BOUNDED: queries are streamed off the cluster via
+    ``toLocalIterator`` in blocks of at most ``max_query_block`` rows
+    (64k × 64 dims × 8 B ≈ 32 MB per broadcast), one candidate pass per
+    block, results unioned. Only one block is resident on the driver at
+    a time, so |Q| can grow without a driver OOM; for |Q| approaching
+    |corpus| the cogrouped IVF path (ivf_topk_vectorized) is the right
+    tool and this function is the lookup-side primitive.
 
     Same results as topk_bruteforce (pinned by tests) at a fraction of
     the cost: the JVM HOF path folds 64-element lambdas per pair,
     while this path does one dgemm per Arrow batch. Candidates stream
-    — nothing but q_ids/q_mat is ever resident."""
+    — nothing but the current query block is ever resident."""
     import numpy as np
     import pandas as pd
 
     spark = queries_df.sparkSession
-    q_rows = queries_df.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat))
-
-    def local_topk(batches):
-        ids, mat = bc.value
-        for pdf in batches:
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = c_mat @ mat.T  # (batch, n_queries)
-            kk = min(k + 1, len(c_ids))  # +1 absorbs self-matches
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            out = {
-                "query_id": np.repeat(ids, kk),
-                "cand_id": c_ids[top].T.ravel(),
-                "cos_sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
-            }
-            yield pd.DataFrame(out)
-
+    cand = candidates_df.select(F.col(id_col), F.col(vec_col))
     schema = "query_id long, cand_id long, cos_sim double"
-    local = candidates_df.select(
-        F.col(id_col), F.col(vec_col)
-    ).mapInPandas(local_topk, schema)
+
+    def block_topk(q_block):
+        q_ids = np.array([r[0] for r in q_block], dtype=np.int64)
+        q_mat = np.array([r[1] for r in q_block], dtype=np.float64)
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+        def local_topk(batches):
+            ids, mat = bc.value
+            for pdf in batches:
+                c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+                sims = c_mat @ mat.T  # (batch, n_queries)
+                kk = min(k + 1, len(c_ids))  # +1 absorbs self-matches
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                out = {
+                    "query_id": np.repeat(ids, kk),
+                    "cand_id": c_ids[top].T.ravel(),
+                    "cos_sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
+                }
+                yield pd.DataFrame(out)
+
+        return cand.mapInPandas(local_topk, schema)
+
+    locals_: list[DataFrame] = []
+    block: list = []
+    for r in queries_df.select(id_col, vec_col).toLocalIterator():
+        block.append(r)
+        if len(block) >= max_query_block:
+            locals_.append(block_topk(block))
+            block = []
+    if block:
+        locals_.append(block_topk(block))
+    if not locals_:
+        return spark.createDataFrame([], schema + ", rnk bigint").select(
+            "query_id", "cand_id", "cos_sim", "rnk"
+        )
+    local = locals_[0]
+    for extra in locals_[1:]:
+        local = local.unionAll(extra)
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
         local.filter(F.col("query_id") != F.col("cand_id"))
@@ -508,17 +532,47 @@ def topk_vectorized(
     )
 
 
+TOPK_PAIRS_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 20 = 0
+),
+scored AS (
+  SELECT
+    q.query_id,
+    c.vec_id AS cand_id,
+    list_sum(list_transform(list_zip(q.qv, c.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      AS cos_sim
+  FROM q JOIN embeddings c ON c.vec_id != q.query_id
+)
+SELECT query_id, cand_id
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk
+  FROM scored
+) t
+WHERE rnk <= 10
+"""
+
+
 @query(
     "similarity_topk_vectorized",
-    oracle=None,  # equality with topk_bruteforce pinned in pytest
+    oracle=TOPK_PAIRS_ORACLE,
     tags=("similarity", "llm", "udf"),
 )
 def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10, Arrow-vectorized (BLAS matmul per batch) — the
-    fast exact path; result equality with the HOF brute force is
-    pinned in tests/test_similarity_ivf.py."""
+    fast exact path. Oracle-checked on the top-k PAIR SET (query_id,
+    cand_id): dgemm accumulates in a different order than a sequential
+    SQL fold, so raw cos_sim can differ by ulps while the selected
+    set is identical (the corpus has no ulp-scale score ties at the
+    k boundary); rank/score equality with the HOF brute force is
+    additionally pinned in tests/test_similarity_ivf.py."""
     emb = load(spark, sf_dir, "embeddings")
-    return topk_vectorized(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
+    return topk_vectorized(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10).select(
+        "query_id", "cand_id"
+    )
 
 
 def ivf_topk_vectorized(

@@ -118,19 +118,38 @@ def agg_avg_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_approx_count_distinct",
-    oracle=None,  # HLL sketches differ across engines by design; driver runs rows-only check
-    tags=("agg", "approx"),
-)
+APPROX_CD_ORACLE = """
+SELECT
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+  ABS(CAST(approx_count_distinct(l_partkey) AS DOUBLE) - COUNT(DISTINCT l_partkey))
+    <= 0.10 * COUNT(DISTINCT l_partkey) AS approx_parts_ok,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+  ABS(CAST(approx_count_distinct(l_suppkey) AS DOUBLE) - COUNT(DISTINCT l_suppkey))
+    <= 0.10 * COUNT(DISTINCT l_suppkey) AS approx_supps_ok
+FROM lineitem
+"""
+
+
+@query("agg_approx_count_distinct", oracle=APPROX_CD_ORACLE, tags=("agg", "approx"))
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No value oracle: DuckDB's HLL uses
-    a different hash, so estimates differ; correctness is bounded-error,
-    asserted in tests/test_aggregates.py against the exact count."""
+    """approx_count_distinct (HLL++). Raw sketch estimates can't hash-match
+    across engines (different hash functions), so the entry emits an
+    oracle-DECIDABLE result instead: the exact distinct count plus a
+    boolean asserting the engine's own HLL estimate is within 10% of it
+    (HLL++ default rsd is 5%, so 10% holds with wide margin in both
+    engines). Both engines agree on every output value, so the driver's
+    hash gate applies. Tighter error-bound behavior is pinned in
+    tests/test_aggregates.py."""
     li = load(spark, sf_dir, "lineitem")
+    exact_p = F.count_distinct(F.col("l_partkey"))
+    exact_s = F.count_distinct(F.col("l_suppkey"))
+    approx_p = F.approx_count_distinct("l_partkey").cast("double")
+    approx_s = F.approx_count_distinct("l_suppkey").cast("double")
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        exact_p.alias("exact_parts"),
+        (F.abs(approx_p - exact_p) <= 0.10 * exact_p).alias("approx_parts_ok"),
+        exact_s.alias("exact_supps"),
+        (F.abs(approx_s - exact_s) <= 0.10 * exact_s).alias("approx_supps_ok"),
     )
 
 

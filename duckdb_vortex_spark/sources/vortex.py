@@ -18,26 +18,27 @@ Spark **Python DataSource** ("vortex"), per the survey's mapping:
 - A8 chunked scan ....... one InputPartition per (file, row-group)
 - A9 type matrix ........ Arrow ↔ Spark conversion (SURVEY.md §1.2)
 
-Container format: parquet with zstd compression and dictionary
-encoding — per BASELINE.json, "format-specific optimizations are
-peripheral"; capability parity (compressed, chunked, stats-bearing,
-pushdown-friendly columnar files) is the target, and the reader/writer
-pair is a drop-in point for a real ``.vortex`` codec (rung (b) of
-SURVEY.md §7 Phase 2).
+Container format: a real ``.vortex`` binary container (rung (b) of
+SURVEY.md §7 Phase 2), implemented in ``vortex_format.py``: footer-
+described chunks with per-chunk zone maps and lightweight encodings —
+FoR bit-packed ints (FastLanes-family), ALP floats with exception
+patching, FSST-style symbol-table / dictionary strings, validity
+bitmaps, zlib cascade, Arrow-IPC fallback for nested & decimal types.
+Not parquet: every byte of the layout is defined in that module.
 
-Scale: the scan parallelism unit is the row-group (chunk), so a
-1000-executor cluster gets even work distribution for any file count;
-pushdown happens before any Arrow batch is materialized; reads stream
+Scale: the scan parallelism unit is the chunk, so a 1000-executor
+cluster gets even work distribution for any file count; pushdown
+happens before any Arrow batch is materialized; reads stream
 RecordBatches (never whole files) across the Python↔JVM boundary.
 """
 
 from __future__ import annotations
 
-import glob as globmod
 import os
 import uuid
-from collections.abc import Iterable, Iterator, Sequence
+from collections.abc import Iterable, Sequence
 from dataclasses import dataclass
+from types import SimpleNamespace
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -59,25 +60,26 @@ from pyspark.sql.datasource import (
 from pyspark.sql.pandas.types import from_arrow_schema
 from pyspark.sql.types import StructType
 
-FILE_SUFFIX = ".vortex.parquet"
+from . import vortex_format as vfmt
+
+FILE_SUFFIX = ".vortex"
 
 
 def _expand(path: str) -> list[str]:
-    """Glob expansion (A2). A directory means all chunked files in it;
-    glob matches may themselves be dataset directories."""
-    matches = sorted(globmod.glob(path)) if any(ch in path for ch in "*?[") else [path]
+    """Glob expansion (A2) + URI routing (A3). A directory means all
+    chunked files in it; glob matches may themselves be dataset
+    directories. Non-local URIs (s3a://…) resolve through the
+    filesystem registry in vortex_format."""
+    fs, p = vfmt.filesystem_for(path)
+    matches = fs.glob(p) if any(ch in p for ch in "*?[") else [p]
     files: list[str] = []
     for m in matches:
-        if os.path.isdir(m):
-            files.extend(
-                sorted(
-                    globmod.glob(os.path.join(m, f"*{FILE_SUFFIX}"))
-                    or globmod.glob(os.path.join(m, "*.parquet"))
-                )
-            )
-        elif os.path.exists(m):
+        if fs.isdir(m):
+            files.extend(fs.glob(os.path.join(m, f"part-*{FILE_SUFFIX}")))
+        elif fs.exists(m):
             files.append(m)
-    return files
+    prefix = path[: len(path) - len(p)]
+    return [prefix + f for f in files]
 
 
 @dataclass
@@ -124,26 +126,26 @@ class VortexReader(DataSourceReader):
         return rest
 
     def partitions(self) -> Sequence[VortexChunk]:
-        import pyarrow.parquet as pq
-
         chunks = []
         for f in self.files:
-            meta = pq.ParquetFile(f).metadata
-            for rg in range(meta.num_row_groups):
-                if self._chunk_survives(meta.row_group(rg)):
-                    chunks.append(VortexChunk(f, rg))
+            footer = vfmt.read_footer(f)
+            for ci in range(len(footer.chunks)):
+                if self._chunk_survives(footer, ci):
+                    chunks.append(VortexChunk(f, ci))
         # Empty scan still needs ≥1 partition for a valid (empty) result.
         return chunks or [VortexChunk(self.files[0], -1)]
 
-    def _chunk_survives(self, rg_meta) -> bool:
-        """A7: zone-map pruning — skip a chunk when its min/max/null
-        stats refute a pushed filter."""
+    def _chunk_survives(self, footer, chunk_idx: int) -> bool:
+        """A7: zone-map pruning — skip a chunk when its footer
+        min/max/null-count stats refute a pushed filter."""
         stats = {}
-        for ci in range(rg_meta.num_columns):
-            col = rg_meta.column(ci)
-            name = col.path_in_schema
-            if col.statistics is not None and col.statistics.has_min_max:
-                stats[name] = col.statistics
+        for name in footer.chunks[chunk_idx]["columns"]:
+            triple = vfmt.chunk_stats(footer, chunk_idx, name)
+            if triple is None or triple[0] is None:
+                continue
+            stats[name] = SimpleNamespace(
+                min=triple[0], max=triple[1], null_count=triple[2]
+            )
         for f in self.pushed:
             name = f.attribute[0]
             s = stats.get(name)
@@ -210,16 +212,14 @@ class VortexReader(DataSourceReader):
     def read(self, partition: VortexChunk):
         """Decode one chunk: prune columns (A5), filter batches (A6),
         yield Arrow RecordBatches (A9 — zero-copy into Spark)."""
-        import pyarrow.parquet as pq
-
         cols = [f.name for f in self.schema.fields]
-        pf = pq.ParquetFile(partition.file)
+        footer = vfmt.read_footer(partition.file)
         if partition.row_group < 0:
             # survives-nothing scan: emit an empty batch with the schema
-            empty = pf.schema_arrow.empty_table().select(cols)
+            empty = footer.schema.empty_table().select(cols)
             yield from empty.to_batches(max_chunksize=1)
             return
-        table = pf.read_row_group(partition.row_group, columns=cols)
+        table = vfmt.read_chunk(partition.file, footer, partition.row_group, cols)
         pred = self._arrow_predicate()
         if pred is not None:
             table = table.filter(pred)
@@ -232,32 +232,29 @@ class VortexCommit(WriterCommitMessage):
 
 class VortexWriter(DataSourceArrowWriter):
     """A4: the COPY-TO sink. Each task streams its Arrow batches into
-    one zstd-compressed, dictionary-encoded, chunked file — the same
-    per-thread sink shape as the reference's copy function
-    (SURVEY.md §3.3)."""
+    one chunked, cascade-compressed ``.vortex`` file (encodings chosen
+    per chunk × column in vortex_format) — the same per-thread sink
+    shape as the reference's copy function (SURVEY.md §3.3)."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("vortex write requires a path")
         self.chunk_rows = int(options.get("chunk_rows", 65536))
-        self.compression = options.get("compression", "zstd")
         self.schema = schema
         self.overwrite = overwrite
 
     def write(self, iterator):
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        os.makedirs(self.path, exist_ok=True)
         out = os.path.join(self.path, f"part-{uuid.uuid4().hex}{FILE_SUFFIX}")
         writer = None
         pending: list = []
         n_pending = 0
 
         def flush(tail: bool) -> None:
-            # Re-chunk buffered Arrow batches into exact chunk_rows row
-            # groups, independent of incoming batch boundaries — chunk
+            # Re-chunk buffered Arrow batches into exact chunk_rows
+            # chunks, independent of incoming batch boundaries — chunk
             # size is the scan-parallelism unit (A8), so it must be
             # stable, not an artifact of the Python↔JVM batch size.
             nonlocal pending, n_pending
@@ -272,13 +269,7 @@ class VortexWriter(DataSourceArrowWriter):
         try:
             for batch in iterator:
                 if writer is None:
-                    writer = pq.ParquetWriter(
-                        out,
-                        batch.schema,
-                        compression=self.compression,
-                        use_dictionary=True,
-                        write_statistics=True,
-                    )
+                    writer = vfmt.VortexFileWriter(out, batch.schema)
                 pending.append(batch)
                 n_pending += batch.num_rows
                 if n_pending >= self.chunk_rows:
@@ -305,8 +296,6 @@ class VortexDataSource(DataSource):
 
     def schema(self) -> StructType:
         """A1: bind schema from the file footer — no user input."""
-        import pyarrow.parquet as pq
-
         files = _expand(self.options.get("path", ""))
         if not files:
             raise FileNotFoundError(
@@ -316,13 +305,13 @@ class VortexDataSource(DataSource):
         # (DuckDB-timestamp semantics, SURVEY.md §1.2); tz-aware ones
         # still map to TimestampType. All columns read back nullable —
         # same convention as Spark's builtin parquet source.
-        first = pq.ParquetFile(files[0]).schema_arrow
+        first = vfmt.read_footer(files[0]).schema
         # A dataset is one schema (schema-on-read from the footer,
         # nulls.test:27 semantics) — a drifted file must fail loudly at
         # bind time, not decode garbage at scan time. Footer reads are
         # cheap (no data pages), so checking every file is O(files).
         for f in files[1:]:
-            other = pq.ParquetFile(f).schema_arrow
+            other = vfmt.read_footer(f).schema
             if other != first:
                 raise ValueError(
                     f"vortex dataset schema mismatch: {files[0]!r} has {first}, "
@@ -337,9 +326,11 @@ class VortexDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> VortexWriter:
         if overwrite:
             path = self.options.get("path")
-            if path and os.path.isdir(path):
-                for f in globmod.glob(os.path.join(path, f"*{FILE_SUFFIX}")):
-                    os.remove(f)
+            if path:
+                fs, p = vfmt.filesystem_for(path)
+                if fs.isdir(p):
+                    for f in fs.glob(os.path.join(p, f"part-*{FILE_SUFFIX}")):
+                        fs.remove(f)
         return VortexWriter(self.options, schema, overwrite)
 
 

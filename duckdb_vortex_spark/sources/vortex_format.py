@@ -1,0 +1,781 @@
+"""A real ``.vortex`` columnar container (SURVEY.md §7 Phase 2 rung (b)).
+
+The reference ships DuckDB's Vortex extension: ``read_vortex`` /
+``COPY TO (FORMAT VORTEX)`` over a footer-described, chunked, zone-map-
+bearing columnar file with lightweight encodings (ALP floats, FastLanes
+bit-packed ints, FSST strings — /root/reference/README.md:63-79,
+vortex-extension/Cargo.lock:4258-4345). The real codec crates are
+native Rust and not importable here, so this module implements the same
+*family* of encodings from the published papers, in numpy, behind the
+same reader/writer seam — a genuine non-parquet on-disk format whose
+every byte this module defines:
+
+File layout::
+
+    "VTX1"                                      4-byte magic
+    chunk 0 col buffers | chunk 1 col buffers…  encoded column data
+    footer (JSON, utf-8)                        schema + chunk directory
+    footer length (uint64 LE) | "VTX1"          trailer
+
+The footer carries the Arrow schema (IPC-serialized, exact type
+round-trip), and per chunk × column: byte offset/length, encoding id,
+encoding parameters, and the zone map (min / max / null_count) used for
+chunk pruning (§2A A7).
+
+Encodings (chosen per chunk × column from the data):
+
+- ``bitpack``  — frame-of-reference + bit-packing for all integer-backed
+  types (ints, timestamps, dates, times): values are rebased against the
+  chunk min in modular uint64 arithmetic and packed to the minimal bit
+  width (FastLanes-family; Kuiper & Boncz, "FastLanes", VLDB 2023).
+  Width 0 (constant chunk) stores nothing but the reference.
+- ``alp``      — Adaptive Lossless floating-Point (Afroozeh et al.,
+  SIGMOD 2023, simplified to one decimal exponent per chunk): doubles
+  that are short decimals are stored as round(x·10^e) integers
+  (bit-packed), with non-round-tripping values (incl. NaN/Inf) patched
+  as positional exceptions. Falls back to ``flat`` when fewer than half
+  the values round-trip.
+- ``bool``     — bitmap (numpy packbits).
+- ``str_dict`` — dictionary encoding for low-cardinality strings: codes
+  bit-packed, dictionary stored as offsets + payload.
+- ``str_fsst`` — FSST-style static symbol table (Boncz, Neumann &
+  Leis, "FSST: Fast Random Access String Compression", VLDB 2020;
+  simplified: one-pass sampled training, ≤254 multi-byte symbols, code
+  0xFF escapes literals). Strings are stored as lengths (bit-packed) +
+  symbol-coded payload; random access per chunk, vectorized re-split
+  via Arrow offset buffers.
+- ``str_flat`` / ``binary`` — offsets + raw payload.
+- ``arrow``    — Arrow IPC fallback for types without a specialized
+  path (decimals, struct/list/map): still chunked, still zone-mapped
+  (null counts), still inside the cascade.
+
+Every buffer then passes a **cascade** stage (§2A A10): zlib is kept
+when it wins ≥ 5%; the footer records the stage so readers un-cascade
+transparently.
+
+Null handling: a validity bitmap precedes the payload when a chunk has
+nulls; encoders see null slots filled with the chunk's reference value
+so statistics and widths stay tight.
+
+Object-store routing (§2A A3): paths with a URI scheme resolve through
+``register_filesystem`` handlers (s3a/abfss/… in production delegate to
+a cluster filesystem; tests pin the routing with a local shim). Local
+paths use plain ``open``.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import re
+import struct
+import zlib
+from dataclasses import dataclass
+
+MAGIC = b"VTX1"
+VERSION = 1
+_TRAILER = struct.Struct("<Q4s")  # footer_len, magic
+
+# ---------------------------------------------------------------------------
+# Filesystem routing (A3)
+
+
+class LocalFS:
+    """Default filesystem: plain local paths (and file:// URIs)."""
+
+    def open(self, path: str, mode: str):
+        if mode.startswith("w"):
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        return open(path, mode)
+
+    def glob(self, pattern: str) -> list[str]:
+        import glob as globmod
+
+        return sorted(globmod.glob(pattern))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+
+_FILESYSTEMS: dict[str, object] = {}
+
+
+def register_filesystem(scheme: str, fs: object) -> None:
+    """Register a filesystem handler for a URI scheme (e.g. ``s3a``).
+
+    Production deployments delegate to the cluster's Hadoop-compatible
+    store; the handler protocol (open/glob/isdir/exists/remove) is the
+    seam this module routes through for any non-local URI.
+    """
+    _FILESYSTEMS[scheme] = fs
+
+
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
+
+
+def filesystem_for(path: str):
+    m = _SCHEME_RE.match(path)
+    if m is None or m.group(1) == "file":
+        return LocalFS(), path[7:] if path.startswith("file://") else path
+    scheme = m.group(1)
+    fs = _FILESYSTEMS.get(scheme)
+    if fs is None:
+        raise NotImplementedError(
+            f"no filesystem registered for scheme {scheme!r}; "
+            "register one with vortex_format.register_filesystem "
+            "(clusters delegate to the Hadoop-compatible store)"
+        )
+    return fs, path
+
+
+# ---------------------------------------------------------------------------
+# Bit-packing primitives (FastLanes-family)
+
+
+def _bitpack(rel, width: int) -> bytes:
+    """Pack uint64 values of ``width`` significant bits, LSB-first."""
+    import numpy as np
+
+    if width == 0 or rel.size == 0:
+        return b""
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((rel[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def _bitunpack(buf: bytes, width: int, n: int):
+    import numpy as np
+
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8), bitorder="little", count=n * width)
+    mat = bits.reshape(n, width).astype(np.uint64)
+    return (mat << np.arange(width, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+
+
+def _pack_ints(vals) -> tuple[dict, bytes]:
+    """Frame-of-reference + bit-pack an int64 vector. Modular uint64
+    rebasing is exact for any span ≤ 2^64, so no fallback is needed."""
+    import numpy as np
+
+    if vals.size == 0:
+        return {"ref": 0, "width": 0}, b""
+    mn = int(vals.min())
+    mx = int(vals.max())
+    rel = (vals.astype(np.int64).view(np.uint64) - np.uint64(mn % (1 << 64))) & np.uint64(
+        (1 << 64) - 1
+    )
+    width = int(mx - mn).bit_length()
+    return {"ref": mn, "width": width}, _bitpack(rel, width)
+
+
+def _unpack_ints(meta: dict, buf: bytes, n: int):
+    import numpy as np
+
+    rel = _bitunpack(buf, meta["width"], n)
+    return (rel + np.uint64(meta["ref"] % (1 << 64))).view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# ALP floats (single-exponent + positional exceptions)
+
+_F64_POW10 = [10.0**e for e in range(19)]
+
+
+def _encode_alp(arr, f32: bool) -> tuple[dict, bytes] | None:
+    import numpy as np
+
+    a64 = arr.astype(np.float64)
+    n = a64.size
+    if n == 0:
+        return {"e": 0, "ref": 0, "width": 0, "n_exc": 0, "f32": f32}, b""
+    finite = np.isfinite(a64)
+    best_e, best_ok, best_n = 0, None, -1
+    for e in range(0, 15):
+        ints = np.round(a64 * _F64_POW10[e])
+        with np.errstate(invalid="ignore"):
+            ok = finite & (np.abs(ints) < 2**52) & ((ints / _F64_POW10[e]) == a64)
+            if f32:
+                ok &= (ints / _F64_POW10[e]).astype(np.float32) == arr
+        n_ok = int(ok.sum())
+        if n_ok > best_n:
+            best_e, best_ok, best_n = e, ok, n_ok
+        if n_ok == n:
+            break  # fully round-trips; smallest such exponent = tightest ints
+    e, ok = best_e, best_ok
+    n_exc = n - best_n
+    if n_exc > n // 2:
+        return None  # mostly-exception chunk: flat wins
+    ints = np.round(a64 * _F64_POW10[e])
+    ints[~ok] = 0
+    meta, packed = _pack_ints(ints.astype(np.int64))
+    exc_pos = np.flatnonzero(~ok).astype(np.uint32)
+    exc_val = arr[~ok].astype(np.float32 if f32 else np.float64)
+    meta.update({"e": e, "n_exc": n_exc, "f32": f32})
+    return meta, packed + exc_pos.tobytes() + exc_val.tobytes()
+
+
+def _decode_alp(meta: dict, buf: bytes, n: int):
+    import numpy as np
+
+    width = meta["width"]
+    packed_len = 0 if width == 0 or n == 0 else (n * width + 7) // 8
+    ints = _unpack_ints({"ref": meta["ref"], "width": width}, buf[:packed_len], n)
+    out = ints.astype(np.float64) / _F64_POW10[meta["e"]]
+    if meta["f32"]:
+        out = out.astype(np.float32)
+    n_exc = meta["n_exc"]
+    if n_exc:
+        pos_end = packed_len + 4 * n_exc
+        pos = np.frombuffer(buf[packed_len:pos_end], np.uint32)
+        val = np.frombuffer(buf[pos_end:], np.float32 if meta["f32"] else np.float64)
+        out[pos] = val
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FSST-style symbol table strings
+
+
+def fsst_train(sample: bytes, max_symbols: int = 254) -> list[bytes]:
+    """One-pass sampled training (the paper trains on a sample too):
+    count substrings of length 2..8, keep the highest-gain
+    (occurrences × saved bytes) non-overlapping-prefix set."""
+    from collections import Counter
+
+    if not sample:
+        return []
+    counts: Counter[bytes] = Counter()
+    for ln in (2, 3, 4, 6, 8):
+        for i in range(0, len(sample) - ln + 1):
+            counts[sample[i : i + ln]] += 1
+    scored = sorted(
+        ((cnt * (len(s) - 1), s) for s, cnt in counts.items() if cnt >= 4),
+        key=lambda t: (-t[0], t[1]),
+    )
+    symbols: list[bytes] = []
+    for _gain, s in scored:
+        if len(symbols) >= max_symbols:
+            break
+        symbols.append(s)
+    return symbols
+
+
+_ESC = 0xFF
+
+
+def fsst_encode(data: bytes, symbols: list[bytes]) -> bytes:
+    """Greedy longest-match encode: symbol → its code byte, any other
+    byte → 0xFF escape + literal."""
+    if not symbols:
+        # escape-everything degenerate case is never chosen by the
+        # writer (flat wins), but keep the codec total.
+        out = bytearray()
+        for b in data:
+            out.append(_ESC)
+            out.append(b)
+        return bytes(out)
+    code = {s: i for i, s in enumerate(symbols)}
+    pat = re.compile(
+        b"|".join(re.escape(s) for s in sorted(symbols, key=len, reverse=True))
+    )
+    out = bytearray()
+    pos = 0
+    for m in pat.finditer(data):
+        for b in data[pos : m.start()]:
+            out.append(_ESC)
+            out.append(b)
+        out.append(code[m.group(0)])
+        pos = m.end()
+    for b in data[pos:]:
+        out.append(_ESC)
+        out.append(b)
+    return bytes(out)
+
+
+def fsst_decode(buf: bytes, symbols: list[bytes]) -> bytes:
+    """Scan decode: code byte → symbol, 0xFF → next byte is a literal.
+    The escape is consumed with its literal in one step, so a literal
+    0xFF (or any byte equal to a symbol code) can never be re-parsed
+    as a marker — naive split-on-escape decoding gets this wrong."""
+    table = [symbols[i] if i < len(symbols) else b"" for i in range(255)]
+    out: list[bytes] = []
+    i, n = 0, len(buf)
+    while i < n:
+        j = buf.find(_ESC, i)
+        if j == -1:
+            out.append(b"".join(table[c] for c in buf[i:]))
+            break
+        out.append(b"".join(table[c] for c in buf[i:j]))
+        out.append(buf[j + 1 : j + 2])
+        i = j + 2
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Cascade (A10)
+
+
+def _cascade(meta: dict, buf: bytes) -> tuple[dict, bytes]:
+    if len(buf) >= 64:
+        z = zlib.compress(buf, 6)
+        if len(z) <= len(buf) * 0.95:
+            meta = dict(meta, z=1)
+            return meta, z
+    return meta, buf
+
+
+def _uncascade(meta: dict, buf: bytes) -> bytes:
+    return zlib.decompress(buf) if meta.get("z") else buf
+
+
+# ---------------------------------------------------------------------------
+# Column chunk encode/decode
+
+
+@dataclass
+class ColumnChunk:
+    enc: str
+    meta: dict
+    buf: bytes
+    min: object
+    max: object
+    null_count: int
+
+
+def _validity_and_fill(arr):
+    """Split an Arrow array into (validity bytes | b"", numpy values with
+    nulls filled by the first valid value / zero)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    if arr.null_count == 0:
+        return b"", arr
+    mask = np.asarray(pc.is_valid(arr), dtype=bool)
+    fill = arr.drop_null()[0].as_py() if arr.null_count < n else None
+    filled = pc.fill_null(arr, fill) if fill is not None else pa.nulls(n, arr.type)
+    if arr.null_count == n:
+        # all-null chunk: encode zeros of the right type
+        filled = pa.array([_zero_for(arr.type)] * n, type=arr.type)
+    return np.packbits(mask, bitorder="little").tobytes(), filled
+
+
+def _zero_for(typ):
+    import pyarrow.types as pt
+
+    if pt.is_integer(typ) or pt.is_temporal(typ):
+        return 0
+    if pt.is_floating(typ):
+        return 0.0
+    if pt.is_boolean(typ):
+        return False
+    if pt.is_string(typ) or pt.is_large_string(typ):
+        return ""
+    if pt.is_binary(typ) or pt.is_large_binary(typ):
+        return b""
+    return None
+
+
+def _apply_validity(arr, validity: bytes, n: int):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not validity:
+        return arr
+    mask = np.unpackbits(np.frombuffer(validity, np.uint8), bitorder="little", count=n)
+    return pc.if_else(pa.array(mask.astype(bool)), arr, pa.nulls(n, arr.type))
+
+
+def _int_view(arr):
+    """Numpy int64 view of an integer/temporal Arrow array (no nulls)."""
+    import numpy as np
+
+    return np.asarray(arr.cast(_storage_int_type(arr.type))).astype(np.int64)
+
+
+def _storage_int_type(typ):
+    import pyarrow as pa
+    import pyarrow.types as pt
+
+    if pt.is_timestamp(typ) or pt.is_time64(typ) or pt.is_duration(typ) or pt.is_date64(typ):
+        return pa.int64()
+    if pt.is_date32(typ) or pt.is_time32(typ):
+        return pa.int32()
+    return pa.int64() if pt.is_signed_integer(typ) or pt.is_unsigned_integer(typ) else typ
+
+
+def _stats(arr):
+    import pyarrow.compute as pc
+    import pyarrow.types as pt
+
+    typ = arr.type
+    nc = arr.null_count
+    if arr.null_count == len(arr) or len(arr) == 0:
+        return None, None, nc
+    if (
+        pt.is_integer(typ)
+        or pt.is_floating(typ)
+        or pt.is_boolean(typ)
+        or pt.is_string(typ)
+        or pt.is_temporal(typ)
+    ):
+        mm = pc.min_max(arr)
+        return _json_stat(mm["min"].as_py()), _json_stat(mm["max"].as_py()), nc
+    return None, None, nc
+
+
+def _json_stat(v):
+    """Zone-map values must survive JSON exactly: temporals become
+    integer epoch-µs / ordinal days (floats would round µs away)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        base = v.replace(tzinfo=None) if v.tzinfo is not None else v
+        delta = base - datetime.datetime(1970, 1, 1)
+        return {"ts": delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds}
+    if isinstance(v, datetime.date):
+        return {"d": v.toordinal()}
+    if isinstance(v, datetime.time):
+        return {"t": (v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000 + v.microsecond}
+    return v
+
+
+def _unjson_stat(v):
+    import datetime
+
+    if isinstance(v, dict):
+        if "ts" in v:
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=v["ts"])
+        if "d" in v:
+            return datetime.date.fromordinal(v["d"])
+        if "t" in v:
+            us = v["t"]
+            return datetime.time(
+                us // 3_600_000_000,
+                us // 60_000_000 % 60,
+                us // 1_000_000 % 60,
+                us % 1_000_000,
+            )
+    return v
+
+
+def encode_column(arr) -> ColumnChunk:
+    """Encode one Arrow array (one chunk of one column). A failure in
+    any specialized encoder degrades to the Arrow-IPC fallback rather
+    than failing the write — the format stays total over all inputs."""
+    import pyarrow as pa
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    mn, mx, nc = _stats(arr)
+    try:
+        cc = _encode_specialized(arr, mn, mx, nc)
+        if cc is not None:
+            return cc
+    except Exception:  # noqa: BLE001 — fallback must be total
+        pass
+    # fallback: Arrow IPC (decimals, nested, interval, all-null chunks …)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, pa.schema([("c", arr.type)])) as w:
+        w.write_table(pa.table({"c": arr}))
+    meta, out = _cascade({}, sink.getvalue().to_pybytes())
+    return ColumnChunk("arrow", meta, out, mn, mx, nc)
+
+
+def _encode_specialized(arr, mn, mx, nc) -> ColumnChunk | None:
+    import numpy as np
+    import pyarrow.types as pt
+
+    typ = arr.type
+
+    if pt.is_integer(typ) or (pt.is_temporal(typ) and not pt.is_interval(typ)):
+        validity, filled = _validity_and_fill(arr)
+        if filled.null_count == 0:
+            vals = _int_view(filled)
+            meta, buf = _pack_ints(vals)
+            meta["validity"] = len(validity)
+            meta, out = _cascade(meta, validity + buf)
+            return ColumnChunk("bitpack", meta, out, mn, mx, nc)
+    elif pt.is_floating(typ) and typ.bit_width in (32, 64):
+        validity, filled = _validity_and_fill(arr)
+        if filled.null_count == 0:
+            vals = np.asarray(filled)
+            alp = _encode_alp(vals, f32=typ.bit_width == 32)
+            if alp is not None:
+                meta, buf = alp
+                meta["validity"] = len(validity)
+                meta, out = _cascade(meta, validity + buf)
+                return ColumnChunk("alp", meta, out, mn, mx, nc)
+            meta = {"validity": len(validity), "f32": typ.bit_width == 32}
+            meta, out = _cascade(meta, validity + vals.tobytes())
+            return ColumnChunk("flat_float", meta, out, mn, mx, nc)
+    elif pt.is_boolean(typ):
+        validity, filled = _validity_and_fill(arr)
+        if filled.null_count == 0:
+            bits = np.packbits(np.asarray(filled, dtype=bool), bitorder="little").tobytes()
+            meta = {"validity": len(validity)}
+            meta, out = _cascade(meta, validity + bits)
+            return ColumnChunk("bool", meta, out, mn, mx, nc)
+    elif pt.is_string(typ):
+        validity, filled = _validity_and_fill(arr)
+        if filled.null_count == 0:
+            return _encode_strings(filled, validity, mn, mx, nc)
+    elif pt.is_binary(typ):
+        validity, filled = _validity_and_fill(arr)
+        if filled.null_count == 0:
+            offs = np.frombuffer(
+                filled.buffers()[1], np.int32, len(filled) + 1, offset=filled.offset * 4
+            ).astype(np.int64)
+            lengths = np.diff(offs)
+            data_buf = filled.buffers()[2]
+            payload = data_buf.to_pybytes()[offs[0] : offs[-1]] if data_buf is not None else b""
+            lmeta, lbuf = _pack_ints(lengths)
+            meta = {"validity": len(validity), "lens": lmeta, "lens_len": len(lbuf)}
+            meta, out = _cascade(meta, validity + lbuf + payload)
+            return ColumnChunk("binary", meta, out, mn, mx, nc)
+
+    return None
+
+
+def _encode_strings(filled, validity: bytes, mn, mx, nc) -> ColumnChunk:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(filled)
+    offs = np.frombuffer(filled.buffers()[1], np.int32, n + 1, offset=filled.offset * 4).astype(np.int64)
+    lengths = np.diff(offs)
+    data_buf = filled.buffers()[2]
+    payload = (
+        data_buf.to_pybytes()[offs[0] : offs[-1]] if data_buf is not None else b""
+    )
+    lmeta, lbuf = _pack_ints(lengths)
+
+    n_distinct = len(pc.unique(filled))
+    if n and n_distinct <= max(1, n // 2) and n_distinct < 65536:
+        dct = pc.unique(filled)
+        codes = pc.index_in(filled, value_set=dct)
+        cmeta, cbuf = _pack_ints(np.asarray(codes).astype(np.int64))
+        d_offs = np.frombuffer(dct.buffers()[1], np.int32, len(dct) + 1).astype(np.int64)
+        d_lens = np.diff(d_offs)
+        d_payload = dct.buffers()[2].to_pybytes()[: d_offs[-1]] if dct.buffers()[2] else b""
+        dmeta, dbuf = _pack_ints(d_lens)
+        meta = {
+            "validity": len(validity),
+            "codes": cmeta,
+            "codes_len": len(cbuf),
+            "dict_n": len(dct),
+            "dict_lens": dmeta,
+            "dict_lens_len": len(dbuf),
+        }
+        meta, out = _cascade(meta, validity + cbuf + dbuf + d_payload)
+        return ColumnChunk("str_dict", meta, out, mn, mx, nc)
+
+    if len(payload) >= 512:
+        sample = payload[: 1 << 16]
+        symbols = fsst_train(sample)
+        if symbols:
+            encoded = fsst_encode(payload, symbols)
+            if len(encoded) <= len(payload) * 0.8:
+                meta = {
+                    "validity": len(validity),
+                    "lens": lmeta,
+                    "lens_len": len(lbuf),
+                    "symbols": [base64.b64encode(s).decode() for s in symbols],
+                }
+                meta, out = _cascade(meta, validity + lbuf + encoded)
+                return ColumnChunk("str_fsst", meta, out, mn, mx, nc)
+
+    meta = {"validity": len(validity), "lens": lmeta, "lens_len": len(lbuf)}
+    meta, out = _cascade(meta, validity + lbuf + payload)
+    return ColumnChunk("str_flat", meta, out, mn, mx, nc)
+
+
+def decode_column(enc: str, meta: dict, buf: bytes, n: int, typ):
+    """Decode one column chunk back to an Arrow array of ``typ``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.types as pt
+
+    buf = _uncascade(meta, buf)
+    v_len = meta.get("validity", 0)
+    validity, buf = buf[:v_len], buf[v_len:]
+
+    if enc == "bitpack":
+        vals = _unpack_ints(meta, buf, n)
+        st = _storage_int_type(typ)
+        arr = pa.array(vals.astype(np.int32 if st == pa.int32() else np.int64)).cast(st).cast(typ)
+        return _apply_validity(arr, validity, n)
+    if enc == "alp":
+        out = _decode_alp(meta, buf, n)
+        arr = pa.array(out, type=typ)
+        return _apply_validity(arr, validity, n)
+    if enc == "flat_float":
+        arr = pa.array(np.frombuffer(buf, np.float32 if meta["f32"] else np.float64, n), type=typ)
+        return _apply_validity(arr, validity, n)
+    if enc == "bool":
+        bits = np.unpackbits(np.frombuffer(buf, np.uint8), bitorder="little", count=n)
+        arr = pa.array(bits.astype(bool))
+        return _apply_validity(arr, validity, n)
+    if enc == "str_dict":
+        cbuf = buf[: meta["codes_len"]]
+        rest = buf[meta["codes_len"] :]
+        dbuf = rest[: meta["dict_lens_len"]]
+        d_payload = rest[meta["dict_lens_len"] :]
+        codes = _unpack_ints(meta["codes"], cbuf, n)
+        d_lens = _unpack_ints(meta["dict_lens"], dbuf, meta["dict_n"])
+        dct = _strings_from(d_lens, d_payload, meta["dict_n"])
+        arr = dct.take(pa.array(codes.astype(np.int64)))
+        return _apply_validity(arr, validity, n)
+    if enc in ("str_fsst", "str_flat"):
+        lbuf = buf[: meta["lens_len"]]
+        payload = buf[meta["lens_len"] :]
+        if enc == "str_fsst":
+            payload = fsst_decode(
+                payload, [base64.b64decode(s) for s in meta["symbols"]]
+            )
+        lens = _unpack_ints(meta["lens"], lbuf, n)
+        arr = _strings_from(lens, payload, n)
+        return _apply_validity(arr, validity, n)
+    if enc == "binary":
+        lbuf = buf[: meta["lens_len"]]
+        payload = buf[meta["lens_len"] :]
+        lens = _unpack_ints(meta["lens"], lbuf, n)
+        arr = _strings_from(lens, payload, n, binary=True)
+        return _apply_validity(arr, validity, n)
+    if enc == "arrow":
+        with pa.ipc.open_stream(pa.BufferReader(validity + buf)) as r:
+            t = r.read_all()
+        col = t.column("c").combine_chunks()
+        return col if col.type == typ else col.cast(typ)
+    raise ValueError(f"unknown vortex encoding {enc!r}")
+
+
+def _strings_from(lens, payload: bytes, n: int, binary: bool = False):
+    import numpy as np
+    import pyarrow as pa
+
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    typ = pa.binary() if binary else pa.utf8()
+    return pa.Array.from_buffers(
+        typ, n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# File writer / reader
+
+
+class VortexFileWriter:
+    """Stream chunks of an Arrow table into one ``.vortex`` file."""
+
+    def __init__(self, path: str, schema):
+        self._fs, self._path = filesystem_for(path)
+        self._f = self._fs.open(self._path, "wb")
+        self._f.write(MAGIC)
+        self._pos = len(MAGIC)
+        self._schema = schema
+        self._chunks: list[dict] = []
+        self._n_rows = 0
+
+    def write_table(self, table, row_group_size: int = 65536) -> None:
+        for start in range(0, table.num_rows, row_group_size):
+            self._write_chunk(table.slice(start, row_group_size))
+
+    def _write_chunk(self, table) -> None:
+        cols = {}
+        for name in table.column_names:
+            cc = encode_column(table.column(name))
+            cols[name] = {
+                "off": self._pos,
+                "len": len(cc.buf),
+                "enc": cc.enc,
+                "meta": cc.meta,
+                "min": cc.min,
+                "max": cc.max,
+                "null_count": cc.null_count,
+            }
+            self._f.write(cc.buf)
+            self._pos += len(cc.buf)
+        self._chunks.append({"n_rows": table.num_rows, "columns": cols})
+        self._n_rows += table.num_rows
+
+    def close(self) -> None:
+        import pyarrow as pa
+
+        footer = {
+            "version": VERSION,
+            "schema_ipc": base64.b64encode(self._schema.serialize().to_pybytes()).decode(),
+            "n_rows": self._n_rows,
+            "chunks": self._chunks,
+        }
+        payload = json.dumps(footer).encode()
+        self._f.write(payload)
+        self._f.write(_TRAILER.pack(len(payload), MAGIC))
+        self._f.close()
+
+
+@dataclass
+class Footer:
+    schema: object  # pa.Schema
+    n_rows: int
+    chunks: list[dict]
+
+
+def read_footer(path: str) -> Footer:
+    import pyarrow as pa
+
+    fs, p = filesystem_for(path)
+    with fs.open(p, "rb") as f:
+        head = f.read(4)
+        if head != MAGIC:
+            raise ValueError(f"{path!r} is not a vortex file (bad magic {head!r})")
+        f.seek(-_TRAILER.size, os.SEEK_END)
+        flen, magic = _TRAILER.unpack(f.read(_TRAILER.size))
+        if magic != MAGIC:
+            raise ValueError(f"{path!r}: corrupt vortex trailer")
+        f.seek(-(_TRAILER.size + flen), os.SEEK_END)
+        footer = json.loads(f.read(flen))
+    if footer.get("version") != VERSION:
+        raise ValueError(f"{path!r}: unsupported vortex version {footer.get('version')}")
+    schema = pa.ipc.read_schema(
+        pa.BufferReader(base64.b64decode(footer["schema_ipc"]))
+    )
+    return Footer(schema=schema, n_rows=footer["n_rows"], chunks=footer["chunks"])
+
+
+def read_chunk(path: str, footer: Footer, chunk_idx: int, columns: list[str]):
+    """Decode one chunk, only ``columns`` (A5 projection pruning)."""
+    import pyarrow as pa
+
+    fs, p = filesystem_for(path)
+    chunk = footer.chunks[chunk_idx]
+    n = chunk["n_rows"]
+    arrays, fields = [], []
+    with fs.open(p, "rb") as f:
+        for name in columns:
+            cd = chunk["columns"][name]
+            f.seek(cd["off"])
+            buf = f.read(cd["len"])
+            typ = footer.schema.field(name).type
+            arrays.append(decode_column(cd["enc"], cd["meta"], buf, n, typ))
+            fields.append(pa.field(name, typ))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def chunk_stats(footer: Footer, chunk_idx: int, name: str):
+    """Zone-map triple (min, max, null_count) for pruning; values are
+    restored to comparable Python objects (datetimes, dates…)."""
+    cd = footer.chunks[chunk_idx]["columns"].get(name)
+    if cd is None:
+        return None
+    return _unjson_stat(cd["min"]), _unjson_stat(cd["max"]), cd["null_count"]

@@ -1,0 +1,173 @@
+"""Golden tests for the real multimodal codecs (BMP, PNG): images are
+hand-assembled byte-for-byte in the test, so the expected pixels are
+known exactly — no image library on either side."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from duckdb_vortex_spark.operators.multimodal import (
+    _decode_bmp,
+    _decode_payload,
+    _decode_png,
+)
+
+
+def make_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24-bit uncompressed BMP from RGB rows (top-down input)."""
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in reversed(pixels):  # stored bottom-up
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])  # BGR on disk
+        line += b"\x00" * (stride - len(line))
+        body += line
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + dib + body)
+
+
+def make_png(rows: list[bytes], channels: int = 3, filters: list[int] | None = None) -> bytes:
+    """Minimal 8-bit PNG. ``rows`` are RAW pixel bytes per scanline;
+    each row is filtered with the given filter type before deflate, so
+    the decoder's defilter paths are exercised for real."""
+    h = len(rows)
+    w = len(rows[0]) // channels
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    filters = filters or [0] * h
+    bpp = channels
+    raw = bytearray()
+    prev = bytes(len(rows[0]))
+    for ft, row in zip(filters, rows):
+        line = np.frombuffer(row, np.uint8).astype(np.int32)
+        pr = np.frombuffer(prev, np.uint8).astype(np.int32)
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            filt = (line - left) & 0xFF
+        elif ft == 2:
+            filt = (line - pr) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            filt = (line - (left + pr) // 2) & 0xFF
+        else:  # Paeth
+            filt = np.zeros_like(line)
+            for i in range(len(line)):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(pr[i])
+                c = int(pr[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (int(line[i]) - pred) & 0xFF
+        raw += bytes([ft]) + bytes(filt.astype(np.uint8))
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_bmp_golden_pixels():
+    img = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    w, h, pixels = _decode_bmp(make_bmp(img))
+    assert (w, h) == (3, 2)
+    assert pixels == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+    )
+
+
+def test_bmp_features_via_decode_payload():
+    img = [[(0, 0, 0), (255, 255, 255)]]
+    feats = _decode_payload("image/bmp", make_bmp(img))
+    assert feats == {
+        "byte_mean": 127.5,
+        "byte_min": 0,
+        "byte_max": 255,
+        "width": 2,
+        "height": 1,
+    }
+
+
+@pytest.mark.parametrize("filters", [[0, 0, 0], [1, 2, 3], [4, 4, 4], [0, 4, 2]])
+def test_png_all_filter_types_roundtrip(filters):
+    rng = np.random.default_rng(sum(filters) + 11)
+    rows = [bytes(rng.integers(0, 256, 4 * 3, dtype=np.uint8)) for _ in range(3)]
+    w, h, pixels = _decode_png(make_png(rows, channels=3, filters=filters))
+    assert (w, h) == (4, 3)
+    assert pixels == b"".join(rows)
+
+
+def test_png_grayscale_and_rgba():
+    gray = [bytes([0, 100, 200, 255])]
+    w, h, pixels = _decode_png(make_png(gray, channels=1))
+    assert (w, h, pixels) == (4, 1, gray[0])
+    rgba = [bytes(range(16))]
+    w, h, pixels = _decode_png(make_png(rgba, channels=4, filters=[1]))
+    assert (w, h, pixels) == (4, 1, rgba[0])
+
+
+def test_png_features_via_decode_payload():
+    rows = [bytes([10, 20, 30, 40])]
+    feats = _decode_payload("image/png", make_png(rows, channels=1))
+    assert feats == {
+        "byte_mean": 25.0,
+        "byte_min": 10,
+        "byte_max": 40,
+        "width": 4,
+        "height": 1,
+    }
+
+
+def test_unsupported_still_raises():
+    with pytest.raises(NotImplementedError):
+        _decode_payload("image/jpeg", b"\xff\xd8\xff")
+    with pytest.raises(NotImplementedError):
+        _decode_payload("audio/wav", b"RIFF")
+
+
+def test_extract_features_mixed_codecs(spark):
+    """The mapInPandas plumbing routes per-row media types to the right
+    codec inside one Arrow batch."""
+    from duckdb_vortex_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    bmp = make_bmp([[(9, 9, 9)]])
+    png = make_png([bytes([1, 2, 3])], channels=1)
+    fake = struct.pack("<ii", 2, 1) + bytes([5, 6])
+    rows = [
+        (1, "mem://a", "image/bmp", len(bmp), bytearray(bmp)),
+        (2, "mem://b", "image/png", len(png), bytearray(png)),
+        (3, "mem://c", "fake/raw", len(fake), bytearray(fake)),
+        (4, "mem://d", "image/bmp", 0, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.doc_id: r for r in extract_features(df).collect()}
+    assert out[1].byte_mean == 9.0 and out[1].width == 1 and out[1].height == 1
+    assert out[2].byte_mean == 2.0 and out[2].width == 3
+    assert out[3].byte_min == 5 and out[3].byte_max == 6
+    assert out[4].byte_mean is None

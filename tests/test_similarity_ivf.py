@@ -79,3 +79,16 @@ def test_ivf_vectorized_equals_hof(spark):
     a = _pairs(ivf_topk(q, emb, k=5, n_clusters=8, n_probe=3))
     b = _pairs(ivf_topk_vectorized(q, emb, k=5, n_clusters=8, n_probe=3))
     assert a == b
+
+
+def test_vectorized_topk_chunked_query_block(spark):
+    """Driver-memory bound: with max_query_block smaller than |Q| the
+    query set streams in blocks (one candidate pass per block) and the
+    unioned result is identical to the single-block path."""
+    from duckdb_vortex_spark.operators.similarity import topk_vectorized
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    whole = _pairs(topk_vectorized(q, emb, k=5))
+    chunked = _pairs(topk_vectorized(q, emb, k=5, max_query_block=3))
+    assert chunked == whole

@@ -1,0 +1,207 @@
+"""Unit tests for the ``.vortex`` container codec itself
+(duckdb_vortex_spark/sources/vortex_format.py): encoding selection,
+lossless round-trip per encoder, FSST/ALP internals, zone-map stats
+fidelity, corruption detection, and object-store scheme routing (A3).
+These run below Spark — pure pyarrow/numpy — so they pin the format
+independent of the DataSource plumbing."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from duckdb_vortex_spark.sources import vortex_format as vf
+
+
+def _roundtrip_column(arr: pa.Array) -> tuple[str, pa.Array]:
+    cc = vf.encode_column(arr)
+    back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
+    return cc.enc, back
+
+
+@pytest.mark.parametrize(
+    "data,typ,want_enc",
+    [
+        (list(range(1000)), pa.int64(), "bitpack"),
+        ([7] * 100, pa.int64(), "bitpack"),  # width-0 constant
+        ([-(2**63), 2**63 - 1, 0], pa.int64(), "bitpack"),  # full span (modular FoR)
+        ([True, False] * 50, pa.bool_(), "bool"),
+        ([round(x * 0.25, 2) for x in range(1000)], pa.float64(), "alp"),
+        ([f"cat_{i % 4}" for i in range(1000)], pa.utf8(), "str_dict"),
+        ([b"\x00\xffraw" * 3] * 20, pa.binary(), "binary"),
+    ],
+)
+def test_encoding_selection_and_roundtrip(data, typ, want_enc):
+    arr = pa.array(data, type=typ)
+    enc, back = _roundtrip_column(arr)
+    assert enc == want_enc
+    assert back.equals(arr.cast(back.type)) or back.cast(typ).equals(arr)
+
+
+def test_alp_exception_patching():
+    """NaN/Inf and non-decimal doubles ride as positional exceptions
+    inside an otherwise-ALP chunk; bit-exact on decode."""
+    vals = [round(x * 0.5, 1) for x in range(100)]
+    vals[3] = float("nan")
+    vals[17] = float("inf")
+    vals[42] = 0.1 + 0.2  # 0.30000000000000004 — not a short decimal
+    arr = pa.array(vals, type=pa.float64())
+    enc, back = _roundtrip_column(arr)
+    assert enc == "alp"
+    a = np.asarray(arr).view(np.uint64)
+    b = np.asarray(back).view(np.uint64)
+    assert np.array_equal(a, b)  # bitwise equality, NaN included
+
+
+def test_alp_falls_back_when_mostly_exceptions():
+    rng = np.random.default_rng(7)
+    arr = pa.array(rng.normal(size=500))  # full-precision doubles
+    enc, back = _roundtrip_column(arr)
+    assert enc == "flat_float"
+    assert np.array_equal(np.asarray(arr).view(np.uint64), np.asarray(back).view(np.uint64))
+
+
+def test_fsst_symbol_roundtrip():
+    payload = b"http://example.com/page/1;http://example.com/page/2;" * 50
+    symbols = vf.fsst_train(payload)
+    assert symbols  # repeated substrings must yield symbols
+    encoded = vf.fsst_encode(payload, symbols)
+    assert len(encoded) < len(payload) * 0.8  # real compression
+    assert vf.fsst_decode(encoded, symbols) == payload
+
+
+def test_fsst_escape_handles_code_collisions():
+    """Bytes equal to symbol codes / the escape byte itself survive."""
+    payload = bytes(range(256)) * 4 + b"abcabcabc" * 30
+    symbols = vf.fsst_train(payload)
+    assert vf.fsst_decode(vf.fsst_encode(payload, symbols), payload and symbols) == payload
+
+
+def test_string_fsst_selected_for_compressible_high_cardinality():
+    arr = pa.array([f"Value {i} the quick brown fox jumps over" for i in range(2000)])
+    enc, back = _roundtrip_column(arr)
+    assert enc == "str_fsst"
+    assert back.equals(arr)
+
+
+def test_nulls_validity_bitmap_roundtrip():
+    arr = pa.array([None if i % 3 == 0 else i for i in range(100)], type=pa.int64())
+    enc, back = _roundtrip_column(arr)
+    assert enc == "bitpack"
+    assert back.equals(arr)
+    assert back.null_count == arr.null_count
+
+
+def test_file_roundtrip_and_zone_maps(tmp_path):
+    n = 1000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n)),
+            "ts": pa.array(
+                [datetime.datetime(2025, 1, 1) + datetime.timedelta(seconds=i) for i in range(n)],
+                type=pa.timestamp("us"),
+            ),
+            "s": pa.array([f"row-{i:05d}" for i in range(n)]),
+        }
+    )
+    p = str(tmp_path / "zm.vortex")
+    w = vf.VortexFileWriter(p, tbl.schema)
+    w.write_table(tbl, row_group_size=100)
+    w.close()
+    ft = vf.read_footer(p)
+    assert ft.n_rows == n and len(ft.chunks) == 10
+    # zone maps are exact per chunk, with µs-exact temporal values
+    mn, mx, nc = vf.chunk_stats(ft, 3, "k")
+    assert (mn, mx, nc) == (300, 399, 0)
+    mn, mx, _ = vf.chunk_stats(ft, 3, "ts")
+    assert mn == datetime.datetime(2025, 1, 1, 0, 5, 0)
+    assert mx == datetime.datetime(2025, 1, 1, 0, 6, 39)
+    # projection decode reads only requested columns
+    part = vf.read_chunk(p, ft, 3, ["s"])
+    assert part.column_names == ["s"] and part.num_rows == 100
+    assert part.column("s")[0].as_py() == "row-00300"
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = str(tmp_path / "not.vortex")
+    with open(p, "wb") as f:
+        f.write(b"PAR1not a vortex file")
+    with pytest.raises(ValueError, match="magic"):
+        vf.read_footer(p)
+
+
+def test_truncated_trailer_rejected(tmp_path):
+    tbl = pa.table({"x": pa.array([1, 2, 3])})
+    p = str(tmp_path / "trunc.vortex")
+    w = vf.VortexFileWriter(p, tbl.schema)
+    w.write_table(tbl)
+    w.close()
+    data = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(data[:-3])
+    with pytest.raises(ValueError, match="trailer|magic"):
+        vf.read_footer(p)
+
+
+class _ShimFS:
+    """Object-store shim (A3): maps s3a://bucket/key onto a local dir —
+    pins the URI-routing branch the production path would hand to a
+    Hadoop-compatible store."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _local(self, path: str) -> str:
+        return os.path.join(self.root, path.split("://", 1)[1])
+
+    def open(self, path: str, mode: str):
+        local = self._local(path)
+        if mode.startswith("w"):
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+        return open(local, mode)
+
+    def glob(self, pattern: str):
+        import glob as g
+
+        scheme = pattern.split("://", 1)[0]
+        hits = sorted(g.glob(self._local(pattern)))
+        return [f"{scheme}://" + os.path.relpath(h, self.root) for h in hits]
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._local(path))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._local(path))
+
+    def remove(self, path: str) -> None:
+        os.remove(self._local(path))
+
+
+def test_object_store_scheme_routing(tmp_path):
+    vf.register_filesystem("s3a", _ShimFS(str(tmp_path)))
+    tbl = pa.table({"x": pa.array(range(50))})
+    uri = "s3a://bucket/data/part-0.vortex"
+    w = vf.VortexFileWriter(uri, tbl.schema)
+    w.write_table(tbl)
+    w.close()
+    assert os.path.exists(tmp_path / "bucket/data/part-0.vortex")
+    ft = vf.read_footer(uri)
+    assert ft.n_rows == 50
+    back = vf.read_chunk(uri, ft, 0, ["x"])
+    assert back.column("x").to_pylist() == list(range(50))
+
+
+def test_unregistered_scheme_errors_clearly():
+    with pytest.raises(NotImplementedError, match="no filesystem registered"):
+        vf.read_footer("gs://bucket/file.vortex")
+
+
+def test_cascade_applies_to_compressible_buffers():
+    arr = pa.array([f"padding-{i % 2}-" + "x" * 100 for i in range(5000)])
+    cc = vf.encode_column(arr)
+    raw = sum(len(s.encode()) for s in arr.to_pylist())
+    assert len(cc.buf) < raw / 4  # dict/fsst + zlib cascade stack up
