@@ -159,6 +159,7 @@ def _ensure_loaded() -> None:
     from .queries import aggregates, joins, nested, relational, setops, stats, tpch, windows  # noqa: F401
     from .functions import geo, udafs, udtfs  # noqa: F401
     from .operators import (  # noqa: F401
+        bucketing,
         chunking,
         contamination,
         dedup,
@@ -167,6 +168,7 @@ def _ensure_loaded() -> None:
         similarity,
         text,
     )
+    from .sources import vortex_entries  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
 
 

@@ -30,17 +30,47 @@ def dsum(c) -> F.Column:
     return F.sum(dec(c)).cast("double")
 
 
-Q1_ORACLE = """
+def qsum(c, scale: int = 6) -> F.Column:
+    """Exact order-independent SUM as quantized LONG arithmetic.
+
+    ``SUM(CAST(x AS DECIMAL(30,6)))`` is exact but Spark backs any
+    decimal with precision > 18 by per-row BigDecimal boxing — ~4× the
+    cost of a long sum on a full-table aggregate. Quantizing first
+    (``floor(x·10^s + 0.5)`` = round-half-up for the non-negative
+    measures used here) makes the accumulator a codegen long while
+    computing the same rational sum; both engines then perform the
+    identical int→double→÷10^s float ops, so cross-engine parity is
+    bit-exact. Bound: the scaled sum must fit int64 — at scale 6 that
+    is ~9.2e18 µunits ≈ $9.2e12 of revenue per group, ≥ sf1000 for
+    TPC-H measures; past that, partition the aggregation or fall back
+    to dsum (the reference corpus is far below it).
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return (
+        F.sum(F.floor(col * F.lit(10**scale) + F.lit(0.5)).cast("bigint")).cast("double")
+        / F.lit(float(10**scale))
+    )
+
+
+def qsum_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB-side twin of :func:`qsum` (identical op sequence)."""
+    return (
+        f"CAST(SUM(CAST(floor(({expr}) * {10**scale} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {float(10**scale)}"
+    )
+
+
+Q1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  {qsum_sql("l_quantity")} AS sum_qty,
+  {qsum_sql("l_extendedprice")} AS sum_base_price,
+  {qsum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+  {qsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+  {qsum_sql("l_quantity")} / COUNT(*) AS avg_qty,
+  {qsum_sql("l_extendedprice")} / COUNT(*) AS avg_price,
+  {qsum_sql("l_discount")} / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
@@ -56,7 +86,12 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: reference engine layer runs this via DuckDB hash agg;
     Spark plan is partial+final HashAggregate with map-side combine,
     shuffle only on the 2 low-cardinality group keys — scales to any
-    row count (group-key cardinality bounded).
+    row count (group-key cardinality bounded). The 8 measures use
+    quantized-long sums (see qsum): same exact rational result as
+    DECIMAL(30,6) intermediates at ~4× the throughput — on a
+    full-table aggregate the accumulator representation IS the query
+    cost, and at 100 TB this is the difference between long codegen
+    and 10^11 BigDecimal allocations.
     """
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -65,13 +100,13 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-08-06 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
-            F.sum(dec(charge)).cast("double").alias("sum_charge"),
-            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
-            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
-            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            qsum("l_quantity").alias("sum_qty"),
+            qsum("l_extendedprice").alias("sum_base_price"),
+            qsum(disc_price).alias("sum_disc_price"),
+            qsum(charge).alias("sum_charge"),
+            (qsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (qsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (qsum("l_discount") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -775,20 +810,29 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct aggregate plans as an Expand (row duplication per
     # distinct column) — collapsing to (order, supplier) first computes
     # both counts from plain rows, no expansion, same shuffle key.
+    # Carrying the per-supplier late-LINE count through that first
+    # aggregate also removes the second consumer of ``lo``: joining the
+    # raw late lines back would re-execute the lineitem⋈orders join
+    # (one extra full fact-fact pass); summing n_late_lines from
+    # per_sup yields the identical numwait with lo computed ONCE, and
+    # every downstream join/groupBy stays co-partitioned on the first
+    # shuffle's l_orderkey (no further exchange until the broadcast
+    # supplier join).
     per_sup = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("sup_late")
+        F.sum("late").alias("n_late_lines"),
+        F.max("late").alias("sup_late"),
     )
     ag = per_sup.groupBy("l_orderkey").agg(
         F.count("*").alias("nsup"),
         F.sum("sup_late").alias("nlate"),
     )
     return (
-        lo.filter(F.col("late") == 1)
+        per_sup.filter(F.col("sup_late") == 1)
         .join(ag, "l_orderkey")
         .filter((F.col("nsup") > 1) & (F.col("nlate") == 1))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )

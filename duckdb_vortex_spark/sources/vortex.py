@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -226,6 +227,63 @@ class VortexReader(DataSourceReader):
         yield from table.to_batches()
 
 
+class VortexStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("vortex")`` — file-discovery streaming
+    source over a growing vortex dataset (the streaming twin of the
+    batch scan, mirroring Spark's own FileStreamSource semantics:
+    files are immutable once written, new part files are new data).
+
+    Offsets are the sorted list of consumed file names — exactly-once
+    across restarts because the checkpointed end offset names the
+    files already read. Each micro-batch plans one InputPartition per
+    (new file, chunk), so batch read parallelism carries over. The
+    offset grows with file count; production retention pairs this with
+    periodic compaction (see streaming/sinks.py), the same trade
+    Spark's file source makes with its file log."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vortex stream read requires a path")
+        self.schema = schema
+
+    def _current_files(self) -> list[str]:
+        return sorted(_expand(self.path))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"files": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"files": self._current_files()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[VortexChunk]:
+        seen = set(start.get("files", []))
+        chunks: list[VortexChunk] = []
+        for f in end.get("files", []):
+            if f in seen:
+                continue
+            footer = vfmt.read_footer(f)
+            chunks.extend(VortexChunk(f, ci) for ci in range(len(footer.chunks)))
+        # a no-new-data batch still needs one (empty) partition
+        if not chunks:
+            anchor = end.get("files") or [None]
+            if anchor[0] is None:
+                return []
+            chunks = [VortexChunk(anchor[0], -1)]
+        return chunks
+
+    def read(self, partition: VortexChunk):
+        cols = [f.name for f in self.schema.fields]
+        footer = vfmt.read_footer(partition.file)
+        if partition.row_group < 0:
+            yield from footer.schema.empty_table().select(cols).to_batches(max_chunksize=1)
+            return
+        yield from vfmt.read_chunk(partition.file, footer, partition.row_group, cols).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-describing; nothing to clean up
+
+
 class VortexCommit(WriterCommitMessage):
     pass
 
@@ -322,6 +380,9 @@ class VortexDataSource(DataSource):
 
     def reader(self, schema: StructType) -> VortexReader:
         return VortexReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> VortexStreamReader:  # noqa: N802
+        return VortexStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> VortexWriter:
         if overwrite:

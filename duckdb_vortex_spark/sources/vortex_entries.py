@@ -1,0 +1,131 @@
+"""Catalog entries that drive the ``.vortex`` format end-to-end
+(SURVEY.md §2A A1/A4/A6/A7 as *driver-checked* rows, not just pytest).
+
+Each builder COPYies driver-table data into a real ``.vortex`` dataset
+(fresh temp dir per run), reads it back through the DataSource with a
+pushed filter, and aggregates. The DuckDB oracle computes the same
+result straight from the parquet source — so a green row proves the
+container round-trips values exactly AND that filter/projection
+pushdown over encoded chunks returns precisely the right rows. This is
+the Spark-side equivalent of the reference's ``COPY TO (FORMAT
+VORTEX) → read_vortex`` sqllogictests (/root/reference/test/sql/
+sequence.test:9-21), routed through the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+from .vortex import register, write_sorted
+
+
+def _fresh_dir(tag: str) -> str:
+    """Per-run scratch dataset path (driver + pytest may interleave —
+    never share state between runs)."""
+    root = tempfile.mkdtemp(prefix=f"dvs_{tag}_")
+    return os.path.join(root, f"{tag}.vortex")
+
+
+VORTEX_RT_ORACLE = """
+SELECT
+  o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@query("vortex_copy_roundtrip_agg", oracle=VORTEX_RT_ORACLE, tags=("vortex", "io"))
+def vortex_copy_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY orders → sorted .vortex dataset → scan with a pushed
+    timestamp range predicate (zone-map chunk pruning on the sort
+    key) → grouped aggregate. The oracle aggregates the parquet
+    source directly, so any encode/decode or pruning defect breaks
+    the hash match. Write is range-partitioned on the filter column
+    (write_sorted) — the layout that makes the zone maps selective."""
+    register(spark)
+    path = _fresh_dir("rt")
+    try:
+        write_sorted(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+            ),
+            path,
+            sort_cols=["o_orderdate"],
+            chunk_rows=4096,
+        )
+        back = spark.read.format("vortex").load(path)
+        out = (
+            back.filter(
+                F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                (
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+                    ).cast("double")
+                    / 100.0
+                ).alias("total_price"),
+            )
+        )
+        # Materialize before the scratch dir disappears: the driver may
+        # collect lazily after this function returns.
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+VORTEX_TYPES_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS sum_key,
+  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+  MIN(l_shipdate) AS min_ship,
+  MAX(l_returnflag) AS max_flag
+FROM lineitem
+WHERE l_orderkey % 7 = 0
+"""
+
+
+@query("vortex_typed_roundtrip_checksum", oracle=VORTEX_TYPES_ORACLE, tags=("vortex", "io"))
+def vortex_typed_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed fidelity through every specialized encoder at once:
+    bigint keys (FoR/delta bitpack), float prices (ALP), timestamps
+    (bitpack), flag strings (dict) written and re-read, then
+    checksummed (count, exact sums, min/max). Any lossy encoding or
+    row drop diverges from the parquet-direct oracle."""
+    register(spark)
+    path = _fresh_dir("ty")
+    try:
+        li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+        li.select(
+            "l_orderkey", "l_extendedprice", "l_shipdate", "l_returnflag"
+        ).write.format("vortex").mode("append").option("chunk_rows", 8192).save(path)
+        back = spark.read.format("vortex").load(path)
+        out = back.agg(
+            F.count("*").alias("n"),
+            F.sum("l_orderkey").cast("bigint").alias("sum_key"),
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / 100.0
+            ).alias("sum_price"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_returnflag").alias("max_flag"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)

@@ -1,0 +1,67 @@
+"""Streaming sinks: writeStream → ``.vortex`` datasets.
+
+Python DataSources can implement a native streaming writer, but the
+robust, restart-safe route for a file-format sink is ``foreachBatch``:
+each micro-batch appends its rows as new chunked ``.vortex`` part
+files (the container is write-once per file, like every columnar
+format), and the checkpoint gives exactly-once per-batch semantics —
+a batch that retries overwrites its own batch-tagged files instead of
+duplicating rows. This is the Spark-idiomatic ``COPY TO (FORMAT
+VORTEX)`` for unbounded inputs; downstream batch readers see a normal
+vortex dataset and prune chunks/columns as usual.
+
+Scale: each micro-batch writes through the same per-task encoder as
+the batch sink (one file per task, chunk_rows-sized chunks), so sink
+parallelism = stream partition count, and file count grows with
+batches — compact with a periodic batch rewrite (write_sorted) when
+chunk zone maps matter more than ingest latency.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from ..sources.vortex import FILE_SUFFIX
+
+
+def write_stream_vortex(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    chunk_rows: int = 65536,
+    trigger_available_now: bool = True,
+):
+    """Start a streaming query appending micro-batches to a vortex
+    dataset at ``path``. Returns the StreamingQuery (caller awaits)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_dir = os.path.join(path, f"batch-{batch_id:08d}")
+        # retried batch: drop its partial output, then rewrite — the
+        # batch-id directory is the idempotency unit
+        if os.path.isdir(batch_dir):
+            shutil.rmtree(batch_dir)
+        (
+            batch_df.write.format("vortex")
+            .mode("append")
+            .option("chunk_rows", chunk_rows)
+            .save(batch_dir)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_vortex_dataset(spark, path: str) -> DataFrame:
+    """Read a (possibly streamed) vortex dataset: batch dirs are just
+    nested datasets, one glob away."""
+    if globmod.glob(os.path.join(path, f"part-*{FILE_SUFFIX}")):
+        return spark.read.format("vortex").load(path)
+    return spark.read.format("vortex").load(os.path.join(path, "batch-*"))

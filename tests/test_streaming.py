@@ -117,3 +117,80 @@ def test_stream_static_enrichment_equals_batch(spark, event_stream_dir):
     got = _rows(spark.table("enriched_sink"))
     want = _rows(enriched_segment_windows(_batch_events(spark, event_stream_dir), customer))
     assert got == want and len(got) > 0
+
+
+def test_stream_to_vortex_sink(spark, event_stream_dir, tmp_path):
+    """readStream → foreachBatch vortex sink → batch read-back: the
+    streamed dataset holds exactly the input rows, through the real
+    container encoders, with per-batch idempotent directories."""
+    from duckdb_vortex_spark.sources.vortex import register
+    from duckdb_vortex_spark.streaming.sinks import (
+        read_vortex_dataset,
+        write_stream_vortex,
+    )
+
+    register(spark)
+    base = _batch_events(spark, event_stream_dir)
+    stream = stream_from_directory(
+        spark, event_stream_dir, base.schema, max_files_per_trigger=2
+    )
+    out = str(tmp_path / "events_stream.vortex")
+    q = write_stream_vortex(
+        stream.select("event_id", "user_id", "event_type", "ts"),
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        chunk_rows=512,
+    )
+    q.awaitTermination()
+    q.stop()
+    import glob as g
+    import os
+
+    batch_dirs = sorted(g.glob(os.path.join(out, "batch-*")))
+    assert len(batch_dirs) >= 2  # maxFilesPerTrigger split the input
+    back = read_vortex_dataset(spark, out)
+    assert back.count() == base.count()
+    assert _rows(back.select("event_id", "user_id")) == _rows(
+        base.select("event_id", "user_id")
+    )
+
+
+def test_vortex_streaming_source(spark, tmp_path):
+    """readStream over a growing .vortex dataset: the first run drains
+    existing files; appending new part files and re-running with the
+    same checkpoint delivers ONLY the new rows (file-name offsets are
+    exactly-once across restarts)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    data = str(tmp_path / "grow.vortex")
+    ckpt = str(tmp_path / "ckpt_src")
+    spark.range(10).select(F.col("id").alias("v")).coalesce(1).write.format(
+        "vortex"
+    ).mode("append").save(data)
+
+    out = str(tmp_path / "sink_parquet")
+
+    def drain():
+        q = (
+            spark.readStream.format("vortex")
+            .load(data)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return {r.v for r in spark.read.parquet(out).collect()}
+
+    assert drain() == set(range(10))
+    spark.range(10, 25).select(F.col("id").alias("v")).coalesce(1).write.format(
+        "vortex"
+    ).mode("append").save(data)
+    # same checkpoint: only the new file replays; sink accumulates all
+    assert drain() == set(range(25))

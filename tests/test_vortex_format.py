@@ -205,3 +205,37 @@ def test_cascade_applies_to_compressible_buffers():
     cc = vf.encode_column(arr)
     raw = sum(len(s.encode()) for s in arr.to_pylist())
     assert len(cc.buf) < raw / 4  # dict/fsst + zlib cascade stack up
+
+
+def test_delta_encoding_for_sorted_ints():
+    """Sorted keys (write_sorted layout) pack as deltas at a fraction
+    of the plain-FoR width; round-trip exact, including timestamps."""
+    arr = pa.array(range(1_000_000, 1_010_000))  # dense sorted: deltas = 1
+    cc = vf.encode_column(arr)
+    assert cc.meta.get("delta") and cc.meta["width"] <= 1
+    back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
+    assert back.equals(arr)
+    # irregular gaps, still sorted
+    vals = np.cumsum(np.abs(np.random.default_rng(3).integers(0, 50, 5000))) + 10**15
+    arr2 = pa.array(vals)
+    cc2 = vf.encode_column(arr2)
+    assert cc2.meta.get("delta")
+    back2 = vf.decode_column(cc2.enc, cc2.meta, cc2.buf, len(arr2), arr2.type)
+    assert back2.equals(arr2)
+
+
+def test_delta_not_chosen_for_random_ints():
+    rng = np.random.default_rng(5)
+    arr = pa.array(rng.integers(0, 2**40, 5000))
+    cc = vf.encode_column(arr)
+    assert not cc.meta.get("delta")  # deltas span wider than values
+    back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
+    assert back.equals(arr)
+
+
+def test_delta_extreme_span_roundtrip():
+    """Modular uint64 delta arithmetic survives full-int64-span jumps."""
+    arr = pa.array([-(2**63), 2**63 - 1, 0, -1, 2**62], type=pa.int64())
+    cc = vf.encode_column(arr)
+    back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
+    assert back.equals(arr)
