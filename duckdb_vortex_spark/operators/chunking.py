@@ -152,27 +152,35 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEANPOOL_ORACLE = """
 SELECT
   vec_id % 50 AS group_id,
-  list_transform(range(1, 9), i ->
-    CAST(round(CAST(SUM(CAST(embedding[i] AS DECIMAL(30,10))) / COUNT(*) AS DOUBLE), 6) AS DOUBLE)
-  ) AS mean_prefix
-FROM embeddings
-GROUP BY vec_id % 50
+  CAST(i AS BIGINT) AS dim_idx,
+  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / COUNT(*) / 1000000.0 AS mean_val
+FROM embeddings CROSS JOIN range(1, 9) AS t(i)
+GROUP BY 1, 2
 """
 
 
-@query("embedding_mean_pool", oracle=None, tags=("similarity", "llm", "agg"))
+@query("embedding_mean_pool", oracle=MEANPOOL_ORACLE, tags=("similarity", "llm", "agg"))
 def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-pool embeddings per group (the segment→document pooling
-    step). Rows-only check: element-wise decimal aggregation is not
-    expressible in DuckDB SQL over list columns without per-element
-    correlated aggregates; tests assert values against numpy."""
+    step), emitted as (group, dimension, mean) rows over the 8-dim
+    pooled prefix. Element values are quantized to micro-units before
+    summing (exact long arithmetic, order-independent) and the mean is
+    derived with the identical int→double ops in both engines, so the
+    element-wise pooling is fully oracle-checked — the earlier
+    float-avg form was shuffle-order-dependent and could only get a
+    rows-only check. Full-vector equality vs numpy stays pinned in
+    pytest."""
     emb = load(spark, sf_dir, "embeddings")
     dim = 8  # pooled prefix — enough to verify the construction
-    cols = [
-        F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"m{i}")
-        for i in range(dim)
-    ]
-    g = emb.groupBy((F.col("vec_id") % 50).alias("group_id")).agg(*cols)
-    return g.select(
-        "group_id", F.array(*[F.round(F.col(f"m{i}"), 6) for i in range(dim)]).alias("mean_prefix")
+    q = F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        emb.select(
+            (F.col("vec_id") % 50).alias("group_id"),
+            F.posexplode(F.slice("embedding", 1, dim)).alias("pos", "x"),
+        )
+        .groupBy("group_id", (F.col("pos") + 1).cast("bigint").alias("dim_idx"))
+        .agg(
+            (F.sum(q).cast("double") / F.count("*") / 1000000.0).alias("mean_val")
+        )
     )

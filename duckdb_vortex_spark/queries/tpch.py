@@ -116,7 +116,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_ORACLE = """
 SELECT
   l_orderkey,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
   o_orderdate,
   o_orderpriority
 FROM customer
@@ -152,7 +152,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(dec(revenue)).cast("double").alias("revenue"))
+        .agg(qsum(revenue).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -162,7 +162,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_ORACLE = """
 SELECT
   n_name,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -201,14 +201,14 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(dec(revenue)).cast("double").alias("revenue"))
+        .agg(qsum(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
 Q6_ORACLE = """
 SELECT
-  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+  CAST(SUM(CAST(floor(l_extendedprice * l_discount * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -229,7 +229,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"))).cast("double").alias("revenue"))
+        .agg(qsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -269,7 +269,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(dec(revenue)).cast("double").alias("revenue"))
+        .agg(qsum(revenue).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -360,7 +360,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_ORACLE = """
-SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+SELECT CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE
   (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
@@ -433,7 +433,7 @@ SELECT
   n1.n_name AS supp_nation,
   n2.n_name AS cust_nation,
   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
 FROM supplier
 JOIN lineitem ON s_suppkey = l_suppkey
 JOIN orders   ON o_orderkey = l_orderkey

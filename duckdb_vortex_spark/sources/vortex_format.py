@@ -92,7 +92,7 @@ class LocalFS:
     def glob(self, pattern: str) -> list[str]:
         import glob as globmod
 
-        return sorted(globmod.glob(pattern))
+        return sorted(globmod.glob(pattern, recursive="**" in pattern))
 
     def isdir(self, path: str) -> bool:
         return os.path.isdir(path)

@@ -65,3 +65,29 @@ def read_vortex_dataset(spark, path: str) -> DataFrame:
     if globmod.glob(os.path.join(path, f"part-*{FILE_SUFFIX}")):
         return spark.read.format("vortex").load(path)
     return spark.read.format("vortex").load(os.path.join(path, "batch-*"))
+
+
+def compact_dataset(spark, path: str, sort_cols: list[str], chunk_rows: int = 65536) -> str:
+    """Rewrite an ingest-shaped dataset (many small streamed files)
+    into a sorted, zone-map-tight layout and atomically swap it in.
+
+    Streaming appends optimize for latency: file count grows per
+    batch and chunk key ranges overlap, so zone maps prune nothing.
+    Periodic compaction is the standard counterpart (same trade as
+    log-structured storage): read everything, range-partition + sort
+    on the query key (write_sorted), swap directories. Returns the
+    path to the retired pre-compaction data (caller deletes after
+    downstream readers drain)."""
+    import shutil
+    import time as _time
+
+    from ..sources.vortex import write_sorted
+
+    df = read_vortex_dataset(spark, path)
+    staged = f"{path}.compacting"
+    shutil.rmtree(staged, ignore_errors=True)
+    write_sorted(df, staged, sort_cols=sort_cols, chunk_rows=chunk_rows)
+    retired = f"{path}.pre-compact-{int(_time.time())}"
+    os.rename(path, retired)
+    os.rename(staged, path)
+    return retired

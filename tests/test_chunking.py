@@ -53,20 +53,19 @@ def test_chunker_overlap(spark):
 
 def test_mean_pool_matches_numpy(spark):
     emb = load(spark, SF_DIR, "embeddings")
-    got = {
-        r.group_id: list(r.mean_prefix)
-        for r in embedding_mean_pool.__wrapped__(spark, SF_DIR).collect()
-    } if hasattr(embedding_mean_pool, "__wrapped__") else {
-        r.group_id: list(r.mean_prefix)
-        for r in embedding_mean_pool(spark, SF_DIR).collect()
-    }
+    got: dict = {}
+    for r in embedding_mean_pool(spark, SF_DIR).collect():
+        got.setdefault(r.group_id, {})[r.dim_idx] = r.mean_val
     pdf = emb.select("vec_id", "embedding").toPandas()
     mats = {}
     for _, row in pdf.iterrows():
         mats.setdefault(row.vec_id % 50, []).append(np.array(row.embedding[:8], dtype=np.float64))
     for g, vecs in mats.items():
         want = np.mean(np.stack(vecs), axis=0)
-        assert np.allclose(got[g], want, atol=1e-6), g
+        have = [got[g][i + 1] for i in range(8)]
+        # micro-unit quantization: each element within 0.5e-6 of the
+        # true value before averaging
+        assert np.allclose(have, want, atol=1e-6), g
 
 
 def test_quantize_int8_bounds_and_roundtrip(spark):

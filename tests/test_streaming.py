@@ -5,6 +5,8 @@ which is the unified-model guarantee the module's design rests on."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -194,3 +196,52 @@ def test_vortex_streaming_source(spark, tmp_path):
     ).mode("append").save(data)
     # same checkpoint: only the new file replays; sink accumulates all
     assert drain() == set(range(25))
+
+
+def test_compact_streamed_dataset(spark, event_stream_dir, tmp_path):
+    """Many small streamed batch files compact into one sorted layout:
+    same rows, fewer files, tight zone maps on the sort key."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from duckdb_vortex_spark.sources.vortex import FILE_SUFFIX, register
+    from duckdb_vortex_spark.streaming.sinks import (
+        compact_dataset,
+        read_vortex_dataset,
+        write_stream_vortex,
+    )
+
+    register(spark)
+    base = _batch_events(spark, event_stream_dir)
+    stream = stream_from_directory(
+        spark, event_stream_dir, base.schema, max_files_per_trigger=1
+    )
+    out = str(tmp_path / "compactable.vortex")
+    q = write_stream_vortex(
+        stream.select("event_id", "user_id", "ts"),
+        out,
+        checkpoint=str(tmp_path / "ckpt_c"),
+        chunk_rows=256,
+    )
+    q.awaitTermination()
+    q.stop()
+    n_files_before = len(g.glob(os.path.join(out, "**", f"*{FILE_SUFFIX}"), recursive=True))
+    before = {r.event_id for r in read_vortex_dataset(spark, out).collect()}
+
+    retired = compact_dataset(spark, out, sort_cols=["event_id"], chunk_rows=4096)
+    n_files_after = len(g.glob(os.path.join(out, f"part-*{FILE_SUFFIX}")))
+    after_df = spark.read.format("vortex").load(out)
+    assert {r.event_id for r in after_df.collect()} == before
+    assert n_files_after < n_files_before
+    assert os.path.isdir(retired)
+    # compacted layout prunes on the sort key
+    from pyspark.sql.datasource import GreaterThan
+
+    from duckdb_vortex_spark.sources.vortex import VortexReader
+
+    mx = after_df.agg(F.max("event_id")).collect()[0][0]
+    r = VortexReader({"path": out}, after_df.schema)
+    n_all = len(r.partitions())
+    r.pushed = [GreaterThan(("event_id",), int(mx))]
+    assert len(r.partitions()) <= max(1, n_all // 2)

@@ -283,3 +283,51 @@ def test_roundtrip_nested_array_struct_map(spark, tmp_path):
         f.dataType for f in nested.schema.fields
     ]
     assert canon(back) == canon(nested)
+
+
+def test_partitioned_write_layout_and_dir_pruning(spark, tmp_path):
+    """Hive-partitioned dataset: col=value dirs on disk, equality/IN
+    predicates prune whole directories before any footer is read, and
+    results match an unpartitioned scan exactly."""
+    from duckdb_vortex_spark import catalog
+    from duckdb_vortex_spark.sources.vortex import write_partitioned
+
+    from .conftest import SF_DIR
+
+    ev = catalog.load(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "events_part.vortex")
+    write_partitioned(ev, path, ["event_type"], chunk_rows=512)
+
+    import glob as g
+
+    subdirs = sorted(os.path.basename(d) for d in g.glob(str(tmp_path / "events_part.vortex/*")))
+    types = sorted(r.event_type for r in ev.select("event_type").distinct().collect())
+    assert subdirs == [f"event_type={t}" for t in types]
+
+    back = spark.read.format("vortex").load(path)
+    assert back.count() == ev.count()
+    pick = types[0]
+    got = back.filter(F.col("event_type") == pick)
+    want = ev.filter(F.col("event_type") == pick)
+    assert got.count() == want.count()
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
+
+    # pruning: with the equality pushed, only the matching dir's files
+    # become scan partitions
+    from pyspark.sql.datasource import EqualTo, In
+
+    reader = VortexReader({"path": path}, back.schema)
+    n_all = len(reader.partitions())
+    reader.pushed = [EqualTo(("event_type",), pick)]
+    pruned = reader.partitions()
+    assert 0 < len(pruned) < n_all
+    assert all(f"event_type={pick}" in c.file for c in pruned)
+
+    reader2 = VortexReader({"path": path}, back.schema)
+    reader2.pushed = [In(("event_type",), (types[0], types[1]))]
+    pruned2 = reader2.partitions()
+    assert {d for c in pruned2 for d in c.file.split(os.sep) if d.startswith("event_type=")} == {
+        f"event_type={types[0]}", f"event_type={types[1]}"
+    }
