@@ -63,20 +63,32 @@ _REGISTRY: dict[str, CatalogEntry] = {}
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver table (TESTDATA.md): parquet, schema from footer.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; DuckDB silently truncates it to µs on read. We reproduce
-    DuckDB's semantics: read nanos as long, integer-divide to µs
-    (``DIV`` stays in LongType — a double division would lose precision
-    above 2^53), and surface TimestampType. This matches the
-    reference's own ns→µs normalization (SURVEY.md §1.2,
-    /root/reference/test/sql/timestamp.test:28-37).
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) (round-1
+    testdata) or TIMESTAMP(MICROS) (round-2 regeneration), so the
+    normalization is schema-driven rather than assumed:
+
+    - NANOS: Spark's reader rejects it without the legacy conf; DuckDB
+      silently truncates to µs on read. We reproduce DuckDB's semantics:
+      read nanos as long, integer-divide to µs (``DIV`` stays in
+      LongType — a double division would lose precision above 2^53).
+      Matches the reference's ns→µs normalization (SURVEY.md §1.2,
+      /root/reference/test/sql/timestamp.test:28-37).
+    - MICROS (no tz): Spark surfaces TIMESTAMP_NTZ; cast to TimestampType
+      under the pinned-UTC session so every downstream entry sees one
+      timestamp type regardless of which testdata vintage is on disk.
     """
     if table == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if not isinstance(ts_type, T.TimestampType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
