@@ -179,8 +179,10 @@ def _ensure_loaded() -> None:
         pipeline,
         similarity,
         text,
+        timeseries,
     )
     from .sources import vortex_entries  # noqa: F401
+    from .streaming import joins as stream_joins  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
 
 

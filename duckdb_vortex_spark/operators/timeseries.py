@@ -1,0 +1,199 @@
+"""Time-series operators: gap-filled time-bucket rollups and binned
+interval joins.
+
+Neither exists natively in the reference engine (DuckDB v1.5.5 has
+``time_bucket`` but no gap-fill; range joins plan as IEJoin,
+/root/reference's engine layer) — these are the hypertable-style
+operations a telemetry/training-data pipeline runs at 100 TB, built
+as SURVEY.md §7 "custom operators" rung (a): pure compositions of
+DataFrame ops, no Python in the hot path.
+
+Scale design:
+
+- **Gap-fill** generates the dense bucket grid *per group from that
+  group's own [min, max] bucket range* (``sequence`` on aggregated
+  bounds, exploded) — never a cross join against a global calendar
+  dimension. Grid size is bounded by (groups × span/bucket), not by
+  input rows; the LOCF window shuffles once on the group key, and the
+  grid⋈agg join re-uses that same (group, bucket) partitioning.
+- **Interval bin join** turns a pure range predicate (no equi key —
+  Spark would otherwise plan BroadcastNestedLoopJoin, a scan of every
+  point for every interval) into an equi join: intervals explode to
+  the fixed-width buckets they cover, points map to exactly ONE
+  bucket, so the join key is dense and each (interval, point) pair
+  arises exactly once — no post-join dedup. Work is
+  Σ_bucket |intervals ∩ bucket| × |points ∩ bucket|: bounded by
+  bucket width, AQE skew-join splits any hot bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+
+
+# ---------------------------------------------------------------------------
+# gap-filled time-bucket rollup (LOCF)
+# ---------------------------------------------------------------------------
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Hourly rollup per group over a DENSE bucket grid: missing
+    buckets appear with n_events = 0 and the last seen aggregate
+    carried forward (LOCF).
+
+    Returns (group, bucket, n_events, sum_value_locf).
+    """
+    g = F.col(group_col)
+    agg = (
+        df.groupBy(group_col, F.date_trunc(bucket, F.col(ts_col)).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double").alias("s"),
+        )
+    )
+    step = F.expr(f"INTERVAL 1 {bucket.upper()}")
+    grid = (
+        agg.groupBy(group_col)
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(g, F.explode(F.sequence(F.col("lo"), F.col("hi"), step)).alias("bucket"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, [group_col, "bucket"], "left")
+        .select(
+            g,
+            F.col("bucket"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.last("s", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+    )
+
+
+GAPFILL_ORACLE = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT
+  g.event_type,
+  g.bucket AS bucket,
+  COALESCE(a.n, 0) AS n_events,
+  last_value(a.s IGNORE NULLS) OVER (
+    PARTITION BY g.event_type ORDER BY g.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS sum_value_locf
+FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+"""
+
+
+@query("timeseries_gapfill_locf", oracle=GAPFILL_ORACLE, tags=("timeseries", "window"))
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup of events per type with LOCF — the
+    hypertable/'time_bucket_gapfill' operation (module docstring for
+    the per-group grid + single-shuffle design)."""
+    return time_bucket_gapfill(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# binned interval join (range join with NO equi key)
+# ---------------------------------------------------------------------------
+
+
+def interval_bin_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Join each point to every interval containing it
+    (``start <= point < end``) WITHOUT any equi key.
+
+    Each interval explodes to the ``bucket``-width buckets it touches;
+    each point maps to exactly one bucket, so the equi join on the
+    bucket produces every qualifying pair exactly once (no dedup) and
+    the containment predicate is a cheap post-probe filter. Returns
+    points ⋈ intervals with all columns of both inputs.
+    """
+    step = F.expr(f"INTERVAL 1 {bucket.upper()}")
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(start_ts)),
+                F.date_trunc(bucket, F.col(end_ts)),
+                step,
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.date_trunc(bucket, F.col(point_ts)))
+    return (
+        pt.join(iv, "__bucket")
+        .filter((F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts)))
+        .drop("__bucket")
+    )
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT
+  o.o_orderkey,
+  COUNT(*) AS n_ships,
+  CAST(SUM(CAST(floor(l.l_quantity * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 AS sum_qty
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+WHERE o.o_orderkey % 97 = 0
+GROUP BY 1
+"""
+
+
+@query("join_interval_binned", oracle=INTERVAL_JOIN_ORACLE, tags=("join", "timeseries"))
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range-predicate join (which lineitems shipped inside each
+    watched order's first week — NO orderkey equality): DuckDB plans
+    its IEJoin, Spark would plan BroadcastNestedLoopJoin; the binned
+    rewrite makes it a plain equi join (module docstring)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            # interval add, not date_add: date_add() truncates a timestamp
+            # to DATE while DuckDB's + INTERVAL preserves the time part
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("o_end"),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    joined = interval_bin_join(li, o, "l_shipdate", "o_orderdate", "o_end")
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_ships"),
+        (
+            F.sum(F.floor(F.col("l_quantity") * F.lit(1000000) + F.lit(0.5)).cast("bigint")).cast(
+                "double"
+            )
+            / F.lit(1000000.0)
+        ).alias("sum_qty"),
+    )
