@@ -5,11 +5,12 @@ Design for 100 TB (pointer-style storage): a media item is a struct
 ``(uri, byte_offset, n_bytes, media_type, payload)`` where ``payload``
 is nullable — large blobs stay in object storage and are fetched
 inside the decode UDF per batch; small blobs inline. The Spark-side
-plumbing here (schemas, mapInPandas batch shape, partition sizing) is
-real and tested; the actual codec decode is STUBBED (image/audio libs
-aren't in this container) behind ``_decode_payload``, which raises
-NotImplementedError for real codecs and provides a deterministic fake
-for the 'fake/raw' codec so the pipeline is end-to-end testable.
+plumbing (schemas, mapInPandas batch shape, partition sizing) is real
+and tested, and ``_decode_payload`` carries REAL dependency-free
+codecs for BMP, PNG (full defilter) and WAV PCM; only formats that
+genuinely need native libs (JPEG/MP3/video) raise NotImplementedError
+— the seam a PIL/ffmpeg deployment plugs into. 'fake/raw' remains as
+the deterministic synthetic fixture.
 
 The geo column note (SURVEY.md §2A A17): WKB geometry is likewise an
 opaque binary column; the encode/decode pair lives in
@@ -49,6 +50,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("byte_max", T.LongType(), True),
         T.StructField("width", T.LongType(), True),
         T.StructField("height", T.LongType(), True),
+        # audio leg (null for images): PCM stream properties
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
     ]
 )
 
@@ -56,13 +62,13 @@ FEATURE_SCHEMA = T.StructType(
 def _decode_payload(media_type: str, payload: bytes) -> dict:
     """Decode one media payload to features.
 
-    Real, dependency-free codecs: BMP (24-bit uncompressed) and PNG
-    (8-bit gray/RGB/RGBA, all five scanline filters, zlib IDAT) are
-    decoded to raw pixels here in pure Python/numpy. 'fake/raw'
-    payloads are raw byte streams with an 8-byte (width,height) header
-    (deterministic synthetic fixture). Codecs needing native libs
-    (JPEG/audio/video) still raise NotImplementedError — the seam a
-    PIL/ffmpeg deployment plugs into.
+    Real, dependency-free codecs: BMP (24-bit uncompressed), PNG
+    (8-bit gray/RGB/RGBA, all five scanline filters, zlib IDAT) and
+    WAV (RIFF PCM, 8/16/32-bit int + float32) are decoded here in pure
+    Python/numpy. 'fake/raw' payloads are raw byte streams with an
+    8-byte (width,height) header (deterministic synthetic fixture).
+    Codecs needing native libs (JPEG/MP3/video) still raise
+    NotImplementedError — the seam a PIL/ffmpeg deployment plugs into.
     """
     if media_type == "fake/raw":
         if len(payload) < 8:
@@ -75,26 +81,88 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
     if media_type == "image/png":
         w, h, pixels = _decode_png(payload)
         return _pixel_features(pixels, w, h)
+    if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return _audio_features(*_decode_wav(payload))
     raise NotImplementedError(
         f"codec for {media_type!r} not available in this environment; "
         "plug a real decoder into _decode_payload"
     )
 
 
+_FEATURE_KEYS = (
+    "byte_mean", "byte_min", "byte_max", "width", "height",
+    "sample_rate", "n_channels", "n_samples", "rms",
+)
+
+
 def _no_features() -> dict:
-    return {"byte_mean": None, "byte_min": None, "byte_max": None, "width": None, "height": None}
+    return dict.fromkeys(_FEATURE_KEYS)
 
 
 def _pixel_features(body: bytes, width: int, height: int) -> dict:
     if not body:
         return dict(_no_features(), width=width, height=height)
-    return {
-        "byte_mean": sum(body) / len(body),
-        "byte_min": min(body),
-        "byte_max": max(body),
-        "width": width,
-        "height": height,
-    }
+    return dict(
+        _no_features(),
+        byte_mean=sum(body) / len(body),
+        byte_min=min(body),
+        byte_max=max(body),
+        width=width,
+        height=height,
+    )
+
+
+def _audio_features(sample_rate: int, samples) -> dict:
+    """samples: float64 ndarray shaped (n_frames, n_channels) in
+    [-1, 1]. RMS is over all channels."""
+    import numpy as np
+
+    return dict(
+        _no_features(),
+        sample_rate=sample_rate,
+        n_channels=int(samples.shape[1]),
+        n_samples=int(samples.shape[0]),
+        rms=float(np.sqrt(np.mean(np.square(samples)))) if samples.size else None,
+    )
+
+
+def _decode_wav(payload: bytes) -> tuple[int, "object"]:
+    """RIFF/WAVE PCM → (sample_rate, float64 samples (frames, channels)).
+
+    Supports format 1 (integer PCM: 8-bit unsigned, 16/32-bit signed)
+    and format 3 (float32), normalized to [-1, 1]. Chunk walk skips
+    unknown chunks (LIST/fact/...) per the RIFF spec."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float64) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV variant unsupported (format={audio_format}, bits={bits})")
+    n_frames = len(x) // n_channels
+    return sample_rate, x[: n_frames * n_channels].reshape(n_frames, n_channels)
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
@@ -206,8 +274,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                _decode_payload(mt, bytes(p)) if p is not None else
-                {"byte_mean": None, "byte_min": None, "byte_max": None, "width": None, "height": None}
+                _decode_payload(mt, bytes(p)) if p is not None else _no_features()
                 for mt, p in zip(pdf["media_type"], pdf["payload"])
             ]
             out = pd.DataFrame(feats)

@@ -14,6 +14,8 @@ from duckdb_vortex_spark.operators.multimodal import (
     _decode_bmp,
     _decode_payload,
     _decode_png,
+    _decode_wav,
+    _no_features,
 )
 
 
@@ -105,13 +107,14 @@ def test_bmp_golden_pixels():
 def test_bmp_features_via_decode_payload():
     img = [[(0, 0, 0), (255, 255, 255)]]
     feats = _decode_payload("image/bmp", make_bmp(img))
-    assert feats == {
-        "byte_mean": 127.5,
-        "byte_min": 0,
-        "byte_max": 255,
-        "width": 2,
-        "height": 1,
-    }
+    assert feats == dict(
+        _no_features(),
+        byte_mean=127.5,
+        byte_min=0,
+        byte_max=255,
+        width=2,
+        height=1,
+    )
 
 
 @pytest.mark.parametrize("filters", [[0, 0, 0], [1, 2, 3], [4, 4, 4], [0, 4, 2]])
@@ -135,20 +138,23 @@ def test_png_grayscale_and_rgba():
 def test_png_features_via_decode_payload():
     rows = [bytes([10, 20, 30, 40])]
     feats = _decode_payload("image/png", make_png(rows, channels=1))
-    assert feats == {
-        "byte_mean": 25.0,
-        "byte_min": 10,
-        "byte_max": 40,
-        "width": 4,
-        "height": 1,
-    }
+    assert feats == dict(
+        _no_features(),
+        byte_mean=25.0,
+        byte_min=10,
+        byte_max=40,
+        width=4,
+        height=1,
+    )
 
 
 def test_unsupported_still_raises():
     with pytest.raises(NotImplementedError):
         _decode_payload("image/jpeg", b"\xff\xd8\xff")
     with pytest.raises(NotImplementedError):
-        _decode_payload("audio/wav", b"RIFF")
+        _decode_payload("audio/mpeg", b"ID3")
+    with pytest.raises(ValueError):
+        _decode_payload("audio/wav", b"RIFF")  # truncated: not a WAV
 
 
 def test_extract_features_mixed_codecs(spark):
@@ -171,3 +177,67 @@ def test_extract_features_mixed_codecs(spark):
     assert out[2].byte_mean == 2.0 and out[2].width == 3
     assert out[3].byte_min == 5 and out[3].byte_max == 6
     assert out[4].byte_mean is None
+
+
+def make_wav(samples: "np.ndarray", sample_rate: int = 8000, bits: int = 16,
+             fmt: int = 1, extra_chunk: bool = False) -> bytes:
+    """Minimal RIFF/WAVE from float samples shaped (frames, channels)."""
+    n_ch = samples.shape[1]
+    if fmt == 3:
+        data = samples.astype("<f4").tobytes()
+    elif bits == 8:
+        data = (samples * 128.0 + 128.0).clip(0, 255).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = (samples * 32768.0).clip(-32768, 32767).astype("<i2").tobytes()
+    else:
+        data = (samples * 2147483648.0).clip(-2**31, 2**31 - 1).astype("<i4").tobytes()
+    balign = n_ch * bits // 8
+    fmt_body = struct.pack("<HHIIHH", fmt, n_ch, sample_rate, sample_rate * balign, balign, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if extra_chunk:  # decoder must skip unknown chunks
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd length -> pad byte
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_16bit_golden():
+    t = np.arange(16) / 8000.0
+    mono = np.sin(2 * np.pi * 440 * t).reshape(-1, 1)
+    rate, out = _decode_wav(make_wav(mono, 8000, 16))
+    assert rate == 8000 and out.shape == (16, 1)
+    # 16-bit quantization error bound: 1/32768
+    assert np.abs(out - mono).max() <= 1.0 / 32768
+
+
+def test_wav_variants_and_chunk_skip():
+    stereo = np.stack([np.linspace(-0.5, 0.5, 10), np.zeros(10)], axis=1)
+    for bits, fmt, tol in ((8, 1, 1 / 128), (16, 1, 1 / 32768), (32, 1, 1e-9), (32, 3, 1e-7)):
+        rate, out = _decode_wav(make_wav(stereo, 44100, bits, fmt, extra_chunk=True))
+        assert rate == 44100 and out.shape == (10, 2)
+        assert np.abs(out - stereo).max() <= tol, (bits, fmt)
+
+
+def test_wav_features_via_decode_payload():
+    x = np.full((100, 2), 0.5)
+    feats = _decode_payload("audio/wav", make_wav(x, 16000, 16))
+    assert feats["sample_rate"] == 16000
+    assert feats["n_channels"] == 2
+    assert feats["n_samples"] == 100
+    assert abs(feats["rms"] - 0.5) < 1e-4
+    assert feats["width"] is None and feats["byte_mean"] is None
+
+
+def test_extract_features_with_audio(spark):
+    from duckdb_vortex_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    wav = make_wav(np.full((50, 1), -0.25), 22050, 16)
+    bmp = make_bmp([[(1, 2, 3)]])
+    rows = [
+        (1, "mem://w", "audio/wav", len(wav), bytearray(wav)),
+        (2, "mem://b", "image/bmp", len(bmp), bytearray(bmp)),
+    ]
+    out = {r.doc_id: r for r in extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert out[1].sample_rate == 22050 and out[1].n_samples == 50
+    assert abs(out[1].rms - 0.25) < 1e-3
+    assert out[1].width is None
+    assert out[2].width == 1 and out[2].sample_rate is None
