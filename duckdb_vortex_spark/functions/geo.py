@@ -116,22 +116,55 @@ def geo_points_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius self-join: point pairs within planar distance 5, compared
     on SQUARED distance (no sqrt — exact integer arithmetic on the
     synthetic grid, and the standard trick for avoiding fp comparisons
-    in range predicates). Small-side theta join here; at scale this is
-    a grid-cell (geohash) bucket join: assign each point to ⌈r⌉-sized
-    cells, join same-and-neighbor cells, verify exact distance — the
-    identical candidate→verify shape as the LSH dedup path."""
+    in range predicates).
+
+    Executed as a grid-cell bucket join, the scale shape (identical
+    candidate→verify structure to the LSH dedup path): each point has
+    one home cell of side r; the probe side explodes to its 3×3
+    neighborhood, the build side keeps its single home cell, and the
+    join is a plain equi join on the cell key. |Δx|,|Δy| ≤ r implies
+    the cells differ by at most 1, so the neighborhood is a complete
+    candidate set; the build cell being unique and the 9 probe cells
+    distinct means each qualifying pair is produced EXACTLY once — no
+    dedup, no BroadcastNestedLoopJoin (plan-linted catalog-wide)."""
+    r = 5
     s = load(spark, sf_dir, "supplier")
     pts = s.select(
         F.col("s_suppkey").alias("id"),
         (F.col("s_suppkey") % 97).cast("bigint").alias("x"),
         (F.col("s_suppkey") % 89).cast("bigint").alias("y"),
     )
-    a = pts.select(F.col("id").alias("id_a"), F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = pts.select(F.col("id").alias("id_b"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.floor(F.col("xa") / r) + F.col("o.dx")).alias("cx"),
+        (F.floor(F.col("ya") / r) + F.col("o.dy")).alias("cy"),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.floor(F.col("x") / r).alias("cx"),
+        F.floor(F.col("y") / r).alias("cy"),
+    )
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))
     return (
-        a.join(b, (F.col("id_a") < F.col("id_b")) & (d2 <= 25))
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (d2 <= r * r))
         .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
     )

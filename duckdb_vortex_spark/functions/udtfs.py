@@ -30,7 +30,7 @@ _SENTENCE_SCHEMA = T.StructType(
 )
 
 
-@udtf(returnType=_SENTENCE_SCHEMA)
+@udtf(returnType=_SENTENCE_SCHEMA, useArrow=True)
 class SplitSentences:
     """Yield (position, trimmed sentence) for each non-empty
     '.'-separated span of the input text."""

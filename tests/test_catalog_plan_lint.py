@@ -1,0 +1,65 @@
+"""Catalog-wide scale audit: EVERY registered entry's physical plan is
+linted for the three scale killers (CartesianProduct,
+BroadcastNestedLoopJoin, row-at-a-time Python). Exceptions must be
+declared here with a reason — an undeclared nested loop appearing in
+any of the 150+ entries fails the suite, so a plan regression cannot
+land silently."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_vortex_spark import catalog
+from duckdb_vortex_spark.plans.lint import lint_plan
+
+from .conftest import SF_DIR
+
+# entry -> (allowed rules, why that's deliberate)
+ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
+    "join_cross": (
+        ("cartesian-product", "nested-loop-join"),
+        "the entry IS the cross-join operator, over two tiny dims",
+    ),
+    "string_levenshtein_pairs": (
+        ("nested-loop-join", "cartesian-product"),
+        "edit-distance theta join; pre-filtered to a bounded block",
+    ),
+    "similarity_topk_bruteforce": (
+        ("nested-loop-join",),
+        "the exact quadratic BASELINE kept for oracle duty; production "
+        "twins are topk_vectorized / ivf_ann (bucketed)",
+    ),
+    "dedup_ngram_jaccard_pairs": (
+        ("nested-loop-join",),
+        "exact Jaccard verify confined to oracle scale; the scale path "
+        "is MinHash-LSH candidate generation",
+    ),
+    "similarity_neardup_pairs": (
+        ("nested-loop-join",),
+        "exact cosine pair verify at oracle scale; scale path is "
+        "LSH/IVF candidate generation",
+    ),
+    "tpch_q11_important_stock": (
+        ("nested-loop-join",),
+        "1-ROW broadcast (global total for the HAVING threshold) — a "
+        "scalar subquery, constant-size build side at any SF",
+    ),
+    "tpch_q22_global_sales_opportunity": (
+        ("nested-loop-join",),
+        "1-ROW broadcast (global avg acctbal) — scalar subquery, "
+        "constant-size build side at any SF",
+    ),
+}
+
+ENTRIES = catalog.entries()
+
+
+@pytest.mark.parametrize("name", sorted(ENTRIES))
+def test_catalog_entry_plan_clean(name, spark):
+    allow, _why = ALLOWED.get(name, ((), ""))
+    df = ENTRIES[name].builder(spark, SF_DIR)
+    findings = lint_plan(df, allow=allow)
+    assert not findings, (
+        f"{name}: {[f.rule for f in findings]} — declare in ALLOWED with a "
+        "reason if deliberate"
+    )
