@@ -46,39 +46,31 @@ HEADLINE = [
     "window_time_range_rolling",
     "similarity_topk_vectorized",
     "tpch_q21_waiting_supplier",
+    # round-2 scale operators
+    "timeseries_gapfill_locf",
+    "join_interval_binned",
+    "stream_stream_interval_join",
 ]
 
 
-def _checksum(df):
+def _materialize(df) -> None:
     """Force FULL materialization of every output column.
 
     ``df.count()`` lets Catalyst prune result columns (a non-aggregate
     head devolves to a row count over the narrowest scan), understating
-    real cost. Hashing every column into one xxhash64 and XOR-folding
-    forces each projection to actually compute, while returning a single
-    row to the driver (no collect-bound measurement noise). Complex
-    types go through to_json (xxhash64 accepts only atomic inputs).
+    real cost. The ``noop`` sink executes the complete plan and
+    consumes every column of every row on the executors — no column
+    pruning, no driver transfer, and (unlike hashing all columns
+    through to_json) no serialization cost charged on top of the query
+    itself.
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    cols = []
-    for fld in df.schema.fields:
-        c = F.col(fld.name)
-        if isinstance(fld.dataType, (ArrayType, MapType, StructType)):
-            c = F.to_json(c)
-        cols.append(c)
-    return (
-        df.select(F.xxhash64(*cols).alias("h"))
-        .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"))
-        .collect()[0][0]
-    )
+    df.write.format("noop").mode("overwrite").save()
 
 
 def run_one(spark, builder, sf_dir: str) -> float:
     t0 = time.monotonic()
     df = builder(spark, sf_dir)
-    _checksum(df)
+    _materialize(df)
     return time.monotonic() - t0
 
 
