@@ -113,6 +113,116 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_bucket_gapfill(load(spark, sf_dir, "events"))
 
 
+def time_bucket_interpolate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Gap-fill with LINEAR interpolation: a missing bucket's value is
+    interpolated between the previous and next observed aggregates
+    (LOCF at the trailing edge, NOCB at the leading edge).
+
+    Determinism across engines: the interpolation inputs are exact
+    (decimal-summed aggregates cast to double, integer epoch seconds),
+    and both engines evaluate the identical expression
+    ``prev + (next - prev) * frac`` — same float ops in the same
+    order → bit-identical doubles.
+    """
+    g = F.col(group_col)
+    agg = df.groupBy(group_col, F.date_trunc(bucket, F.col(ts_col)).alias("bucket")).agg(
+        F.sum(F.col(value_col).cast("decimal(30,6)")).cast("double").alias("s"),
+    )
+    step = F.expr(f"INTERVAL 1 {bucket.upper()}")
+    grid = (
+        agg.groupBy(group_col)
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(g, F.explode(F.sequence(F.col("lo"), F.col("hi"), step)).alias("bucket"))
+    )
+    back = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    s = F.col("s")
+    obs_bucket = F.when(s.isNotNull(), F.col("bucket"))
+    prev_v = F.last(s, ignorenulls=True).over(back)
+    next_v = F.first(s, ignorenulls=True).over(fwd)
+    prev_b = F.last(obs_bucket, ignorenulls=True).over(back)
+    next_b = F.first(obs_bucket, ignorenulls=True).over(fwd)
+    frac = (
+        (F.unix_timestamp(F.col("bucket")) - F.unix_timestamp(prev_b)).cast("double")
+        / (F.unix_timestamp(next_b) - F.unix_timestamp(prev_b)).cast("double")
+    )
+    interp = (
+        F.when(s.isNotNull(), s)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return grid.join(agg, [group_col, "bucket"], "left").select(
+        g,
+        F.col("bucket"),
+        s.isNotNull().alias("observed"),
+        interp.alias("value_interp"),
+    )
+
+
+INTERP_ORACLE = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+), j AS (
+  SELECT g.event_type, g.bucket, a.s,
+    last_value(a.s IGNORE NULLS) OVER w_back AS prev_v,
+    first_value(a.s IGNORE NULLS) OVER w_fwd AS next_v,
+    last_value(CASE WHEN a.s IS NOT NULL THEN g.bucket END IGNORE NULLS)
+      OVER w_back AS prev_b,
+    first_value(CASE WHEN a.s IS NOT NULL THEN g.bucket END IGNORE NULLS)
+      OVER w_fwd AS next_b
+  FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+  WINDOW
+    w_back AS (PARTITION BY g.event_type ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY g.event_type ORDER BY g.bucket
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT
+  event_type,
+  bucket,
+  s IS NOT NULL AS observed,
+  CASE
+    WHEN s IS NOT NULL THEN s
+    WHEN prev_v IS NULL THEN next_v
+    WHEN next_v IS NULL THEN prev_v
+    ELSE prev_v + (next_v - prev_v) * (
+      CAST(epoch(bucket) - epoch(prev_b) AS DOUBLE)
+      / CAST(epoch(next_b) - epoch(prev_b) AS DOUBLE))
+  END AS value_interp
+FROM j
+"""
+
+
+@query("timeseries_gapfill_interpolate", oracle=INTERP_ORACLE, tags=("timeseries", "window"))
+def timeseries_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with linear interpolation between
+    observed buckets (LOCF/NOCB at the edges) — the
+    'time_bucket_gapfill(..., interpolate)' shape."""
+    return time_bucket_interpolate(load(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # binned interval join (range join with NO equi key)
 # ---------------------------------------------------------------------------

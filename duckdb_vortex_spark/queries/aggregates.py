@@ -153,6 +153,43 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_QUANTILE_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS exact_p50,
+  approx_quantile(l_extendedprice, 0.5)
+    BETWEEN quantile_cont(l_extendedprice, 0.45)
+        AND quantile_cont(l_extendedprice, 0.55) AS approx_p50_ok,
+  approx_quantile(l_extendedprice, 0.9)
+    BETWEEN quantile_cont(l_extendedprice, 0.85)
+        AND quantile_cont(l_extendedprice, 0.95) AS approx_p90_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_approx_quantile", oracle=APPROX_QUANTILE_ORACLE, tags=("agg", "approx"))
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch; DuckDB's twin is
+    t-digest). Sketch outputs can't hash-match across engines, so —
+    same pattern as agg_approx_count_distinct — the entry emits the
+    exact interpolated quantile plus booleans asserting each engine's
+    OWN approximation lands inside a ±5-percentile rank window around
+    its target, which both engines answer identically (the sketches'
+    rank error is orders of magnitude tighter than the window)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(x, F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx(x, F.lit(0.5), F.lit(10000))
+        .between(F.percentile(x, F.lit(0.45)), F.percentile(x, F.lit(0.55)))
+        .alias("approx_p50_ok"),
+        F.percentile_approx(x, F.lit(0.9), F.lit(10000))
+        .between(F.percentile(x, F.lit(0.85)), F.percentile(x, F.lit(0.95)))
+        .alias("approx_p90_ok"),
+    )
+
+
 # FILTER clause: identical syntax in Spark SQL and DuckDB.
 sql_query(
     "agg_filter_clause",
