@@ -814,10 +814,17 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate also removes the second consumer of ``lo``: joining the
     # raw late lines back would re-execute the lineitem⋈orders join
     # (one extra full fact-fact pass); summing n_late_lines from
-    # per_sup yields the identical numwait with lo computed ONCE, and
-    # every downstream join/groupBy stays co-partitioned on the first
-    # shuffle's l_orderkey (no further exchange until the broadcast
-    # supplier join).
+    # per_sup yields the identical numwait with lo computed ONCE.
+    #
+    # The explicit repartition on l_orderkey alone is load-bearing:
+    # HashPartitioning(l_orderkey) satisfies ClusteredDistribution for
+    # BOTH groupBys (subset rule) and the per_sup⋈ag join, so the
+    # whole chain runs on ONE fact shuffle. Without it Spark plans an
+    # exchange on (l_orderkey, l_suppkey) for the first aggregate plus
+    # another on l_orderkey for the second — and the per_sup subtree,
+    # having two consumers, is executed twice with two exchange pairs
+    # (5 exchanges vs 3; measured 2.2x at sf0.1).
+    lo = lo.repartition("l_orderkey")
     per_sup = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum("late").alias("n_late_lines"),
         F.max("late").alias("sup_late"),
