@@ -316,3 +316,49 @@ def window_ignore_nulls_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("val_n", ignorenulls=True).over(w).alias("last_seen"),
         F.nth_value("val_n", 2, ignoreNulls=True).over(wf).alias("second_seen"),
     )
+
+
+# DuckDB dialect extensions Spark lacks as KEYWORDS but expresses
+# exactly: QUALIFY (filter on a window result without a subquery) and
+# frame EXCLUDE CURRENT ROW. The Spark builder is the documented
+# translation; the oracle uses the native DuckDB syntax, so this entry
+# pins the dialect-mapping claim itself.
+QUALIFY_EXCLUDE_ORACLE = """
+SELECT user_id, event_id, value,
+  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW
+  ) AS DOUBLE) AS neighbor_sum
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY value DESC, event_id) <= 2
+"""
+
+
+@query("window_qualify_exclude", oracle=QUALIFY_EXCLUDE_ORACLE, tags=("window",))
+def window_qualify_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY ≡ window column + filter (same plan a QUALIFY keyword
+    would produce: one window, WindowGroupLimit pushdown applies);
+    EXCLUDE CURRENT ROW ≡ frame aggregate minus the current row's
+    value — both subtractions in exact DECIMAL before the double cast,
+    so the result is bit-identical to DuckDB's native frame
+    exclusion."""
+    ev = load(spark, sf_dir, "events")
+    dec_v = F.col("value").cast("decimal(30,6)")
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    topw = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.sum(dec_v).over(frame) - dec_v).cast("double").alias("neighbor_sum"),
+            F.row_number().over(topw).alias("__rn"),
+        )
+        .filter(F.col("__rn") <= 2)
+        .drop("__rn")
+    )
