@@ -87,6 +87,29 @@ def _expand(path: str) -> list[str]:
     return [prefix + f for f in files]
 
 
+def _with_missing_columns(table, spark_schema: StructType, cols: list[str]):
+    """Project ``table`` onto ``cols`` in order, materializing columns
+    the file predates as typed null arrays (additive schema
+    evolution). Types for filled columns come from the bound dataset
+    schema, so every file yields batches with one uniform schema."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    by_name = {f.name: f for f in spark_schema.fields}
+    n = table.num_rows
+    arrays, fields = [], []
+    for c in cols:
+        idx = table.schema.get_field_index(c)
+        if idx >= 0:
+            arrays.append(table.column(idx))
+            fields.append(table.schema.field(idx))
+        else:
+            t = to_arrow_type(by_name[c].dataType)
+            arrays.append(pa.chunked_array([pa.nulls(n, type=t)]))
+            fields.append(pa.field(c, t))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
 def _hive_str(v) -> str:
     """Hive directory spelling of a partition value (bool lowercases,
     None gets the hive default-partition name)."""
@@ -258,15 +281,21 @@ class VortexReader(DataSourceReader):
 
     def read(self, partition: VortexChunk):
         """Decode one chunk: prune columns (A5), filter batches (A6),
-        yield Arrow RecordBatches (A9 — zero-copy into Spark)."""
+        yield Arrow RecordBatches (A9 — zero-copy into Spark). Columns
+        the file predates (additive schema evolution) come back as
+        typed nulls — filled BEFORE the pushed predicate runs, so a
+        filter on an evolved column is correct on old files too."""
         cols = [f.name for f in self.schema.fields]
         footer = vfmt.read_footer(partition.file)
         if partition.row_group < 0:
             # survives-nothing scan: emit an empty batch with the schema
-            empty = footer.schema.empty_table().select(cols)
-            yield from empty.to_batches(max_chunksize=1)
+            yield from _with_missing_columns(
+                footer.schema.empty_table(), self.schema, cols
+            ).to_batches(max_chunksize=1)
             return
-        table = vfmt.read_chunk(partition.file, footer, partition.row_group, cols)
+        present = [c for c in cols if footer.schema.get_field_index(c) >= 0]
+        table = vfmt.read_chunk(partition.file, footer, partition.row_group, present)
+        table = _with_missing_columns(table, self.schema, cols)
         pred = self._arrow_predicate()
         if pred is not None:
             table = table.filter(pred)
@@ -322,9 +351,13 @@ class VortexStreamReader(DataSourceStreamReader):
         cols = [f.name for f in self.schema.fields]
         footer = vfmt.read_footer(partition.file)
         if partition.row_group < 0:
-            yield from footer.schema.empty_table().select(cols).to_batches(max_chunksize=1)
+            yield from _with_missing_columns(
+                footer.schema.empty_table(), self.schema, cols
+            ).to_batches(max_chunksize=1)
             return
-        yield from vfmt.read_chunk(partition.file, footer, partition.row_group, cols).to_batches()
+        present = [c for c in cols if footer.schema.get_field_index(c) >= 0]
+        table = vfmt.read_chunk(partition.file, footer, partition.row_group, present)
+        yield from _with_missing_columns(table, self.schema, cols).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-describing; nothing to clean up
@@ -473,19 +506,29 @@ class VortexDataSource(DataSource):
         # (DuckDB-timestamp semantics, SURVEY.md §1.2); tz-aware ones
         # still map to TimestampType. All columns read back nullable —
         # same convention as Spark's builtin parquet source.
-        first = vfmt.read_footer(files[0]).schema
-        # A dataset is one schema (schema-on-read from the footer,
-        # nulls.test:27 semantics) — a drifted file must fail loudly at
-        # bind time, not decode garbage at scan time. Footer reads are
-        # cheap (no data pages), so checking every file is O(files).
-        for f in files[1:]:
-            other = vfmt.read_footer(f).schema
-            if other != first:
-                raise ValueError(
-                    f"vortex dataset schema mismatch: {files[0]!r} has {first}, "
-                    f"{f!r} has {other}"
-                )
-        bound = from_arrow_schema(first, prefer_timestamp_ntz=True)
+        # ADDITIVE schema evolution (schema-on-read, lakehouse
+        # semantics): later files may add columns — rows from files
+        # without a column read as NULL. Same-name columns must agree
+        # on type exactly; a type conflict still fails loudly at bind
+        # time, not decode garbage at scan time. Footer reads are
+        # cheap (no data pages), so merging every file is O(files).
+        import pyarrow as pa
+
+        merged: dict[str, object] = {}
+        for f in files:
+            for fld in vfmt.read_footer(f).schema:
+                seen = merged.get(fld.name)
+                if seen is None:
+                    merged[fld.name] = fld.type
+                elif seen != fld.type:
+                    raise ValueError(
+                        f"vortex dataset type conflict on {fld.name!r}: "
+                        f"{seen} vs {fld.type} (in {f!r}) — additive "
+                        "evolution only; changing a column's type needs "
+                        "a rewrite (compact_dataset)"
+                    )
+        arrow_schema = pa.schema([pa.field(n, t) for n, t in merged.items()])
+        bound = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
         return StructType([f.__class__(f.name, f.dataType, True) for f in bound.fields])
 
     def reader(self, schema: StructType) -> VortexReader:

@@ -216,7 +216,9 @@ def test_sorted_write_tightens_zone_maps(spark, tmp_path):
 
 
 def test_schema_drift_fails_at_bind(spark, tmp_path):
-    """Mixed-schema datasets error loudly at bind time, not at scan."""
+    """A TYPE conflict on a shared column errors loudly at bind time,
+    not at scan (additive column drift is legal — see
+    test_schema_evolution_additive)."""
     spark.range(5).select(F.col("id").alias("v")).write.format("vortex").mode(
         "append"
     ).save(str(tmp_path / "d1.vortex"))
@@ -225,7 +227,7 @@ def test_schema_drift_fails_at_bind(spark, tmp_path):
     ).mode("append").save(str(tmp_path / "d2.vortex"))
     with pytest.raises(Exception) as ei:
         spark.read.format("vortex").load(str(tmp_path / "d*.vortex")).count()
-    assert "schema mismatch" in str(ei.value)
+    assert "type conflict" in str(ei.value)
 
 
 def test_in_and_prefix_pushdown(spark, tmp_path):
@@ -331,3 +333,37 @@ def test_partitioned_write_layout_and_dir_pruning(spark, tmp_path):
     assert {d for c in pruned2 for d in c.file.split(os.sep) if d.startswith("event_type=")} == {
         f"event_type={types[0]}", f"event_type={types[1]}"
     }
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Additive schema evolution: a later file adds a column; rows
+    from older files read it as NULL, pushed filters on the evolved
+    column work on old files, and a type conflict fails at bind."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving.vortex")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string") \
+        .write.format("vortex").mode("append").save(path)
+    spark.createDataFrame(
+        [(3, "c", 30.5), (4, "d", 40.5)], "id bigint, name string, score double"
+    ).write.format("vortex").mode("append").save(path)
+
+    back = spark.read.format("vortex").load(path)
+    assert [f.name for f in back.schema.fields] == ["id", "name", "score"]
+    rows = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.5), 4: ("d", 40.5)}
+
+    # filter on the evolved column: old files contribute nothing, new
+    # files filter normally (predicate runs after the null fill)
+    got = sorted(r["id"] for r in back.filter(F.col("score") > 35).collect())
+    assert got == [4]
+    # IS NULL selects exactly the pre-evolution rows
+    got = sorted(r["id"] for r in back.filter(F.col("score").isNull()).collect())
+    assert got == [1, 2]
+
+    # type conflict on a shared column still fails loudly at bind
+    bad = str(tmp_path / "conflict.vortex")
+    spark.createDataFrame([(1,)], "x bigint").write.format("vortex").mode("append").save(bad)
+    spark.createDataFrame([("s",)], "x string").write.format("vortex").mode("append").save(bad)
+    with pytest.raises(Exception, match="type conflict"):
+        spark.read.format("vortex").load(bad).collect()
