@@ -69,8 +69,16 @@ FILE_SUFFIX = ".vortex"
 def _expand(path: str) -> list[str]:
     """Glob expansion (A2) + URI routing (A3). A directory means all
     chunked files in it; glob matches may themselves be dataset
-    directories. Non-local URIs (s3a://…) resolve through the
-    filesystem registry in vortex_format."""
+    directories. Comma-separated paths union their expansions (the
+    multi-path form `load(p1,p2)` — used by versioned batch reads).
+    Non-local URIs (s3a://…) resolve through the filesystem registry
+    in vortex_format."""
+    if "," in path:
+        out: list[str] = []
+        for part in path.split(","):
+            if part:
+                out.extend(_expand(part))
+        return out
     fs, p = vfmt.filesystem_for(path)
     matches = fs.glob(p) if any(ch in p for ch in "*?[") else [p]
     files: list[str] = []
@@ -599,4 +607,59 @@ def write_sorted(df, path: str, sort_cols: list[str], chunk_rows: int = 65536, *
         .option("chunk_rows", chunk_rows)
         .options(**options)
         .save(path)
+    )
+
+
+def dataset_stats(spark, path: str):
+    """ANALYZE-style dataset statistics from footers ONLY — no data
+    pages are read. Returns a DataFrame (file, column, n_rows,
+    n_chunks, min, max, null_count, encodings) with min/max/nulls
+    folded across each file's chunk zone maps; min/max surface as
+    strings (the footer's JSON spelling) so one schema covers every
+    column type.
+
+    At 100 TB this is the statistics path a query planner or data
+    catalog wants: cost is O(files), footer reads are a few KB each,
+    and the per-file rows parallelize with ``spark.createDataFrame``
+    staying driver-side only for the file list (the same listing any
+    scan performs)."""
+    rows = []
+    for f in _expand(path):
+        footer = vfmt.read_footer(f)
+        for name in footer.schema.names:
+            mn = mx = None
+            nulls = 0
+            encs = set()
+            n_chunks = 0
+            for ci, chunk in enumerate(footer.chunks):
+                cd = chunk["columns"].get(name)
+                if cd is None:
+                    continue  # column added after this file: no stats
+                n_chunks += 1
+                encs.add(cd["enc"])
+                triple = vfmt.chunk_stats(footer, ci, name)
+                if triple is None:
+                    continue
+                cmn, cmx, cnulls = triple
+                nulls += cnulls
+                if cmn is not None:
+                    mn = cmn if mn is None else min(mn, cmn)
+                if cmx is not None:
+                    mx = cmx if mx is None else max(mx, cmx)
+            rows.append(
+                (
+                    f,
+                    name,
+                    sum(c["n_rows"] for c in footer.chunks),
+                    n_chunks,
+                    None if mn is None else str(mn),
+                    None if mx is None else str(mx),
+                    nulls,
+                    sorted(encs),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "file string, column string, n_rows bigint, n_chunks bigint, "
+        "min string, max string, null_count bigint, encodings array<string>",
     )

@@ -91,3 +91,17 @@ def compact_dataset(spark, path: str, sort_cols: list[str], chunk_rows: int = 65
     os.rename(path, retired)
     os.rename(staged, path)
     return retired
+
+
+def read_vortex_as_of(spark, path: str, batch_id: int) -> DataFrame:
+    """Versioned read of a streamed dataset: only batches with id <=
+    ``batch_id``. Batch directories are the natural snapshot unit —
+    each micro-batch is an immutable append, so 'the dataset as of
+    batch N' is exactly the union of dirs batch-0..N (the same
+    time-travel contract log-structured table formats expose, with
+    the streaming checkpoint as the commit log)."""
+    dirs = sorted(globmod.glob(os.path.join(path, "batch-*")))
+    keep = [d for d in dirs if int(os.path.basename(d).split("-")[1]) <= batch_id]
+    if not keep:
+        raise FileNotFoundError(f"no batches <= {batch_id} under {path!r}")
+    return spark.read.format("vortex").load(",".join(keep))

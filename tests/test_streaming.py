@@ -245,3 +245,44 @@ def test_compact_streamed_dataset(spark, event_stream_dir, tmp_path):
     n_all = len(r.partitions())
     r.pushed = [GreaterThan(("event_id",), int(mx))]
     assert len(r.partitions()) <= max(1, n_all // 2)
+
+
+def test_read_vortex_as_of_batches(spark, tmp_path):
+    """Time travel over a streamed dataset: 'as of batch N' = union of
+    immutable batch dirs 0..N."""
+    from duckdb_vortex_spark.sources.vortex import register
+    from duckdb_vortex_spark.streaming.sinks import (
+        read_vortex_as_of,
+        read_vortex_dataset,
+        write_stream_vortex,
+    )
+
+    register(spark)
+    src = str(tmp_path / "in")
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_stream_vortex(stream, out, ckpt)
+    q.awaitTermination()
+    q.stop()
+
+    import glob as _g
+    import os as _os
+
+    n_batches = len(_g.glob(_os.path.join(out, "batch-*")))
+    assert n_batches >= 2
+    total = read_vortex_dataset(spark, out).count()
+    as_of_last = read_vortex_as_of(spark, out, n_batches - 1).count()
+    as_of_first = read_vortex_as_of(spark, out, 0).count()
+    assert as_of_last == total == ev.count()
+    assert 0 < as_of_first < total
+    # monotone growth across snapshots
+    counts = [read_vortex_as_of(spark, out, b).count() for b in range(n_batches)]
+    assert counts == sorted(counts) and counts[-1] == total
+    with pytest.raises(FileNotFoundError):
+        read_vortex_as_of(spark, out, -1)

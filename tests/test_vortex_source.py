@@ -367,3 +367,29 @@ def test_schema_evolution_additive(spark, tmp_path):
     spark.createDataFrame([("s",)], "x string").write.format("vortex").mode("append").save(bad)
     with pytest.raises(Exception, match="type conflict"):
         spark.read.format("vortex").load(bad).collect()
+
+
+def test_dataset_stats_footer_only(spark, tmp_path):
+    """Footer-only statistics agree with the actual data and expose
+    per-column encodings."""
+    from duckdb_vortex_spark.sources.vortex import dataset_stats, register
+
+    register(spark)
+    path = str(tmp_path / "stats.vortex")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.concat(F.lit("s"), F.col("id"))).alias("s"),
+    )
+    df.coalesce(2).write.format("vortex").mode("append").save(path)
+
+    st = dataset_stats(spark, path).collect()  # one row per (file, column)
+    assert {r["column"] for r in st} == {"k", "v", "s"}
+    assert len({r["file"] for r in st}) == 2
+    k_rows = [r for r in st if r["column"] == "k"]
+    assert min(int(r["min"]) for r in k_rows) == 0
+    assert max(int(r["max"]) for r in k_rows) == 999
+    assert sum(r["null_count"] for r in k_rows) == 0
+    assert sum(r["null_count"] for r in st if r["column"] == "s") == 100
+    assert sum(r["n_rows"] for r in k_rows) == 1000
+    assert all(r["encodings"] for r in st)
