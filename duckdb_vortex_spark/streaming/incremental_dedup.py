@@ -1,0 +1,93 @@
+"""Incremental dedup: new stream data against the historical corpus.
+
+The within-stream dedup in streaming/windows.py bounds its state by a
+watermark; a TRAINING-DATA ingest pipeline needs the other kind too —
+"have we EVER seen this document?" — whose state is the corpus itself
+and therefore lives in storage, not the stream state store. The
+standard shape at 100 TB/day:
+
+1. per batch, fingerprint rows (xxhash64 of normalized text) and drop
+   in-batch duplicates;
+2. LEFT ANTI join the batch against the persistent fingerprint store
+   (a vortex dataset: tiny rows, one column, zone-map-prunable);
+3. append survivors to the output dataset AND their fingerprints to
+   the store, both under the micro-batch's batch-id directory —
+   retries overwrite their own dirs, so exactly-once composes with
+   the streaming checkpoint.
+
+Scale: the anti join shuffles on the fingerprint — both sides hash-
+partition on a 64-bit key with no skew; the store grows by corpus
+cardinality (8 bytes/doc before encoding), and a periodic
+``compact_dataset`` keeps its file count flat. The batch side is one
+micro-batch (bounded); Spark broadcasts it when small.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.vortex import FILE_SUFFIX  # noqa: F401  (store is a vortex dataset)
+
+
+def fingerprint(text_col: str = "text"):
+    """Content fingerprint: xxhash64 over whitespace-normalized,
+    lowercased text — byte-identical docs AND trivially-reformatted
+    ones collapse."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return F.xxhash64(norm)
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+):
+    """Start the ingest pipeline on a streaming DataFrame; returns the
+    StreamingQuery (caller awaits). Output dataset: survivors only,
+    first occurrence wins across the whole stream history."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark_ = batch_df.sparkSession
+        fp = batch_df.withColumn("__fp", fingerprint(text_col))
+        # in-batch dedup: keep one row per fingerprint (min doc_id for
+        # determinism under retries)
+        fp = (
+            fp.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__fp").orderBy(
+                        *[c for c in fp.columns if c != "__fp"]
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        store_glob = os.path.join(store_dir, "batch-*")
+        try:
+            seen = spark_.read.format("vortex").load(store_glob).select("__fp")
+            fresh = fp.join(seen, "__fp", "left_anti")
+        except Exception:  # first batch: store empty
+            fresh = fp
+        for base, df_out in (
+            (out_dir, fresh.drop("__fp")),
+            (store_dir, fresh.select("__fp")),
+        ):
+            bdir = os.path.join(base, f"batch-{batch_id:08d}")
+            if os.path.isdir(bdir):
+                shutil.rmtree(bdir)  # retried batch: idempotent rewrite
+            df_out.write.format("vortex").mode("append").save(bdir)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
