@@ -431,3 +431,79 @@ def text_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 2)
     )
+
+
+# --- collocations ---------------------------------------------------------
+
+BIGRAM_LIFT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+  FROM documents
+), uni AS (
+  SELECT unnest(t) AS tok FROM toks
+), ucnt AS (
+  SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok
+), tot AS (
+  SELECT COUNT(*) AS n_tot FROM uni
+), big AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+), bcnt AS (
+  SELECT a, b, COUNT(*) AS n_ab FROM big GROUP BY a, b
+)
+SELECT
+  bcnt.a, bcnt.b,
+  bcnt.n_ab,
+  CAST(bcnt.n_ab AS DOUBLE) * (SELECT n_tot FROM tot)
+    / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS lift
+FROM bcnt
+JOIN ucnt ua ON ua.tok = bcnt.a
+JOIN ucnt ub ON ub.tok = bcnt.b
+WHERE bcnt.n_ab >= 5
+"""
+
+
+@query("text_bigram_lift", oracle=BIGRAM_LIFT_ORACLE, tags=("text", "llm"))
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent-bigram counts with lift
+    n_ab·N/(n_a·n_b) — the association measure under PMI, kept as the
+    raw RATIO (not its log) so both engines compute the identical
+    division sequence over exact integer counts; libm's log differs in
+    ulps across engines, a ratio does not.
+
+    Scale: one explode+groupBy for unigrams, one for bigrams (both
+    map-side-combining hash aggs), then two broadcast-size joins of
+    the bigram table against the unigram counts — vocabulary-bounded,
+    corpus-size-independent join sides."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count("*").alias("n"))
+    # corpus token total as a driver scalar, summed over the
+    # vocabulary-sized count table (NOT a second pass over the corpus)
+    n_tot = int(ucnt.agg(F.sum("n")).collect()[0][0])
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bcnt = big.groupBy("a", "b").agg(F.count("*").alias("n_ab")).filter(F.col("n_ab") >= 5)
+    ua = ucnt.select(F.col("tok").alias("a"), F.col("n").alias("n_a"))
+    ub = ucnt.select(F.col("tok").alias("b"), F.col("n").alias("n_b"))
+    return (
+        bcnt.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            (
+                F.col("n_ab").cast("double") * F.lit(n_tot)
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
