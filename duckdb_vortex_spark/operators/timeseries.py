@@ -307,3 +307,73 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("sum_qty"),
     )
+
+
+# --- ordered funnel -------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT
+  v.user_id,
+  CAST(v.view_ts AS VARCHAR) AS view_ts,
+  CAST(c.click_ts AS VARCHAR) AS click_ts,
+  CAST(p.purchase_ts AS VARCHAR) AS purchase_ts
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@query("events_funnel_conversion", oracle=FUNNEL_ORACLE, tags=("timeseries", "agg"))
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that — NULLs mark where the user fell out.
+
+    Scale shape: three user-keyed MIN aggregates chained by equi joins
+    on user_id — every stage shuffles once on the same key, so the
+    chain co-partitions end-to-end (the same one-key-exchange argument
+    as q21); no per-user event sorting or array collection anywhere."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("view_ts").cast("string").alias("view_ts"),
+            F.col("click_ts").cast("string").alias("click_ts"),
+            F.col("purchase_ts").cast("string").alias("purchase_ts"),
+        )
+    )
