@@ -85,3 +85,51 @@ def salted_broadcast_left(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     out = big_s.join(small_s, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+# --- driver-visible entry -------------------------------------------------
+
+SALTED_AGG_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(SUM(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _register() -> None:
+    from ..catalog import load, query
+
+    @query("skew_salted_aggregate", oracle=SALTED_AGG_ORACLE, tags=("agg", "skew"))
+    def skew_salted_aggregate(spark, sf_dir: str) -> DataFrame:
+        """The extreme-skew aggregation path, driver-checked: lineitem
+        grouped by l_returnflag (3 hot keys over every row — the shape
+        where one reducer would own a third of the table). Phase 1
+        shuffles on (key, content-salt) spreading each hot key over 16
+        reducers; phase 2 combines 16 partials per key. Values are
+        quantized to BIGINT before summing so both phases are exact
+        long arithmetic — bit-identical to the oracle's single-phase
+        GROUP BY (a salted DOUBLE sum would be order-dependent)."""
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.floor(F.col("l_quantity") * F.lit(1000000) + F.lit(0.5))
+            .cast("bigint")
+            .alias("qty_q"),
+        )
+        out = salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {"sum_q": ("qty_q", "sum"), "n_rows": ("qty_q", "count")},
+            n_salts=16,
+        )
+        return out.select(
+            "l_returnflag",
+            (F.col("sum_q").cast("double") / F.lit(1000000.0)).alias("sum_qty"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+
+
+_register()
