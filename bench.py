@@ -83,7 +83,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         run_one(spark, qs[name], sf_dir)  # warm-up: plan + codegen + page cache
-        timings[name] = round(run_one(spark, qs[name], sf_dir), 4)
+        # best-of-2 warm runs: this box shows ±30-80% run-to-run noise
+        # (shared VM); min-of-N is the standard steady-state estimator
+        timings[name] = round(
+            min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 4
+        )
         # Some operators persist() intermediates (minhash/simhash sigs,
         # token arrays). Left in place they accumulate across the 20
         # queries and the resulting executor-memory/GC pressure inflates
