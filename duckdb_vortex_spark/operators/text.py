@@ -11,6 +11,7 @@ catalog entry with a DuckDB oracle over the ``documents`` table.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
@@ -506,4 +507,123 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("lift"),
         )
+    )
+
+
+# --- sparse retrieval (TF-IDF) --------------------------------------------
+
+TFIDF_TOPK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+  FROM documents
+), terms AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS term
+  FROM t, unnest(range(1, len(t))) AS r(i)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+  HAVING COUNT(*) * 10 <= (SELECT n_docs FROM n)
+), w AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(floor(CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df * 1000 + 0.5)
+      AS BIGINT) AS wq
+  FROM tf JOIN df USING (term)
+), norms AS (
+  SELECT doc_id, SUM(wq * wq) AS nq FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wq * b.wq) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_a, d.doc_b,
+    CAST(d.dot AS DOUBLE)
+      / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE))) AS cosine
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b
+)
+SELECT doc_a, doc_b, cosine
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY doc_a ORDER BY cosine DESC, doc_b) = 1
+"""
+
+
+@query("text_tfidf_sparse_topk", oracle=TFIDF_TOPK_ORACLE, tags=("text", "similarity", "llm"))
+def text_tfidf_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse (TF-IDF) retrieval: for each document, its most similar
+    other document by weighted-bigram cosine — the inverted-index
+    counterpart to the dense-embedding ANN family.
+
+    Exactness across engines: weights quantize to BIGINT
+    (floor(tf·N/df·1000+.5)), so dot products and squared norms are
+    exact integer sums (order-free); the only float ops are the final
+    sqrt (IEEE-correctly-rounded) and one division, evaluated in the
+    identical sequence by both engines.
+
+    Scale: candidate generation is the inverted-index self-join — work
+    is Σ_term df², BOUNDED by the 10%-df stop-term cap (the classic
+    sparse-retrieval skew guard: a term in k docs costs k², so caps on
+    df are caps on join fan-out); everything else is map-side hash
+    aggs and a vocabulary-bounded broadcast of the df table."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    # raw adjacent bigrams WITH multiplicity (dedup.shingles_from_tokens
+    # is distinct-set semantics — wrong for term frequency)
+    t = tokens("text")
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(t, 1, m), F.slice(t, 2, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    tf = (
+        d.select("doc_id", F.explode(bigrams).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") * 10 <= F.lit(n_docs))
+    )
+    w = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.floor(
+            F.col("tf").cast("double") * F.lit(n_docs) / F.col("df") * F.lit(1000)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nq").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nq").alias("nb"))
+    scored = (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    win = W.partitionBy("doc_a").orderBy(F.col("cosine").desc(), F.col("doc_b"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
