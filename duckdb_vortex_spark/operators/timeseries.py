@@ -377,3 +377,67 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").cast("string").alias("purchase_ts"),
         )
     )
+
+
+# --- rolling z-score anomaly flags ----------------------------------------
+
+ZSCORE_ORACLE = """
+WITH w AS (
+  SELECT
+    event_id, user_id, ts, value,
+    CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER win AS DOUBLE) AS s,
+    CAST(SUM(CAST(value AS DECIMAL(30,6)) * CAST(value AS DECIMAL(30,6))) OVER win
+      AS DOUBLE) AS s2,
+    COUNT(*) OVER win AS n
+  FROM events
+  WINDOW win AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT
+  event_id,
+  user_id,
+  CAST(ts AS VARCHAR) AS ts_str,
+  value,
+  CASE WHEN n >= 5 AND (s2 - s * s / n) / (n - 1) > 0
+       THEN (value - s / n) / sqrt((s2 - s * s / n) / (n - 1))
+       END AS zscore,
+  COALESCE(
+    CASE WHEN n >= 5 AND (s2 - s * s / n) / (n - 1) > 0
+         THEN abs((value - s / n) / sqrt((s2 - s * s / n) / (n - 1))) > 3.0
+         END, FALSE) AS is_anomaly
+FROM w
+"""
+
+
+@query("timeseries_rolling_zscore", oracle=ZSCORE_ORACLE, tags=("timeseries", "window"))
+def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly flags: each event's z-score against its
+    user's trailing 20-event window (sample variance), flagged at
+    |z| > 3; windows shorter than 5 events or with zero variance yield
+    NULL scores.
+
+    Exact-decimal rolling moment sums (value, value²) make mean and
+    variance order-independent; the z expression then runs the same
+    float sequence in both engines. One shuffle on user_id; the frame
+    is ROWS-bounded so state per row is O(1) at any scale."""
+    ev = load(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    dv = F.col("value").cast("decimal(30,6)")
+    s = F.sum(dv).over(win).cast("double")
+    s2 = F.sum(dv * dv).over(win).cast("double")
+    n = F.count("*").over(win)
+    var = (s2 - s * s / n) / (n - F.lit(1))
+    z = F.when((n >= 5) & (var > 0), (F.col("value") - s / n) / F.sqrt(var))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        "value",
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )
