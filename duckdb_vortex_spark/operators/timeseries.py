@@ -441,3 +441,71 @@ def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# --- cohort retention -----------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+    CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT)
+      AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT
+  CAST(cohort_week AS VARCHAR) AS cohort_week,
+  week_offset,
+  COUNT(*) AS n_active,
+  CAST(COUNT(*) AS DOUBLE) / MAX(COUNT(*)) OVER (PARTITION BY cohort_week)
+    AS retention
+FROM activity
+GROUP BY cohort_week, week_offset
+"""
+
+
+@query("events_cohort_retention", oracle=RETENTION_ORACLE, tags=("timeseries", "agg"))
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, the
+    distinct-active count per week offset, and retention relative to
+    the cohort's own peak week.
+
+    Scale shape: first-seen is one user-keyed MIN; activity dedup is a
+    (user, week) distinct co-partitioned with it; the matrix aggregate
+    keys on (cohort, offset) — bounded by weeks², not by events. The
+    retention window partitions by cohort (dozens of rows per
+    partition)."""
+    ev = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                        - F.unix_timestamp(F.col("cohort_week"))
+                    )
+                    / (7 * 86400)
+                )
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    counts = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+    peak = Window.partitionBy("cohort_week")
+    return counts.select(
+        # DuckDB date_trunc('week') yields DATE; cast through DATE so
+        # both engines render "YYYY-MM-DD"
+        F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        (F.col("n_active").cast("double") / F.max("n_active").over(peak)).alias("retention"),
+    )
