@@ -509,3 +509,89 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         (F.col("n_active").cast("double") / F.max("n_active").over(peak)).alias("retention"),
     )
+
+
+# --- event transition matrix ----------------------------------------------
+
+TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+)
+SELECT
+  event_type AS from_type,
+  next_type AS to_type,
+  COUNT(*) AS n,
+  CAST(COUNT(*) AS DOUBLE)
+    / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@query("events_transition_matrix", oracle=TRANSITION_ORACLE, tags=("timeseries", "window"))
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: per user, each event's
+    successor type (lead over the time-ordered stream), aggregated to
+    (from, to) counts and row-normalized probabilities — the Markov
+    view of user journeys. One user_id shuffle for the lead window; the
+    matrix aggregate is |event_types|²-bounded."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(row)).alias("p"),
+    )
+
+
+# --- period-over-period growth --------------------------------------------
+
+WOW_GROWTH_ORACLE = """
+WITH weekly AS (
+  SELECT
+    CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+    CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      / 1000000.0 AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT
+  CAST(week AS VARCHAR) AS week,
+  revenue,
+  revenue / lag(revenue) OVER (ORDER BY week) AS wow_ratio
+FROM weekly
+"""
+
+
+@query("orders_weekly_growth", oracle=WOW_GROWTH_ORACLE, tags=("timeseries", "window"))
+def orders_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: weekly exact quantized sums, then
+    a lag ratio (rational — no libm log) over the week sequence. The
+    single-partition lag window is safe: its input is the weekly
+    aggregate (one row per week), not the fact table."""
+    o = load(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+    ).agg(
+        (
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(1000000) + F.lit(0.5)).cast("bigint"))
+            .cast("double") / F.lit(1000000.0)
+        ).alias("revenue")
+    )
+    w = Window.orderBy("week")
+    return weekly.select(
+        F.col("week").cast("string").alias("week"),
+        "revenue",
+        (F.col("revenue") / F.lag("revenue").over(w)).alias("wow_ratio"),
+    )

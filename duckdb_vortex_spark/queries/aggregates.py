@@ -397,3 +397,35 @@ def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         csv.alias("nations_desc_csv"),
         F.count_if((F.col("n_nationkey") % 2) == 0).cast("bigint").alias("n_even"),
     )
+
+
+HISTOGRAM_ORACLE = """
+SELECT
+  CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+  CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000.0 AS bucket_lo,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 AS sum_price
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@query("agg_histogram_fixed_width", oracle=HISTOGRAM_ORACLE, tags=("agg",))
+def agg_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the width_bucket shape — DuckDB 1.0 has
+    no width_bucket builtin, so both engines run the identical
+    floor(x/width) arithmetic): bucket id, lower bound, count, exact
+    quantized sum per bucket. Bucket cardinality is bounded by the
+    value range, so the aggregate is a low-cardinality hash agg at any
+    input size."""
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("bigint")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        (F.col("bucket") * F.lit(5000.0)).alias("bucket_lo"),
+        F.count("*").alias("n"),
+        (
+            F.sum(F.floor(F.col("l_extendedprice") * F.lit(1000000) + F.lit(0.5)).cast("bigint"))
+            .cast("double") / F.lit(1000000.0)
+        ).alias("sum_price"),
+    )
