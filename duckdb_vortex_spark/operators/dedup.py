@@ -131,6 +131,7 @@ NGRAM_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id AS id, {_duck_shingles(_DUCK_TOKS)} AS sh
   FROM documents
+  WHERE doc_id % CAST(ceil((SELECT COUNT(*) FROM documents) / 1000.0) AS BIGINT) = 0
 )
 SELECT
   a.id AS doc_a,
@@ -145,8 +146,18 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 @query("dedup_ngram_jaccard_pairs", oracle=NGRAM_ORACLE, tags=("dedup", "llm"))
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard near-dup pairs (J ≥ 0.5), exact pairwise."""
-    return ngram_jaccard_pairs_bruteforce(load(spark, sf_dir, "documents"), 0.5)
+    """3-gram Jaccard near-dup pairs (J ≥ 0.5), exact pairwise — the
+    BRUTE-FORCE fixture, SF-adaptively bounded: above ~1000 docs both
+    engines apply the identical deterministic modulus sample
+    (doc_id % ceil(N/1000) = 0), keeping the O(n²) fixture at a fixed
+    ≤~0.5M-pair budget at any corpus size (7.4 min unbounded at sf0.1,
+    seconds bounded). The full-corpus scale path is minhash_lsh_pairs;
+    this entry exists to pin exact-Jaccard semantics."""
+    d = load(spark, sf_dir, "documents")
+    import math
+
+    m = max(1, math.ceil(d.count() / 1000.0))
+    return ngram_jaccard_pairs_bruteforce(d.filter(F.col("doc_id") % m == 0), 0.5)
 
 
 # --- MinHash + LSH -------------------------------------------------------
