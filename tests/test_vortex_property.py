@@ -148,3 +148,57 @@ def test_roundtrip_random_nested_rows(spark, tmp_path_factory, rows):
         )
 
     assert canon_map(back.collect()) == canon_map(df.collect())
+
+
+# --- additive schema evolution (random column subsets) --------------------
+
+_POOL = [
+    ("c_int", T.LongType(), st.integers(-(2**40), 2**40)),
+    ("c_str", T.StringType(), st.one_of(st.none(), st.text(max_size=12))),
+    ("c_dbl", T.DoubleType(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    ("c_bool", T.BooleanType(), st.one_of(st.none(), st.booleans())),
+]
+
+
+@st.composite
+def evolution_case(draw):
+    """Two file schemas over the column pool: file 1 uses a prefix,
+    file 2 the full set (the additive-evolution shape), with random
+    row data for each."""
+    k = draw(st.integers(1, len(_POOL) - 1))
+    n1 = draw(st.integers(1, 12))
+    n2 = draw(st.integers(1, 12))
+    rows1 = [
+        tuple([i] + [draw(sgen) for _, _, sgen in _POOL[:k]]) for i in range(n1)
+    ]
+    rows2 = [
+        tuple([100 + i] + [draw(sgen) for _, _, sgen in _POOL]) for i in range(n2)
+    ]
+    return k, rows1, rows2
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=evolution_case())
+def test_schema_evolution_random_subsets(spark, tmp_path_factory, case):
+    k, rows1, rows2 = case
+    fields = lambda n: T.StructType(
+        [T.StructField("id", T.LongType())]
+        + [T.StructField(nm, dt) for nm, dt, _ in _POOL[:n]]
+    )
+    df1 = spark.createDataFrame(rows1, fields(k))
+    df2 = spark.createDataFrame(rows2, fields(len(_POOL)))
+    path = str(tmp_path_factory.mktemp("evo") / "d.vortex")
+    df1.coalesce(1).write.format("vortex").mode("append").save(path)
+    df2.coalesce(1).write.format("vortex").mode("append").save(path)
+
+    back = spark.read.format("vortex").load(path)
+    assert [f.name for f in back.schema.fields] == ["id"] + [n for n, _, _ in _POOL]
+    # expected: df1 rows null-extended to the full schema, plus df2
+    want = [tuple(r) + (None,) * (len(_POOL) - k) for r in rows1] + rows2
+    assert _canon(back.collect()) == _canon(
+        spark.createDataFrame(want, fields(len(_POOL))).collect()
+    )
