@@ -55,6 +55,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_channels", T.LongType(), True),
         T.StructField("n_samples", T.LongType(), True),
         T.StructField("rms", T.DoubleType(), True),
+        # video leg: decoded frame count (GIF; null for stills/audio)
+        T.StructField("n_frames", T.LongType(), True),
     ]
 )
 
@@ -63,9 +65,10 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
     """Decode one media payload to features.
 
     Real, dependency-free codecs: BMP (24-bit uncompressed), PNG
-    (8-bit gray/RGB/RGBA, all five scanline filters, zlib IDAT) and
-    WAV (RIFF PCM, 8/16/32-bit int + float32) are decoded here in pure
-    Python/numpy. 'fake/raw' payloads are raw byte streams with an
+    (8-bit gray/RGB/RGBA, all five scanline filters, zlib IDAT), WAV
+    (RIFF PCM, 8/16/32-bit int + float32) and GIF (real LZW, animated
+    multi-frame, interlace, local color tables — the video leg) are
+    decoded here in pure Python/numpy. 'fake/raw' payloads are raw byte streams with an
     8-byte (width,height) header (deterministic synthetic fixture).
     Codecs needing native libs (JPEG/MP3/video) still raise
     NotImplementedError — the seam a PIL/ffmpeg deployment plugs into.
@@ -83,6 +86,11 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
         return _pixel_features(pixels, w, h)
     if media_type in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _audio_features(*_decode_wav(payload))
+    if media_type == "image/gif":
+        w, h, frames = _decode_gif(payload)
+        feats = _pixel_features(b"".join(frames), w, h)
+        feats["n_frames"] = len(frames)
+        return feats
     raise NotImplementedError(
         f"codec for {media_type!r} not available in this environment; "
         "plug a real decoder into _decode_payload"
@@ -91,7 +99,7 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
 
 _FEATURE_KEYS = (
     "byte_mean", "byte_min", "byte_max", "width", "height",
-    "sample_rate", "n_channels", "n_samples", "rms",
+    "sample_rate", "n_channels", "n_samples", "rms", "n_frames",
 )
 
 
@@ -393,3 +401,124 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(frame).cast("bigint").alias("frame_len"),
         )
     )
+
+
+# --- GIF (LZW) codec ------------------------------------------------------
+
+def _decode_gif(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """GIF87a/89a → (width, height, [RGB frame bytes...]).
+
+    Real LZW decode (variable-width codes, clear/EOI, 4096-entry
+    dictionary), per-frame local color tables, frame placement into
+    the logical screen, and 4-pass deinterlacing. Animated GIFs yield
+    one RGB buffer per frame — the VIDEO leg of the multimodal
+    surface: frame extraction happens here, keyframe sampling upstream
+    (multimodal_frame_sample) prunes which frames are decoded."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    frames: list[bytes] = []
+    # logical screen accumulates frames (GIF frames can be partial rects)
+    screen = bytearray(width * height * 3)
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+        left, top, fw, fh, fflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = gct
+        if fflags & 0x80:
+            n = 2 << (fflags & 0x07)
+            table = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame without color table")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), mcs, fw * fh)
+        if fflags & 0x40:  # interlaced: 4-pass row order
+            order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(s, fh, st)]
+            de = bytearray(fw * fh)
+            for src_r, dst_r in enumerate(order):
+                de[dst_r * fw : (dst_r + 1) * fw] = idx[src_r * fw : (src_r + 1) * fw]
+            idx = bytes(de)
+        for r in range(fh):
+            for c in range(fw):
+                p = idx[r * fw + c] * 3
+                o = ((top + r) * width + left + c) * 3
+                screen[o : o + 3] = table[p : p + 3]
+        frames.append(bytes(screen))
+    return width, height, frames
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """GIF-flavor LZW: variable code width (min+1..12), CLEAR resets
+    the dictionary, EOI terminates."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader, LSB-first
+    acc = n_bits = 0
+    it = iter(data)
+
+    def read(width: int) -> int:
+        nonlocal acc, n_bits
+        while n_bits < width:
+            acc |= next(it) << n_bits
+            n_bits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return v
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1, None
+
+    table, wbits, prev = reset()
+    next_code = eoi + 1
+    try:
+        while len(out) < n_expected:
+            code = read(wbits)
+            if code == clear:
+                table, wbits, prev = reset()
+                next_code = eoi + 1
+                continue
+            if code == eoi:
+                break
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << wbits) and wbits < 12:
+                    wbits += 1
+            prev = entry
+    except StopIteration:
+        pass
+    return bytes(out[:n_expected])

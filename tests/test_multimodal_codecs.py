@@ -241,3 +241,154 @@ def test_extract_features_with_audio(spark):
     assert abs(out[1].rms - 0.25) < 1e-3
     assert out[1].width is None
     assert out[2].width == 1 and out[2].sample_rate is None
+
+
+# --- GIF ------------------------------------------------------------------
+
+
+def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real GIF LZW encoder (variable width, clear/EOI) for round-trip
+    tests — the decoder sees genuine dictionary-growth streams."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code, width):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code_size + 1
+    # the decoder rebuilds entry k only after reading the code FOLLOWING
+    # the one that created it, so its width bump lands one code later
+    # than a naive encoder's — defer each bump by one emission to match
+    pending = False
+    emit(clear, width)
+    prev = b""
+    for b in indices:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        if pending:
+            width += 1
+            pending = False
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                pending = True
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], width)
+        if pending:
+            width += 1
+            pending = False
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(frames, palette, w, h, interlace=False, local_tables=False):
+    """Assemble a GIF89a byte-for-byte. frames: list of index bytes."""
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    while len(pal) < 3 * 4:
+        pal += b"\x00\x00\x00"
+    gct_flag = 0 if local_tables else 0x80
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, gct_flag | 0x01, 0, 0)  # 4-entry table
+    if not local_tables:
+        out += pal[: 3 * 4]
+    for idx in frames:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE (skipped by decoder)
+        fflags = (0x80 | 0x01 if local_tables else 0) | (0x40 if interlace else 0)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, fflags)
+        if local_tables:
+            out += pal[: 3 * 4]
+        if interlace:
+            order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(s, h, st)]
+            idx = b"".join(idx[r * w : (r + 1) * w] for r in order)
+        mcs = 2
+        out += bytes([mcs])
+        data = lzw_encode(idx, mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+PALETTE = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+
+def test_gif_single_frame_golden():
+    from duckdb_vortex_spark.operators.multimodal import _decode_gif
+
+    idx = bytes([0, 1, 2, 3])  # 2x2
+    w, h, frames = _decode_gif(make_gif([idx], PALETTE, 2, 2))
+    assert (w, h, len(frames)) == (2, 2, 1)
+    assert frames[0] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+
+
+def test_gif_animated_and_local_tables():
+    from duckdb_vortex_spark.operators.multimodal import _decode_gif
+
+    f1, f2, f3 = bytes([0, 0, 1, 1]), bytes([2, 2, 3, 3]), bytes([1, 0, 3, 2])
+    for local in (False, True):
+        w, h, frames = _decode_gif(make_gif([f1, f2, f3], PALETTE, 2, 2, local_tables=local))
+        assert (w, h, len(frames)) == (2, 2, 3)
+        assert frames[2] == bytes([0, 255, 0, 255, 0, 0, 9, 9, 9, 0, 0, 255])
+
+
+def test_gif_interlaced_rows():
+    from duckdb_vortex_spark.operators.multimodal import _decode_gif
+
+    # 1x8: row r holds palette index r % 4
+    idx = bytes([r % 4 for r in range(8)])
+    w, h, frames = _decode_gif(make_gif([idx], PALETTE, 1, 8, interlace=True))
+    assert (w, h) == (1, 8)
+    expect = b"".join(bytes(PALETTE[r % 4]) for r in range(8))
+    assert frames[0] == expect
+
+
+def test_gif_lzw_roundtrip_random():
+    from duckdb_vortex_spark.operators.multimodal import _lzw_decode
+
+    rng = np.random.default_rng(7)
+    for n in (5, 64, 1000, 5000):
+        idx = bytes(rng.integers(0, 4, n, dtype=np.uint8))
+        assert _lzw_decode(lzw_encode(idx, 2), 2, n) == idx
+
+
+def test_gif_features_via_decode_payload():
+    feats = _decode_payload("image/gif", make_gif([bytes([3, 3, 3, 3])], PALETTE, 2, 2))
+    assert feats["width"] == 2 and feats["height"] == 2
+    assert feats["n_frames"] == 1
+    assert feats["byte_mean"] == 9.0 and feats["sample_rate"] is None
+
+
+def test_gif_real_encoder_interop():
+    """Byte strings produced by real-world GIF encoders (the canonical
+    1x1 pixel GIFs), pinning cross-encoder LZW width conventions."""
+    import base64
+
+    from duckdb_vortex_spark.operators.multimodal import _decode_gif
+
+    transparent_1x1 = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert _decode_gif(transparent_1x1) == (1, 1, [b"\x00\x00\x00"])
+    red_1x1 = base64.b64decode(
+        "R0lGODlhAQABAPAAAP8AAP///yH5BAAAAAAALAAAAAABAAEAAAICRAEAOw=="
+    )
+    assert _decode_gif(red_1x1) == (1, 1, [b"\xff\x00\x00"])
