@@ -627,3 +627,78 @@ def text_tfidf_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# --- corpus LM scoring (perplexity-filter shape) --------------------------
+
+LM_SCORE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS a, t[i+1] AS b
+  FROM t, unnest(range(1, len(t))) AS r(i)
+), bcnt AS (
+  SELECT a, b, COUNT(*) AS n_ab FROM big GROUP BY a, b
+), ucnt AS (
+  SELECT a, SUM(n_ab) AS n_a FROM bcnt GROUP BY a
+), probs AS (
+  SELECT bcnt.a, bcnt.b,
+    CAST(floor(CAST(bcnt.n_ab AS DOUBLE) / ucnt.n_a * 1000000 + 0.5) AS BIGINT)
+      AS p_q
+  FROM bcnt JOIN ucnt USING (a)
+)
+SELECT
+  big.doc_id,
+  COUNT(*) AS n_bigrams,
+  CAST(SUM(p.p_q) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_prob,
+  CAST(SUM(p.p_q) AS DOUBLE) / 1000000.0 / COUNT(*) < 0.02 AS is_outlier
+FROM big JOIN probs p ON big.a = p.a AND big.b = p.b
+GROUP BY big.doc_id
+"""
+
+
+@query("text_lm_score_filter", oracle=LM_SCORE_ORACLE, tags=("text", "llm"))
+def text_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document scoring (the perplexity-filter shape from
+    CCNet-style pipelines): train a bigram model ON the corpus itself
+    (P(b|a) = n_ab / n_a), score each document by its mean transition
+    probability, and flag low-probability outliers — the docs whose
+    word sequences the corpus model finds surprising.
+
+    Mean probability stands in for perplexity so the score stays
+    RATIONAL: probabilities quantize to BIGINT before the per-doc sum
+    (exact, order-free), and only one final division runs in floats —
+    log/exp (libm, ulp-divergent across engines) never appear. At
+    scale the model is vocabulary²-bounded and broadcasts; scoring is
+    one map-side join + per-doc aggregate."""
+    d = load(spark, sf_dir, "documents")
+    t = tokens("text")
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, m), F.slice(t, 2, m), lambda x, y: F.struct(x.alias("a"), y.alias("b"))
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+    bcnt = big.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    ucnt = bcnt.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    probs = bcnt.join(ucnt, "a").select(
+        "a",
+        "b",
+        F.floor(F.col("n_ab").cast("double") / F.col("n_a") * F.lit(1000000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("p_q"),
+    )
+    mean_prob = F.sum("p_q").cast("double") / F.lit(1000000.0) / F.count("*")
+    return (
+        big.join(F.broadcast(probs), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            mean_prob.alias("mean_prob"),
+            (mean_prob < 0.02).alias("is_outlier"),
+        )
+    )
