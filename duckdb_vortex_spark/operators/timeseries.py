@@ -595,3 +595,62 @@ def orders_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("revenue") / F.lag("revenue").over(w)).alias("wow_ratio"),
     )
+
+
+# --- RFM segmentation -----------------------------------------------------
+
+RFM_ORACLE = """
+WITH rfm AS (
+  SELECT
+    o_custkey,
+    MAX(o_orderdate) AS last_order,
+    COUNT(*) AS frequency,
+    CAST(SUM(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      / 1000000.0 AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT
+  o_custkey,
+  CAST(last_order AS VARCHAR) AS last_order,
+  frequency,
+  monetary,
+  ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+  ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+  ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+FROM rfm
+"""
+
+
+@query("customers_rfm_segments", oracle=RFM_ORACLE, tags=("timeseries", "agg", "window"))
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (last order), frequency
+    (order count), monetary (exact quantized revenue), each bucketed
+    into quartiles via ntile with a custkey tiebreak (ntile is
+    rank-determined, so a deterministic total order makes both engines
+    agree exactly).
+
+    The three single-partition ntile windows run over the per-customer
+    AGGREGATE (|customers| rows, not orders); at cluster scale swap in
+    percentile-based cutpoints computed distributively if |customers|
+    itself outgrows one partition."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(1000000) + F.lit(0.5)).cast("bigint"))
+            .cast("double") / F.lit(1000000.0)
+        ).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    return rfm.select(
+        "o_custkey",
+        F.col("last_order").cast("string").alias("last_order"),
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_quartile"),
+        F.ntile(4).over(f_w).alias("f_quartile"),
+        F.ntile(4).over(m_w).alias("m_quartile"),
+    )
