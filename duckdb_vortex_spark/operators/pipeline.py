@@ -211,3 +211,99 @@ def pack_documents_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         ((cum - F.col("n_tokens")) / 2048).cast("bigint").alias("bin"),
     )
+
+
+# --- curation with LM filtering -------------------------------------------
+
+CURATION_LM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks, length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks,
+    CAST(
+      CAST(n_chars BETWEEN 100 AND 20000 AS INTEGER)
+      + CAST(CAST(len(list_filter(toks, x -> lower(x) IN
+              ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+          / greatest(len(toks), 1) > 0.05 AS INTEGER)
+      + CAST(CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / greatest(n_chars, 1) < 0.2 AS INTEGER)
+      + CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+          / greatest(len(toks), 1) BETWEEN 2.0 AND 12.0 AS INTEGER)
+    AS DOUBLE) / 4.0 AS quality
+  FROM t
+), big AS (
+  SELECT t.doc_id, t.toks[i] AS a, t.toks[i+1] AS b
+  FROM t, unnest(range(1, len(t.toks))) AS r(i)
+), bcnt AS (
+  SELECT a, b, COUNT(*) AS n_ab FROM big GROUP BY a, b
+), ucnt AS (
+  SELECT a, SUM(n_ab) AS n_a FROM bcnt GROUP BY a
+), probs AS (
+  SELECT bcnt.a, bcnt.b,
+    CAST(floor(CAST(bcnt.n_ab AS DOUBLE) / ucnt.n_a * 1000000 + 0.5) AS BIGINT)
+      AS p_q
+  FROM bcnt JOIN ucnt USING (a)
+), lm AS (
+  SELECT big.doc_id,
+    CAST(SUM(p.p_q) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean_prob
+  FROM big JOIN probs p ON big.a = p.a AND big.b = p.b
+  GROUP BY big.doc_id
+), q AS (
+  SELECT m.doc_id, m.text, m.toks, lm.mean_prob,
+         md5(array_to_string(list_sort(list_distinct(m.toks)), ' ')) AS content_key
+  FROM m JOIN lm ON m.doc_id = lm.doc_id
+  WHERE m.quality >= 0.75 AND lm.mean_prob >= 0.02
+), dd AS (
+  SELECT doc_id, toks, mean_prob,
+         min(doc_id) OVER (PARTITION BY content_key) AS keep_id
+  FROM q
+)
+SELECT
+  doc_id,
+  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+       THEN 'train' ELSE 'val' END AS split,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  mean_prob
+FROM dd
+WHERE doc_id = keep_id
+"""
+
+
+@query("pipeline_curation_with_lm", oracle=CURATION_LM_ORACLE, tags=("llm", "dedup", "flagship"))
+def pipeline_curation_with_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as one plan: heuristic quality filter →
+    corpus-LM outlier removal (text.lm_scores: model trained on the
+    same corpus in the same plan) → exact-dedup keep-canonical →
+    reproducible 80/20 split. Still declarative end-to-end — the LM
+    model tables are vocabulary-bounded broadcasts inside the plan, so
+    the pipeline's distributed cost remains one corpus pass plus the
+    dedup shuffle."""
+    from .text import lm_scores
+
+    d = load(spark, sf_dir, "documents")
+    lm = lm_scores(d).select("doc_id", "mean_prob", "is_outlier")
+    filtered = (
+        d.filter(quality_score("text") >= 0.75)
+        .join(lm, "doc_id")
+        .filter(~F.col("is_outlier"))
+    )
+    content_key = F.md5(
+        F.array_join(F.sort_array(F.array_distinct(tokens("text"))), " ")
+    )
+    keyed = filtered.withColumn("content_key", content_key)
+    keep = F.min("doc_id").over(Window.partitionBy("content_key"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    return (
+        keyed.withColumn("keep_id", keep)
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select(
+            "doc_id",
+            F.when(bucket < 8, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+            token_count("text").alias("n_tokens"),
+            "mean_prob",
+        )
+    )

@@ -658,8 +658,7 @@ GROUP BY big.doc_id
 """
 
 
-@query("text_lm_score_filter", oracle=LM_SCORE_ORACLE, tags=("text", "llm"))
-def text_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lm_scores(d: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-LM document scoring (the perplexity-filter shape from
     CCNet-style pipelines): train a bigram model ON the corpus itself
     (P(b|a) = n_ab / n_a), score each document by its mean transition
@@ -671,12 +670,13 @@ def text_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact, order-free), and only one final division runs in floats —
     log/exp (libm, ulp-divergent across engines) never appear. At
     scale the model is vocabulary²-bounded and broadcasts; scoring is
-    one map-side join + per-doc aggregate."""
-    d = load(spark, sf_dir, "documents")
-    t = tokens("text")
+    one map-side join + per-doc aggregate.
+
+    Returns (doc_id, n_bigrams, mean_prob, is_outlier)."""
+    t = tokens(text_col)
     m = F.greatest(F.size(t) - 1, F.lit(0))
     big = d.select(
-        "doc_id",
+        F.col(id_col).alias("doc_id"),
         F.explode(
             F.zip_with(
                 F.slice(t, 1, m), F.slice(t, 2, m), lambda x, y: F.struct(x.alias("a"), y.alias("b"))
@@ -702,3 +702,9 @@ def text_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean_prob < 0.02).alias("is_outlier"),
         )
     )
+
+
+@query("text_lm_score_filter", oracle=LM_SCORE_ORACLE, tags=("text", "llm"))
+def text_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry for :func:`lm_scores` over the documents corpus."""
+    return lm_scores(load(spark, sf_dir, "documents"))
