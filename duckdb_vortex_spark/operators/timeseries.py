@@ -654,3 +654,65 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(f_w).alias("f_quartile"),
         F.ntile(4).over(m_w).alias("m_quartile"),
     )
+
+
+# --- Pareto / ABC analysis ------------------------------------------------
+
+PARETO_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+    SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT))
+      AS rev_q
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, rev_q,
+    SUM(rev_q) OVER (ORDER BY rev_q DESC, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_q,
+    SUM(rev_q) OVER () AS total_q
+  FROM per_part
+)
+SELECT
+  l_partkey,
+  CAST(rev_q AS DOUBLE) / 1000000.0 AS revenue,
+  CAST(cum_q AS DOUBLE) / CAST(total_q AS DOUBLE) AS cum_share,
+  CASE WHEN CAST(cum_q AS DOUBLE) / CAST(total_q AS DOUBLE) <= 0.8 THEN 'A'
+       WHEN CAST(cum_q AS DOUBLE) / CAST(total_q AS DOUBLE) <= 0.95 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@query("parts_pareto_abc", oracle=PARETO_ORACLE, tags=("timeseries", "window", "agg"))
+def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of parts by revenue: exact quantized
+    per-part sums, a cumulative share over the revenue-descending
+    order (partkey tiebreak → total order → engine-exact), and the
+    80/95% class bands. Integer cumulative sums make the running
+    share deterministic; the single-partition window runs over the
+    per-part AGGREGATE (|parts| rows) — at larger key cardinality,
+    range-partition the cumsum (two-pass: per-partition totals +
+    offset broadcast)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev_q = F.sum(
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1000000)
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    per_part = li.groupBy("l_partkey").agg(rev_q.alias("rev_q"))
+    w_cum = (
+        Window.orderBy(F.col("rev_q").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum_share = F.sum("rev_q").over(w_cum).cast("double") / F.sum("rev_q").over(
+        w_all
+    ).cast("double")
+    return per_part.select(
+        "l_partkey",
+        (F.col("rev_q").cast("double") / F.lit(1000000.0)).alias("revenue"),
+        cum_share.alias("cum_share"),
+        F.when(cum_share <= 0.8, "A").when(cum_share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
