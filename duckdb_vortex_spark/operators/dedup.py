@@ -591,14 +591,98 @@ def simhash_neardup_pairs(
     )
 
 
+def simhash_neardup_pairs_portable(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over the PORTABLE (md5-bit) simhash — the same
+    Hamming-band pigeonhole shape as simhash_neardup_pairs, but with a
+    signature an external SQL engine reproduces bit-for-bit, so the
+    whole pair set is oracle-checkable. Bands are 4-hex-digit (16-bit)
+    substrings of the hex signature; the verify stage recomputes the
+    exact Hamming distance from the two hex strings (4 bits per digit
+    position). Same shuffle shape and Σ-bucket² bound as the fast
+    xxhash64 path."""
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < n_bands")
+    sig = df.select(
+        F.col(id_col).alias("id"), _portable_simhash_spark(text_col).alias("sig")
+    )
+    width = 16 // n_bands  # hex digits per band
+    band_vals = F.array(
+        *[F.substring("sig", b * width + 1, width) for b in range(n_bands)]
+    )
+    buckets = sig.select("id", F.posexplode(band_vals).alias("band", "h"))
+    a = buckets.select("band", "h", F.col("id").alias("doc_a"))
+    b = buckets.select("band", "h", F.col("id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    hexchars = F.lit("0123456789abcdef")
+
+    def _digit(col: str, i: int) -> Column:
+        return F.position(F.substring(F.col(col), i, 1), hexchars).cast("int") - 1
+
+    ham = None
+    for i in range(1, 17):
+        term = F.bit_count(_digit("sig_a", i).bitwiseXOR(_digit("sig_b", i)))
+        ham = term if ham is None else ham + term
+    sa = sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, n_bands: int = 4) -> str:
+    width = 16 // n_bands
+    sig_expr = _portable_simhash_duck()
+    band_exprs = ", ".join(
+        f"substr(sig, {b * width + 1}, {width})" for b in range(n_bands)
+    )
+    ham = (
+        "list_sum(list_transform(range(1, 17), i -> "
+        "bit_count(xor(strpos('0123456789abcdef', substr(sig_a, CAST(i AS INT), 1)) - 1, "
+        "strpos('0123456789abcdef', substr(sig_b, CAST(i AS INT), 1)) - 1))))"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, {sig_expr} AS sig FROM documents
+), b AS (
+  SELECT doc_id, sig, unnest([{band_exprs}]) AS h,
+         unnest(range({n_bands})) AS band
+  FROM s
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         a.sig AS sig_a, c.sig AS sig_b
+  FROM b a JOIN b c ON a.band = c.band AND a.h = c.h AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
+"""
+
+
 @query(
     "dedup_simhash_neardup_pairs",
-    oracle=None,  # 64-bit xxhash simhash isn't reproducible in DuckDB SQL; properties pinned in pytest
+    oracle=_simhash_pairs_oracle(),
     tags=("dedup", "llm", "hash"),
 )
 def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 over 4 bands): exact recall
-    by pigeonhole, bit_count verify. Value properties (identical docs
-    at distance 0, pigeonhole completeness vs brute force) are pinned
-    in tests/test_operators_quality.py."""
-    return simhash_neardup_pairs(load(spark, sf_dir, "documents"))
+    by pigeonhole, bit-count verify. FULLY oracle-checked (upgraded
+    from rows-only) by running the identical band→verify pipeline over
+    the portable md5-bit signature in DuckDB; the xxhash64 fast path
+    (simhash_neardup_pairs) keeps its property pins in
+    tests/test_operators_quality.py."""
+    return simhash_neardup_pairs_portable(load(spark, sf_dir, "documents"))

@@ -20,6 +20,7 @@ directs.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -66,11 +67,13 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
 
     Real, dependency-free codecs: BMP (24-bit uncompressed), PNG
     (8-bit gray/RGB/RGBA, all five scanline filters, zlib IDAT), WAV
-    (RIFF PCM, 8/16/32-bit int + float32) and GIF (real LZW, animated
-    multi-frame, interlace, local color tables — the video leg) are
-    decoded here in pure Python/numpy. 'fake/raw' payloads are raw byte streams with an
+    (RIFF PCM, 8/16/32-bit int + float32), GIF (real LZW, animated
+    multi-frame, interlace, local color tables — the video leg) and
+    JPEG (baseline sequential: huffman + dequant + IDCT + YCbCr,
+    interop-pinned against javax.imageio goldens) are decoded here in
+    pure Python/numpy. 'fake/raw' payloads are raw byte streams with an
     8-byte (width,height) header (deterministic synthetic fixture).
-    Codecs needing native libs (JPEG/MP3/video) still raise
+    Codecs needing native libs (MP3/video containers) still raise
     NotImplementedError — the seam a PIL/ffmpeg deployment plugs into.
     """
     if media_type == "fake/raw":
@@ -91,6 +94,9 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
         feats = _pixel_features(b"".join(frames), w, h)
         feats["n_frames"] = len(frames)
         return feats
+    if media_type in ("image/jpeg", "image/jpg"):
+        w, h, pixels = _decode_jpeg(payload)
+        return _pixel_features(pixels, w, h)
     raise NotImplementedError(
         f"codec for {media_type!r} not available in this environment; "
         "plug a real decoder into _decode_payload"
@@ -522,3 +528,283 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
     except StopIteration:
         pass
     return bytes(out[:n_expected])
+
+
+# --- JPEG (baseline sequential, pure Python/numpy) ------------------------
+
+# 8x8 zigzag order (JPEG spec Figure A.6)
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment, handling
+    0xFF00 byte stuffing and stopping at restart/other markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise EOFError("marker in entropy stream")
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Skip to just after the next restart marker and resync."""
+        self.bits = 0
+        self.nbits = 0
+        while True:
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    """Canonical Huffman decode: walk bit by bit through the
+    (length, code) → symbol map (max 16 bits per the spec)."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _receive_extend(reader: _JpegBitReader, s: int) -> int:
+    """JPEG RECEIVE+EXTEND: read s magnitude bits, sign-extend."""
+    if s == 0:
+        return 0
+    v = reader.read_bits(s)
+    if v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v
+
+
+def _idct_matrix():
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            c[k, n] = math.cos(math.pi * k * (2 * n + 1) / 16.0)
+    scale = np.full(8, math.sqrt(2.0 / 8.0))
+    scale[0] = math.sqrt(1.0 / 8.0)
+    return (c.T * scale).T  # rows scaled: basis matrix B, IDCT = B.T @ X @ B
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Baseline sequential JFIF JPEG → (width, height, RGB bytes).
+
+    Pure Python/numpy: marker walk (DQT 8/16-bit, SOF0/1, DHT, DRI,
+    SOS), canonical-Huffman entropy decode with byte unstuffing and
+    restart-interval resync, DC prediction, AC run-length/ZRL/EOB,
+    dequantize, inverse zigzag, float IDCT-II (separable 8x8 basis
+    matmul), chroma upsampling for arbitrary sampling factors (4:4:4 /
+    4:2:2 / 4:2:0), JFIF YCbCr→RGB with clamping, crop to the frame
+    size. Progressive (SOF2) and arithmetic coding raise
+    NotImplementedError — baseline is what cameras and `cjpeg`/libjpeg
+    emit by default. Interop-pinned in tests/test_multimodal_codecs.py
+    against javax.imageio-encoded goldens."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    try:
+        return _decode_jpeg_inner(payload, np)
+    except (IndexError, struct.error, EOFError) as e:  # ran off the buffer
+        raise ValueError(f"truncated/corrupt JPEG payload: {e}") from e
+
+
+def _decode_jpeg_inner(payload: bytes, np) -> tuple[int, int, bytes]:
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    scan_order: list[dict] = []
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg[p : p + 128], ">u2").astype(np.float64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p : p + 64], np.uint8).astype(np.float64)
+                    p += 64
+                tbl = np.zeros(64)
+                tbl[_ZIGZAG] = vals  # de-zigzag the table
+                qt[tq] = tbl.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for i in range(ncomp):
+                cid, sampling, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append(
+                    {"id": cid, "h": sampling >> 4, "v": sampling & 15, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG supported (SOF marker 0x{marker:02x})"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = seg[p + 1 : p + 17]
+                p += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[p]
+                        p += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_order = []
+            for i in range(ns):
+                cs, tds = struct.unpack_from(">BB", seg, 1 + 2 * i)
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_order.append(
+                    {**comp, "dc": tds >> 4, "ac": tds & 15}
+                )
+            pos += seglen
+            break  # entropy-coded data follows
+        pos += seglen
+    if not scan_order or not width:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c["h"] for c in scan_order)
+    vmax = max(c["v"] for c in scan_order)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    basis = _idct_matrix()
+    planes = {}
+    for c in scan_order:
+        planes[c["id"]] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+
+    reader = _JpegBitReader(payload, pos)
+    pred = {c["id"]: 0 for c in scan_order}
+    mcu_done = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                reader.sync_restart()
+                pred = {c["id"]: 0 for c in scan_order}
+            try:
+                for c in scan_order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coeffs = np.zeros(64)
+                            s = _huff_decode(reader, huff[(0, c["dc"])])
+                            pred[c["id"]] += _receive_extend(reader, s)
+                            coeffs[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, huff[(1, c["ac"])])
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                coeffs[_ZIGZAG[k]] = _receive_extend(reader, s)
+                                k += 1
+                            block = (coeffs.reshape(8, 8)) * qt[c["tq"]]
+                            px = basis.T @ block @ basis + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            except _RestartMarker:
+                raise ValueError("unexpected restart marker mid-MCU")
+            mcu_done += 1
+
+    def _upsample2(p, axis):
+        """libjpeg-style 'fancy' (triangle-filter) 2x chroma upsample:
+        out[2i] = (3*c[i] + c[i-1]) / 4, out[2i+1] = (3*c[i] + c[i+1]) / 4,
+        edges replicated — matches what libjpeg-family decoders
+        (incl. javax.imageio) produce, minimizing interop divergence."""
+        p = np.moveaxis(p, axis, 0)
+        prev = np.concatenate([p[:1], p[:-1]], axis=0)
+        nxt = np.concatenate([p[1:], p[-1:]], axis=0)
+        out = np.empty((2 * p.shape[0],) + p.shape[1:])
+        out[0::2] = (3.0 * p + prev) / 4.0
+        out[1::2] = (3.0 * p + nxt) / 4.0
+        return np.moveaxis(out, 0, axis)
+
+    # upsample to full resolution and crop
+    full = []
+    for c in scan_order:
+        p = planes[c["id"]]
+        for axis, factor in ((0, vmax // c["v"]), (1, hmax // c["h"])):
+            if factor == 2:
+                p = _upsample2(p, axis)
+            elif factor != 1:
+                p = np.repeat(p, factor, axis=axis)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        rgb = np.stack([gray, gray, gray], axis=-1)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return width, height, rgb.tobytes()

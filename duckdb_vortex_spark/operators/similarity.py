@@ -46,6 +46,21 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine over two list expressions, folded in the same
+    left-to-right double sequence as the Spark HOF ``cosine`` — proven
+    bit-identical by the brute-force entry's driver hash match."""
+
+    def sq(v: str) -> str:
+        return f"list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        f"/ (sqrt({sq(a)}) * sqrt({sq(b)}))"
+    )
+
+
 def topk_bruteforce(
     queries_df: DataFrame,
     candidates_df: DataFrame,
@@ -191,15 +206,67 @@ def lsh_topk(
     )
 
 
+def _lsh_ann_oracle(n_planes: int = 8, n_tables: int = 4, dim: int = 64, k: int = 10) -> str:
+    """DuckDB oracle running the IDENTICAL LSH algorithm: the
+    hyperplanes are deterministic md5-derived floats computed driver-
+    side and inlined as literals in BOTH plans (repr round-trips
+    doubles exactly), and the dot-product fold order matches the Spark
+    HOF (bit-identical per the brute-force entry), so every signature
+    bit — and therefore every bucket, candidate, and ranked result —
+    agrees across engines."""
+
+    def dot(vec: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(v) for v in plane)
+        return (
+            f"list_sum(list_transform(list_zip({vec}, [{lits}]), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+
+    sigs = []
+    for t in range(n_tables):
+        bits = " || ".join(
+            f"(CASE WHEN {dot('embedding', _hyperplane(dim, p, t))} > 0 "
+            f"THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        sigs.append(f"'{t}:' || {bits}")
+    sig_list = ",\n    ".join(sigs)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, unnest([
+    {sig_list}
+  ]) AS sig
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, embedding AS qv, sig FROM sigs WHERE vec_id % 20 = 0
+), cs AS (
+  SELECT vec_id AS cand_id, embedding AS cv, sig FROM sigs
+), cand AS (
+  SELECT DISTINCT query_id, qv, cand_id, cv
+  FROM qs JOIN cs USING (sig)
+  WHERE cand_id != query_id
+), scored AS (
+  SELECT query_id, cand_id, {_sql_cos("qv", "cv")} AS cos_sim FROM cand
+)
+SELECT query_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+WHERE rnk <= {k}
+"""
+
+
 @query(
     "similarity_lsh_ann",
-    oracle=None,  # approximate by design; recall asserted in tests/test_similarity.py
+    oracle=_lsh_ann_oracle(),
     tags=("similarity", "llm", "approx"),
 )
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (the 100 TB scale path).
-    Rows-only driver check; recall vs the exact baseline is asserted
-    in pytest (≥0.8 at these parameters on the driver corpus)."""
+    FULLY oracle-checked (upgraded from rows-only): the hyperplanes
+    are deterministic literals shared with the oracle SQL and the
+    whole bucket→probe→re-rank pipeline is deterministic HOF math, so
+    DuckDB reproduces the exact ranked output. Recall vs the exact
+    baseline is additionally asserted in pytest."""
     emb = load(spark, sf_dir, "embeddings")
     return lsh_topk(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
 
@@ -207,18 +274,30 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF (inverted-file) ANN ---------------------------------------------
 
 
+def _centroid_hash(id_col: Column) -> Column:
+    """Engine-portable deterministic sample key: a Knuth-style
+    multiplicative hash in plain BIGINT arithmetic — ``((id % 2^32) *
+    1000003) % 2^32`` — expressible identically in any SQL engine
+    (unlike xxhash64), so an external oracle can reproduce the exact
+    centroid pick. Range-bounded first so the product never overflows
+    a signed 64-bit int."""
+    return ((id_col % F.lit(4294967296)) * F.lit(1000003)) % F.lit(4294967296)
+
+
 def sample_centroids(
     df: DataFrame, n_clusters: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic centroid sample: hash-order the corpus, take the
-    first ``n_clusters``. orderBy+limit executes as a distributed
-    top-K (TakeOrderedAndProject) — per-partition heaps, no global
-    sort, no single-partition window — and the K winning rows collect
-    to the driver, which is fine because centroids are small by
-    definition (they get broadcast right back out)."""
+    """Deterministic centroid sample: hash-order the corpus (portable
+    multiplicative hash — see _centroid_hash), take the first
+    ``n_clusters``. orderBy+limit executes as a distributed top-K
+    (TakeOrderedAndProject) — per-partition heaps, no global sort, no
+    single-partition window — and the K winning rows collect to the
+    driver, which is fine because centroids are small by definition
+    (they get broadcast right back out). cluster_id = rank in
+    (hash, id) order, so the mapping is itself reproducible."""
     rows = (
         df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)))
+        .orderBy(_centroid_hash(F.col(id_col)), F.col(id_col))
         .limit(n_clusters)
         .collect()
     )
@@ -322,18 +401,68 @@ def ivf_topk(
     )
 
 
+IVF_ANN_ORACLE = f"""
+WITH h AS (
+  SELECT vec_id, embedding,
+         ((vec_id % 4294967296) * 1000003) % 4294967296 AS hk
+  FROM embeddings
+), c AS (
+  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cluster_id,
+         embedding AS centroid
+  FROM h
+  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= 16
+), asg AS (
+  SELECT v.vec_id, v.embedding, c.cluster_id,
+         {_sql_cos("v.embedding", "c.centroid")} AS csim
+  FROM embeddings v CROSS JOIN c
+), cand AS (
+  SELECT vec_id AS cand_id, embedding AS cv, cluster_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cluster_id) AS r FROM asg)
+  WHERE r = 1
+), qry AS (
+  SELECT vec_id AS query_id, embedding AS qv, cluster_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cluster_id) AS r
+        FROM asg WHERE vec_id % 20 = 0)
+  WHERE r <= 4
+), scored AS (
+  SELECT q.query_id, cand.cand_id,
+         {_sql_cos("q.qv", "cand.cv")} AS cos_sim
+  FROM qry q JOIN cand
+    ON q.cluster_id = cand.cluster_id AND cand.cand_id != q.query_id
+)
+SELECT query_id, cand_id
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+WHERE rnk <= 10
+"""
+
+
 @query(
     "similarity_ivf_ann",
-    oracle=None,  # approximate by design; recall asserted in tests
+    oracle=IVF_ANN_ORACLE,
     tags=("similarity", "llm", "approx"),
 )
 def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-10 (the bucketed-corpus scale
     path, complementing the LSH variant). Runs the per-cluster-BLAS
     probe stage (ivf_topk_vectorized) — result-equal to the HOF form
-    ivf_topk, pinned in tests."""
+    ivf_topk, pinned in tests.
+
+    FULLY oracle-checked (upgraded from rows-only): centroid selection
+    is a portable multiplicative hash and every later step (1-probe
+    assignment, 4-probe query fan-out, in-cluster exact cosine, global
+    top-10) is deterministic, so DuckDB runs the IDENTICAL algorithm.
+    Output is the pair SET (query_id, cand_id) — the BLAS probe stage
+    accumulates in a different order than a sequential SQL fold, so
+    raw cos_sim can differ by ulps while the selected set is identical
+    (no ulp-scale ties at the k boundary in this corpus, same contract
+    as similarity_topk_vectorized)."""
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk_vectorized(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
+    return ivf_topk_vectorized(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10).select(
+        "query_id", "cand_id"
+    )
 
 
 PAIRS_ORACLE = """

@@ -475,14 +475,16 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode+groupBy for unigrams, one for bigrams (both
     map-side-combining hash aggs), then two broadcast-size joins of
     the bigram table against the unigram counts — vocabulary-bounded,
-    corpus-size-independent join sides."""
+    corpus-size-independent join sides. The corpus token total stays
+    INSIDE the plan as a 1-row broadcast cross join off the unigram
+    aggregate (no driver `.collect()`), so the tokenize+count subtree
+    executes exactly once — a mid-build scalar collect would force a
+    second full corpus pass at 100 TB."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(tokens("text").alias("t"))
     uni = toks.select(F.explode("t").alias("tok"))
     ucnt = uni.groupBy("tok").agg(F.count("*").alias("n"))
-    # corpus token total as a driver scalar, summed over the
-    # vocabulary-sized count table (NOT a second pass over the corpus)
-    n_tot = int(ucnt.agg(F.sum("n")).collect()[0][0])
+    tot = ucnt.agg(F.sum("n").alias("n_tot"))
     big = toks.select(
         F.explode(
             F.zip_with(
@@ -498,12 +500,13 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bcnt.join(F.broadcast(ua), "a")
         .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
         .select(
             "a",
             "b",
             "n_ab",
             (
-                F.col("n_ab").cast("double") * F.lit(n_tot)
+                F.col("n_ab").cast("double") * F.col("n_tot").cast("double")
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("lift"),
         )

@@ -356,7 +356,15 @@ def window_qualify_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             "value",
-            (F.sum(dec_v).over(frame) - dec_v).cast("double").alias("neighbor_sum"),
+            # subtract coalesce(v, 0): a NULL current row must still
+            # yield the neighbor sum (DuckDB EXCLUDE CURRENT ROW
+            # semantics), not NULL-poison the subtraction
+            (
+                F.sum(dec_v).over(frame)
+                - F.coalesce(dec_v, F.lit(0).cast("decimal(30,6)"))
+            )
+            .cast("double")
+            .alias("neighbor_sum"),
             F.row_number().over(topw).alias("__rn"),
         )
         .filter(F.col("__rn") <= 2)

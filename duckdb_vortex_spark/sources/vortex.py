@@ -69,16 +69,11 @@ FILE_SUFFIX = ".vortex"
 def _expand(path: str) -> list[str]:
     """Glob expansion (A2) + URI routing (A3). A directory means all
     chunked files in it; glob matches may themselves be dataset
-    directories. Comma-separated paths union their expansions (the
-    multi-path form `load(p1,p2)` — used by versioned batch reads).
-    Non-local URIs (s3a://…) resolve through the filesystem registry
-    in vortex_format."""
-    if "," in path:
-        out: list[str] = []
-        for part in path.split(","):
-            if part:
-                out.extend(_expand(part))
-        return out
+    directories. Multi-path reads pass a JSON list out-of-band via the
+    ``paths`` option (see ``_option_paths``) — no in-band separator,
+    so a path containing any character stays readable. Non-local URIs
+    (s3a://…) resolve through the filesystem registry in
+    vortex_format."""
     fs, p = vfmt.filesystem_for(path)
     matches = fs.glob(p) if any(ch in p for ch in "*?[") else [p]
     files: list[str] = []
@@ -95,16 +90,45 @@ def _expand(path: str) -> list[str]:
     return [prefix + f for f in files]
 
 
-def _with_missing_columns(table, spark_schema: StructType, cols: list[str]):
+def _option_paths(options: dict) -> tuple[str, list[str]]:
+    """Resolve the read target from options: a ``paths`` option holding
+    a JSON list of paths (out-of-band multi-path form, used by
+    versioned reads) wins over the single ``path``. Returns a display
+    string and the expanded file list."""
+    import json
+
+    raw = options.get("paths")
+    if raw:
+        parts = json.loads(raw)
+        if not isinstance(parts, list):
+            raise ValueError("vortex 'paths' option must be a JSON list")
+        files: list[str] = []
+        for p in parts:
+            files.extend(_expand(p))
+        return raw, files
+    path = options.get("path")
+    if not path:
+        raise ValueError("vortex scan requires a path")
+    return path, _expand(path)
+
+
+def _with_missing_columns(
+    table, spark_schema: StructType, cols: list[str], n_rows: int | None = None
+):
     """Project ``table`` onto ``cols`` in order, materializing columns
     the file predates as typed null arrays (additive schema
     evolution). Types for filled columns come from the bound dataset
-    schema, so every file yields batches with one uniform schema."""
+    schema, so every file yields batches with one uniform schema.
+    ``n_rows`` must be the chunk's true row count whenever the pruned
+    projection may contain zero physically-present columns (a
+    0-column Arrow table reports num_rows=0, which would silently
+    drop every row of an old file when selecting only evolved
+    columns)."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_type
 
     by_name = {f.name: f for f in spark_schema.fields}
-    n = table.num_rows
+    n = table.num_rows if n_rows is None else n_rows
     arrays, fields = [], []
     for c in cols:
         idx = table.schema.get_field_index(c)
@@ -148,20 +172,34 @@ class VortexChunk(InputPartition):
 
 class VortexReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("vortex scan requires a path")
-        self.files = _expand(self.path)
+        self.path, self.files = _option_paths(options)
         if not self.files:
             raise FileNotFoundError(f"no vortex files match {self.path!r}")
         self.schema = schema
         self.pushed: list[Filter] = []
+        self.pushdown_enabled = str(options.get("pushdown", "true")).lower() != "false"
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: N802
         """A6: accept the comparison/null filters we can evaluate against
         chunk statistics and batch data; everything else goes back to
         Spark. Spark also re-applies accepted filters — acceptance here
-        is a pruning hint, correctness stays with the engine."""
+        is a pruning hint, correctness stays with the engine.
+
+        KNOWN UPSTREAM CAVEAT (Spark 4.1 Python DataSource): the JVM
+        caches the planned scan (``PythonDataSourceV2.readInfo``) in a
+        single mutable slot per relation and only the pushdown path
+        refreshes it — so on a DataFrame variable that is REUSED across
+        actions, a later unfiltered action can silently reuse the
+        chunk-pruned scan a previous filtered action planned (builtin
+        sources are unaffected). Every fresh ``load()`` is safe, which
+        is how the catalog/driver/bench use this source. Interactive
+        reuse patterns can pass ``.option("pushdown", "false")`` to
+        make every scan filter-independent (Spark re-applies all
+        filters itself; zone-map pruning is skipped). Pinned in
+        tests/test_vortex_source.py::test_relation_reuse_pushdown_caveat.
+        """
+        if not self.pushdown_enabled:
+            return filters  # hint-free: scan is identical for any query
         supported = (
             EqualTo,
             GreaterThan,
@@ -302,8 +340,9 @@ class VortexReader(DataSourceReader):
             ).to_batches(max_chunksize=1)
             return
         present = [c for c in cols if footer.schema.get_field_index(c) >= 0]
+        n_rows = footer.chunks[partition.row_group]["n_rows"]
         table = vfmt.read_chunk(partition.file, footer, partition.row_group, present)
-        table = _with_missing_columns(table, self.schema, cols)
+        table = _with_missing_columns(table, self.schema, cols, n_rows=n_rows)
         pred = self._arrow_predicate()
         if pred is not None:
             table = table.filter(pred)
@@ -364,8 +403,11 @@ class VortexStreamReader(DataSourceStreamReader):
             ).to_batches(max_chunksize=1)
             return
         present = [c for c in cols if footer.schema.get_field_index(c) >= 0]
+        n_rows = footer.chunks[partition.row_group]["n_rows"]
         table = vfmt.read_chunk(partition.file, footer, partition.row_group, present)
-        yield from _with_missing_columns(table, self.schema, cols).to_batches()
+        yield from _with_missing_columns(
+            table, self.schema, cols, n_rows=n_rows
+        ).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-describing; nothing to clean up
@@ -505,10 +547,10 @@ class VortexDataSource(DataSource):
 
     def schema(self) -> StructType:
         """A1: bind schema from the file footer — no user input."""
-        files = _expand(self.options.get("path", ""))
+        target, files = _option_paths(self.options)
         if not files:
             raise FileNotFoundError(
-                f"cannot bind vortex schema: no files at {self.options.get('path')!r}"
+                f"cannot bind vortex schema: no files at {target!r}"
             )
         # prefer_timestamp_ntz: tz-naive arrow timestamps are NTZ
         # (DuckDB-timestamp semantics, SURVEY.md §1.2); tz-aware ones

@@ -24,6 +24,7 @@ micro-batch (bounded); Spark broadcasts it when small.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -54,36 +55,7 @@ def incremental_dedup_stream(
     first occurrence wins across the whole stream history."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark_ = batch_df.sparkSession
-        fp = batch_df.withColumn("__fp", fingerprint(text_col))
-        # in-batch dedup: keep one row per fingerprint (min doc_id for
-        # determinism under retries)
-        fp = (
-            fp.withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy("__fp").orderBy(
-                        *[c for c in fp.columns if c != "__fp"]
-                    )
-                ),
-            )
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        store_glob = os.path.join(store_dir, "batch-*")
-        try:
-            seen = spark_.read.format("vortex").load(store_glob).select("__fp")
-            fresh = fp.join(seen, "__fp", "left_anti")
-        except Exception:  # first batch: store empty
-            fresh = fp
-        for base, df_out in (
-            (out_dir, fresh.drop("__fp")),
-            (store_dir, fresh.select("__fp")),
-        ):
-            bdir = os.path.join(base, f"batch-{batch_id:08d}")
-            if os.path.isdir(bdir):
-                shutil.rmtree(bdir)  # retried batch: idempotent rewrite
-            df_out.write.format("vortex").mode("append").save(bdir)
+        process_batch(batch_df, batch_id, out_dir, store_dir, text_col)
 
     return (
         stream_df.writeStream.foreachBatch(sink)
@@ -91,3 +63,66 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    store_dir: str,
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the ingest pipeline — exposed as a plain
+    function so retry semantics are directly testable: calling it twice
+    with the same batch_id is idempotent (the replay reads exactly the
+    store state the first attempt read, then overwrites its own dirs)."""
+    spark_ = batch_df.sparkSession
+    fp = batch_df.withColumn("__fp", fingerprint(text_col))
+    # in-batch dedup: keep one row per fingerprint (min doc_id for
+    # determinism under retries)
+    fp = (
+        fp.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__fp").orderBy(
+                    *[c for c in fp.columns if c != "__fp"]
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # Anti-join ONLY against batches strictly earlier than this one.
+    # A retried batch may have half-written its own store dir before
+    # the checkpoint committed; globbing batch-* would see those
+    # stale fingerprints, classify every row as seen, and rewrite
+    # both dirs EMPTY — permanently dropping the documents. Listing
+    # ids < batch_id makes the replay read exactly what the first
+    # attempt read.
+    prior = (
+        sorted(
+            os.path.join(store_dir, d)
+            for d in os.listdir(store_dir)
+            if d.startswith("batch-") and int(d.split("-", 1)[1]) < batch_id
+        )
+        if os.path.isdir(store_dir)
+        else []
+    )
+    if prior:
+        seen = (
+            spark_.read.format("vortex")
+            .option("paths", json.dumps(prior))
+            .load()
+            .select("__fp")
+        )
+        fresh = fp.join(seen, "__fp", "left_anti")
+    else:  # first batch: store empty — dedup is in-batch only
+        fresh = fp
+    for base, df_out in (
+        (out_dir, fresh.drop("__fp")),
+        (store_dir, fresh.select("__fp")),
+    ):
+        bdir = os.path.join(base, f"batch-{batch_id:08d}")
+        if os.path.isdir(bdir):
+            shutil.rmtree(bdir)  # retried batch: idempotent rewrite
+        df_out.write.format("vortex").mode("append").save(bdir)

@@ -100,8 +100,10 @@ def read_vortex_as_of(spark, path: str, batch_id: int) -> DataFrame:
     batch N' is exactly the union of dirs batch-0..N (the same
     time-travel contract log-structured table formats expose, with
     the streaming checkpoint as the commit log)."""
+    import json
+
     dirs = sorted(globmod.glob(os.path.join(path, "batch-*")))
     keep = [d for d in dirs if int(os.path.basename(d).split("-")[1]) <= batch_id]
     if not keep:
         raise FileNotFoundError(f"no batches <= {batch_id} under {path!r}")
-    return spark.read.format("vortex").load(",".join(keep))
+    return spark.read.format("vortex").option("paths", json.dumps(keep)).load()

@@ -49,6 +49,11 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "1-ROW broadcast (global avg acctbal) — scalar subquery, "
         "constant-size build side at any SF",
     ),
+    "text_bigram_lift": (
+        ("nested-loop-join",),
+        "1-ROW broadcast (corpus token total kept in-plan so the "
+        "tokenize subtree runs once) — constant-size build side",
+    ),
 }
 
 ENTRIES = catalog.entries()

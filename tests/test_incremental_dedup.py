@@ -16,6 +16,7 @@ from duckdb_vortex_spark.sources.vortex import register
 from duckdb_vortex_spark.streaming.incremental_dedup import (
     fingerprint,
     incremental_dedup_stream,
+    process_batch,
 )
 
 from .conftest import SF_DIR
@@ -69,3 +70,52 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert store_fps.distinct().count() == got.count()
     # multiple micro-batches actually ran (cross-batch property tested)
     assert len(glob.glob(os.path.join(out, "batch-*"))) >= 2
+
+
+def test_retried_batch_does_not_lose_data(spark, tmp_path):
+    """Exactly-once under retry: a micro-batch whose first attempt
+    wrote its store/output dirs but whose checkpoint did NOT commit is
+    replayed with the same batch_id. The replay must anti-join only
+    against batches strictly earlier than itself — a glob over the
+    whole store would see the stale first-attempt fingerprints,
+    classify every row as already-seen, and rewrite both dirs empty
+    (the data-loss bug this pins)."""
+    register(spark)
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+
+    batch0 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id bigint, text string"
+    )
+    process_batch(batch0, 0, out, store)
+    batch1 = spark.createDataFrame(
+        [(3, "beta doc"), (4, "gamma doc")], "doc_id bigint, text string"
+    )
+    process_batch(batch1, 1, out, store)  # first attempt (uncommitted)
+    process_batch(batch1, 1, out, store)  # retry with same batch_id
+
+    got = spark.read.format("vortex").load(os.path.join(out, "batch-*"))
+    # gamma survives the retry; beta deduped against batch 0
+    assert sorted(r["text"] for r in got.collect()) == [
+        "alpha doc", "beta doc", "gamma doc"
+    ]
+    store_fps = spark.read.format("vortex").load(os.path.join(store, "batch-*"))
+    assert store_fps.distinct().count() == 3
+
+
+def test_multi_path_option_handles_commas(spark, tmp_path):
+    """The out-of-band `paths` JSON-list option reads several dataset
+    dirs in one scan — including paths that legitimately contain a
+    comma (the old in-band comma splitting made those unreadable)."""
+    import json
+
+    register(spark)
+    d1 = str(tmp_path / "part,one.vortex")
+    d2 = str(tmp_path / "two.vortex")
+    spark.createDataFrame([(1,)], "x bigint").write.format("vortex").mode("append").save(d1)
+    spark.createDataFrame([(2,)], "x bigint").write.format("vortex").mode("append").save(d2)
+    got = (
+        spark.read.format("vortex")
+        .option("paths", json.dumps([d1, d2]))
+        .load()
+    )
+    assert sorted(r["x"] for r in got.collect()) == [1, 2]

@@ -149,7 +149,7 @@ def test_png_features_via_decode_payload():
 
 
 def test_unsupported_still_raises():
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # implemented codec, truncated payload
         _decode_payload("image/jpeg", b"\xff\xd8\xff")
     with pytest.raises(NotImplementedError):
         _decode_payload("audio/mpeg", b"ID3")
@@ -392,3 +392,106 @@ def test_gif_real_encoder_interop():
         "R0lGODlhAQABAPAAAP8AAP///yH5BAAAAAAALAAAAAABAAEAAAICRAEAOw=="
     )
     assert _decode_gif(red_1x1) == (1, 1, [b"\xff\x00\x00"])
+
+
+# --- JPEG -----------------------------------------------------------------
+
+# Goldens encoded by a REAL encoder (Java 17 javax.imageio JPEG writer,
+# libjpeg-family) from known pixel patterns; *_rgb / *_l are what that
+# same real DECODER produced, so the assertions pin cross-implementation
+# agreement, not self-consistency.
+_JPEG_GOLDEN = {
+    "gray8x8": (  # 8x8 solid gray(128), q=1.0, 4:2:0
+        "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQH/2wBDAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQH/wAARCAAIAAgDASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwAooooA/9k="
+    ),
+    "red16x16": (  # 16x16 solid red, q=0.9, 4:2:0
+        "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAMCAgMCAgMDAwMEAwMEBQgFBQQEBQoHBwYIDAoMDAsKCwsNDhIQDQ4RDgsLEBYQERMUFRUVDA8XGBYUGBIUFRT/2wBDAQMEBAUEBQkFBQkUDQsNFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBQUFBT/wAARCAAQABADASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwD50ooor8MP9Uz/2Q=="
+    ),
+    "grad17x13": (  # 17x13 RGB gradient, q=1.0, 4:2:0, non-MCU-aligned
+        "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQH/2wBDAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQH/wAARCAANABEDASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwD+b/4TfsWeb9m/4lIOdn/LD/7H69D7mv05+E37Dnm/Zf8AiT9dn/LD6dtuf0PWv1m+C/wA8FubTMfXy/8Al3Tpxx/rP8+nNfrd8F/2dvA7m1Bj/wCef/LtGew/6aenH/16/wA1uGPFLE+JXs/rE60/rFr+15vtWbvzfP5nzH0A/wBorn+DWSWxGY+79W2jW6KHb0fmfzvf8MJf9Qb/AMgf/Y0V/Xd/wzr4F/55f+S8f/xdFfo3+pFHtT6fy+X9fLyV/wDddftLOIdP9pzPp0r/ANz+95M//9k="
+    ),
+    "gray10x6": (  # 10x6 single-component grayscale gradient
+        "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAAGAAoBAREA/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/AIfhnosX7np2qHX/AIx+JdG8R6ppdvYaK0Fldy28bSQyliqOVBOJAM4HoK//2Q=="
+    ),
+}
+_JPEG_EXPECT_GRAD_RGB = (  # javax.imageio's own decode of grad17x13
+    "AAIACAQAGAQAJgQANgQARAMAVAQAYgMAcwQAgAMAjwQBngMArQQBvAMAywQB2QMB5QUDBBEADxMCHhMBLRMCPRMFSxMGWxMHaRMGeBMHhhQJlhMLpBQMtBMLwhQN0hIN3xQQ7BUSBCQADicAHyYELCYEPSYHSyYLWicMaSUOeCYQhycRliUTpSYXtCYYwyca0iYc3ycf6ygiBDcADjkBHjkELTkHPDoKSzoPWjgSaTkVeDkYhjkblzkfpjkiszkkwjkn0jkr4Dou7DsxBEsAD00EHUwGLUsLPEwOS0wTW0sYaksceEwfh0wklkwppUwstEwvw0w000w530w87E5CBF0AD2AEHmAJLWEPO2ATSmAYWl8daV8ieF8nh18slmA0pF84s187wl9A019G4WBL7WFQBHAAD3IFHXILLHISPHMYS3MdW3IkanErdnEvhnI3lnI+pXJDs3JIwnJN0XJU33NZ7HVfBIMADoUHHoUPLYUVPIUcS4QjWoUraYUxeIQ4hoZAlYVHpIVOs4VUw4Vc0YVj4IZr7IhwA5YAD5kIHpgRLJcWPJceS5goW5gxaZg4d5g/h5hIlpdRpphZs5lgwpho0phy35h47JuAA6kBD6sJHqsRLasbPKojS6stWqs1aas/eKpHh6tRlatZpatjtKxtwqt10qx/4KyH7a6PBLwCEL8KHr4ULL4fPL4oTL4yWr08ab5Heb5Rh75Zlr5lpb5ts755w7+C0r6M4L+W7MGfBc4EENALINAWLtAiPtAtS9A3W9BDa9BOe9BZidFlmNBtptF4ttCGxNCQ09Cb4tGl7dOuCd4GE+IQI+EbMeEnQOEzT+E+X+FLbeJWfeJii+JtmuF5qeKEuOGSx+Kd1+Ko5OOz8OS8"
+)
+_JPEG_EXPECT_GRAY_L = "ABozSmZ9lrC86QokPVRwh6C63vMWMElgfJOsxuHUITtUa4eet9HgIixGX3aSqcLc6gc1T2h/m7LL5f8U"
+
+
+def _jpeg_bytes(name):
+    import base64
+
+    return base64.b64decode(_JPEG_GOLDEN[name])
+
+
+def test_jpeg_solid_images_exact():
+    """Solid-color JPEGs decode byte-exactly vs the real decoder."""
+    import numpy as np
+
+    from duckdb_vortex_spark.operators.multimodal import _decode_jpeg
+
+    w, h, rgb = _decode_jpeg(_jpeg_bytes("gray8x8"))
+    assert (w, h) == (8, 8)
+    assert set(np.frombuffer(rgb, np.uint8)) == {128}
+
+    w, h, rgb = _decode_jpeg(_jpeg_bytes("red16x16"))
+    assert (w, h) == (16, 16)
+    px = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+    assert (px == [254, 0, 0]).all()  # q=0.9 quantization shifts red by 1
+
+
+def test_jpeg_gradient_real_decoder_interop():
+    """Non-MCU-aligned RGB gradient (17x13, 4:2:0): agreement with
+    javax.imageio's decode within IDCT/upsample rounding (<=2/255)."""
+    import base64
+
+    import numpy as np
+
+    from duckdb_vortex_spark.operators.multimodal import _decode_jpeg
+
+    w, h, rgb = _decode_jpeg(_jpeg_bytes("grad17x13"))
+    assert (w, h) == (17, 13)
+    mine = np.frombuffer(rgb, np.uint8).astype(int)
+    exp = np.frombuffer(base64.b64decode(_JPEG_EXPECT_GRAD_RGB), np.uint8).astype(int)
+    assert mine.shape == exp.shape
+    assert np.abs(mine - exp).max() <= 2
+    assert np.abs(mine - exp).mean() <= 0.5
+
+
+def test_jpeg_grayscale_single_component():
+    """Single-component (luma-only) JPEG decodes byte-exactly."""
+    import base64
+
+    import numpy as np
+
+    from duckdb_vortex_spark.operators.multimodal import _decode_jpeg
+
+    w, h, rgb = _decode_jpeg(_jpeg_bytes("gray10x6"))
+    assert (w, h) == (10, 6)
+    px = np.frombuffer(rgb, np.uint8).reshape(6, 10, 3)
+    exp = np.frombuffer(base64.b64decode(_JPEG_EXPECT_GRAY_L), np.uint8).reshape(6, 10)
+    assert (px[:, :, 0] == exp).all()
+    assert (px[:, :, 0] == px[:, :, 1]).all() and (px[:, :, 0] == px[:, :, 2]).all()
+
+
+def test_jpeg_via_decode_payload_features():
+    feats = _decode_payload("image/jpeg", _jpeg_bytes("gray8x8"))
+    assert feats["width"] == 8 and feats["height"] == 8
+    assert feats["byte_mean"] == 128.0
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import pytest as _pytest
+
+    from duckdb_vortex_spark.operators.multimodal import _decode_jpeg
+
+    with _pytest.raises(ValueError):
+        _decode_jpeg(b"\x00\x01not a jpeg")
+    # flip the golden's SOF0 marker to SOF2 (progressive): explicit seam
+    data = bytearray(_jpeg_bytes("gray8x8"))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        _decode_jpeg(bytes(data))

@@ -81,8 +81,13 @@ def test_multimodal_features(spark):
 def test_multimodal_unknown_codec_raises(spark):
     from duckdb_vortex_spark.operators.multimodal import _decode_payload
 
-    with pytest.raises(NotImplementedError):
+    # JPEG is implemented as of round 3 — truncated payloads now fail
+    # loudly with ValueError; the NotImplementedError seam remains for
+    # codecs genuinely needing native libs (MP3/video containers).
+    with pytest.raises(ValueError):
         _decode_payload("image/jpeg", b"\xff\xd8\xff")
+    with pytest.raises(NotImplementedError):
+        _decode_payload("video/mp4", b"\x00\x00\x00\x18ftypmp42")
 
 
 def test_simhash_locality(spark):

@@ -361,6 +361,19 @@ def test_schema_evolution_additive(spark, tmp_path):
     got = sorted(r["id"] for r in back.filter(F.col("score").isNull()).collect())
     assert got == [1, 2]
 
+    # projection of ONLY the evolved column: old files must still
+    # contribute one NULL row each (regression: a 0-column pruned read
+    # used to report 0 rows and silently drop them). Fresh load():
+    # `back` already ran filtered actions, and Spark 4.1's Python-
+    # datasource scan cache would replay their pruning here (see
+    # test_relation_reuse_pushdown_caveat).
+    fresh = spark.read.format("vortex").load(path)
+    scores = [r["score"] for r in fresh.select("score").collect()]
+    assert sorted((s is None, s or 0.0) for s in scores) == [
+        (False, 30.5), (False, 40.5), (True, 0.0), (True, 0.0)
+    ]
+    assert fresh.select("score").count() == 4
+
     # type conflict on a shared column still fails loudly at bind
     bad = str(tmp_path / "conflict.vortex")
     spark.createDataFrame([(1,)], "x bigint").write.format("vortex").mode("append").save(bad)
@@ -393,3 +406,31 @@ def test_dataset_stats_footer_only(spark, tmp_path):
     assert sum(r["null_count"] for r in st if r["column"] == "s") == 100
     assert sum(r["n_rows"] for r in k_rows) == 1000
     assert all(r["encodings"] for r in st)
+
+
+def test_relation_reuse_pushdown_caveat(spark, tmp_path):
+    """Documents an UPSTREAM Spark 4.1 Python-DataSource caching bug
+    and pins our escape hatch. The JVM keeps one mutable readInfo slot
+    per relation; a filtered action overwrites it with the chunk-pruned
+    scan and a later unfiltered action on the SAME DataFrame variable
+    reuses it (builtin parquet re-plans correctly). Fresh load() per
+    query is always safe; `.option("pushdown", "false")` makes scans
+    filter-independent so even reused relations stay correct."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "reuse.vortex")
+    spark.range(10).select(F.col("id").alias("k")).write.format("vortex").mode(
+        "append"
+    ).save(path)
+
+    # default mode: fresh relation per query is correct
+    assert spark.read.format("vortex").load(path).filter(F.col("k") > 7).count() == 2
+    assert spark.read.format("vortex").load(path).count() == 10
+
+    # pushdown=false: even a REUSED relation stays correct after a
+    # filtered action (scan carries no filter state to poison the cache)
+    safe = spark.read.format("vortex").option("pushdown", "false").load(path)
+    assert safe.filter(F.col("k") > 7).count() == 2
+    assert safe.count() == 10
+    assert sorted(r["k"] for r in safe.filter(F.col("k") < 2).collect()) == [0, 1]
+    assert safe.count() == 10
