@@ -307,3 +307,85 @@ def pipeline_curation_with_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_prob",
         )
     )
+
+
+# --- temperature-smoothed source mixture ---------------------------------
+
+MIXTURE_ORACLE = """
+WITH per_source AS (
+  SELECT
+    source,
+    COUNT(*) AS n_docs,
+    CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS BIGINT)
+      AS n_tokens
+  FROM documents
+  GROUP BY source
+), q AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS qq
+  FROM per_source
+), tot AS (
+  SELECT SUM(n_tokens) AS tok_total, SUM(qq) AS q_norm FROM q
+)
+SELECT
+  s.source,
+  s.n_docs,
+  s.n_tokens,
+  CAST(s.n_tokens AS DOUBLE) / t.tok_total AS p_raw,
+  CAST(s.qq AS DOUBLE) / t.q_norm AS p_smoothed,
+  LEAST(1.0,
+        (CAST(s.qq AS DOUBLE) / t.q_norm)
+        * (0.5 * t.tok_total) / s.n_tokens) AS sample_rate
+FROM q s CROSS JOIN tot t
+"""
+
+
+@query("pipeline_source_mixture_weights", oracle=MIXTURE_ORACLE, tags=("llm", "agg", "sample"))
+def pipeline_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixing (the multinomial α-sampling
+    of XLM-R / mC4, α = 0.5): per-source token mass → smoothed
+    sampling distribution q_i ∝ p_i^α → per-source sampling RATE that
+    realizes q over a token budget of half the corpus. Downweights
+    runaway-head sources and upweights the tail — the standard recipe
+    for balancing heterogeneous pretraining corpora.
+
+    Scale: one groupBy(source) aggregate (map-side partial; source
+    cardinality is tiny), the corpus totals join back as a 1-row
+    broadcast — no driver scalar, no second pass over the corpus.
+    Output is |sources| rows; the rates then drive a deterministic
+    hash-sample (sample_hash_deterministic) over the full corpus."""
+    from .text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    budget_frac = 0.5
+    # α = 0.5 realized as sqrt; quantized to exact BIGINT before the
+    # normalizing SUM so the result is partitioning-order independent
+    # (double sums are not associative — the repo-wide exactness rule).
+    qsrc = per_source.withColumn(
+        "qq",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    tot = qsrc.agg(
+        F.sum("n_tokens").alias("tok_total"), F.sum("qq").alias("q_norm")
+    )
+    q = F.col("qq").cast("double") / F.col("q_norm")
+    return (
+        qsrc.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("tok_total")).alias("p_raw"),
+            q.alias("p_smoothed"),
+            F.least(
+                F.lit(1.0),
+                q * (F.lit(budget_frac) * F.col("tok_total")) / F.col("n_tokens"),
+            ).alias("sample_rate"),
+        )
+    )

@@ -711,3 +711,87 @@ def lm_scores(d: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
 def text_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry for :func:`lm_scores` over the documents corpus."""
     return lm_scores(load(spark, sf_dir, "documents"))
+
+
+# --- top n-gram coverage (Gopher-style repetition rules) ------------------
+
+TOP_NGRAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+              ELSE CAST([] AS VARCHAR[])
+         END AS bi
+  FROM t
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         COALESCE(list_max(list_transform(list_distinct(toks),
+                  d -> len(list_filter(toks, x -> x = d)))), 0) AS top_word_n,
+         len(bi) AS n_bigrams,
+         COALESCE(list_max(list_transform(list_distinct(bi),
+                  d -> len(list_filter(bi, x -> x = d)))), 0) AS top_bigram_n
+  FROM g
+)
+SELECT
+  doc_id,
+  CAST(top_word_n AS DOUBLE) / greatest(n_tokens, 1) AS top_word_frac,
+  CAST(top_bigram_n AS DOUBLE) / greatest(n_bigrams, 1) AS top_bigram_frac,
+  (CAST(top_word_n AS DOUBLE) / greatest(n_tokens, 1) <= 0.20
+   AND CAST(top_bigram_n AS DOUBLE) / greatest(n_bigrams, 1) <= 0.18) AS keep
+FROM m
+"""
+
+
+@query("text_top_ngram_coverage", oracle=TOP_NGRAM_ORACLE, tags=("text", "llm"))
+def text_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    fraction of the document covered by its single most frequent word
+    and by its most frequent bigram; documents dominated by one token
+    or one phrase are template spam / boilerplate. Complements
+    text_distinct_ngram_ratio (which measures GLOBAL trigram
+    diversity; this measures PEAK concentration — a doc can have high
+    distinct ratio yet one runaway phrase).
+
+    Scale: per-row higher-order column functions, zero shuffle, linear
+    in corpus size; the per-doc distinct×occurrence scan is bounded by
+    document length (O(L·distinct) per row, both ≤ doc tokens)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    bi_raw = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    )
+    bi = F.when(F.size(toks) >= 2, bi_raw).otherwise(F.array().cast("array<string>"))
+
+    def top_count(arr: Column) -> Column:
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(arr),
+                    lambda d_: F.size(F.filter(arr, lambda x: x == d_)),
+                )
+            ),
+            F.lit(0),
+        )
+
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        top_count(toks).alias("top_word_n"),
+        F.size(bi).alias("n_bigrams"),
+        top_count(bi).alias("top_bigram_n"),
+    )
+    twf = F.col("top_word_n").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+    tbf = F.col("top_bigram_n").cast("double") / F.greatest(F.col("n_bigrams"), F.lit(1))
+    return base.select(
+        "doc_id",
+        twf.alias("top_word_frac"),
+        tbf.alias("top_bigram_frac"),
+        ((twf <= 0.20) & (tbf <= 0.18)).alias("keep"),
+    )

@@ -716,3 +716,91 @@ def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (batch)
+# ---------------------------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "4 hours",
+    gap_seconds: int = 14400,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_seconds``.
+    Batch twin of streaming ``session_window`` (streaming/windows.py),
+    mirroring the reference's event-analytics surface.
+
+    Scale: ONE shuffle on the user key serves both the lag window and
+    the session aggregate (same partitioning, Catalyst reuses the
+    exchange); state per user is a sort, never a cross join. At 100 TB
+    this is the same cost profile as any per-key windowed aggregate —
+    skewed power-users are bounded by their own event count, and AQE
+    skew-split applies to the final aggregate.
+
+    Ordering ties on (ts) are broken by event_id so the running
+    session index — and therefore the output — is engine-exact.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # Two projections (window functions can't nest in one expression);
+    # both windows share the user-key partitioning → one exchange.
+    flagged = df.withColumn(
+        "__is_new",
+        F.when(prev_ts.isNull(), 1)
+        .when(F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds, 1)
+        .otherwise(0),
+    )
+    with_sess = flagged.withColumn(
+        "session_idx",
+        F.sum("__is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sess.groupBy(user_col, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT
+    user_id, ts, event_id, value,
+    CASE
+      WHEN lag(ts) OVER w IS NULL THEN 1
+      WHEN epoch(ts) - epoch(lag(ts) OVER w) > 14400 THEN 1
+      ELSE 0
+    END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT
+    user_id, ts, value,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT
+  user_id,
+  session_idx,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, session_idx
+"""
+
+
+@query("events_sessionize_gap", oracle=SESSIONIZE_ORACLE, tags=("timeseries", "window", "agg"))
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 4-hour inactivity gap: per-user
+    running session index (lag + cumulative sum) then one aggregate
+    per (user, session). See :func:`sessionize` for the scale design."""
+    return sessionize(load(spark, sf_dir, "events"), gap_seconds=14400)

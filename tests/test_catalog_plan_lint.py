@@ -54,6 +54,11 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "1-ROW broadcast (corpus token total kept in-plan so the "
         "tokenize subtree runs once) — constant-size build side",
     ),
+    "pipeline_source_mixture_weights": (
+        ("nested-loop-join",),
+        "1-ROW broadcast (corpus token total + smoothing normalizer) — "
+        "scalar aggregate, constant-size build side at any SF",
+    ),
 }
 
 ENTRIES = catalog.entries()

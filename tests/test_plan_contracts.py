@@ -108,6 +108,8 @@ _NESTED_LOOP_OK = {
     "string_levenshtein_pairs",  # theta-join over a tiny broadcast dim by design
     "tpch_q11_important_stock",  # 1-row global total broadcast cross by design
     "geo_points_within_radius",  # small-side theta join; grid-cell join at scale
+    "text_bigram_lift",  # 1-row corpus-total broadcast cross (single-pass form)
+    "pipeline_source_mixture_weights",  # 1-row corpus-totals broadcast cross
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design
