@@ -818,3 +818,257 @@ def ivf_assign_vectorized(
     return df.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, {vec_col} {vec_type}, cluster_id int"
     )
+
+
+# --- product quantization (PQ) -------------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: the same portable-hash-ordered
+    first-``k`` vectors that seed IVF (sample_centroids) supply the
+    per-subspace codebooks — subspace s's centroids are the s-th
+    slices of those k vectors. Returns [m][k][dsub] floats.
+
+    Like IVF's centroid pick, the sample is a distributed top-K
+    (TakeOrderedAndProject) and the k×dim result collects to the
+    driver only to be re-broadcast as plan literals — constant-size
+    at any corpus scale."""
+    cent = sample_centroids(df, k, id_col=id_col, vec_col=vec_col).collect()
+    dim = len(cent[0]["centroid"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [[float(x) for x in r["centroid"][s * dsub : (s + 1) * dsub]] for r in cent]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m sub-quantizer codes (nearest codebook
+    entry per subspace by squared L2, ties to the lowest code) plus
+    the total quantization error. 64 float dims compress to m=4 bytes
+    — the memory layout that lets an ANN index hold 100 TB of vectors
+    in RAM (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011).
+
+    Map-side only: codebooks are plan literals (broadcast), encoding
+    is per-row column algebra — zero shuffle at any scale. All
+    arithmetic is double with a fixed evaluation order, so an external
+    SQL engine reproduces codes AND error bit-for-bit."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    code_cols, err_cols = [], []
+    for s in range(m):
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        d2s = []
+        for c, cent in enumerate(codebooks[s]):
+            carr = F.array(*[F.lit(x) for x in cent])
+            d2s.append(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        carr,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            )
+        mind2 = F.least(*d2s)
+        code = F.lit(len(d2s) - 1)
+        # first index attaining the min (reverse-built CASE chain)
+        for c in range(len(d2s) - 2, -1, -1):
+            code = F.when(d2s[c] == mind2, F.lit(c)).otherwise(code)
+        code_cols.append(code.cast("int"))
+        err_cols.append(mind2)
+    qerr = err_cols[0]
+    for e in err_cols[1:]:
+        qerr = qerr + e
+    return df.select(
+        F.col(id_col),
+        F.array(*code_cols).alias("codes"),
+        qerr.alias("qerr"),
+    )
+
+
+# The oracle runs the IDENTICAL algorithm in SQL: portable-hash
+# centroid pick, per-subspace squared-L2 argmin (ties to lowest code),
+# in-order error sum — every double computed in the same order.
+PQ_ORACLE = """
+WITH cent AS (
+  SELECT
+    row_number() OVER (
+      ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+    ) - 1 AS cid,
+    embedding
+  FROM embeddings
+  ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+  LIMIT 16
+), dists AS (
+  SELECT
+    e.vec_id,
+    s.s,
+    c.cid,
+    list_sum(list_transform(
+      list_zip(e.embedding[s.s * 16 + 1 : s.s * 16 + 16],
+               c.embedding[s.s * 16 + 1 : s.s * 16 + 16]),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+    )) AS d2
+  FROM embeddings e
+  CROSS JOIN cent c
+  CROSS JOIN (VALUES (0), (1), (2), (3)) s(s)
+), best AS (
+  SELECT vec_id, s, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+  FROM dists
+)
+SELECT
+  vec_id,
+  list(CAST(cid AS INTEGER) ORDER BY s) AS codes,
+  list_sum(list(d2 ORDER BY s)) AS qerr
+FROM best
+WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+@query("similarity_pq_codes", oracle=PQ_ORACLE, tags=("similarity", "llm", "approx"))
+def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embeddings corpus (m=4
+    subspaces × k=16 codes): each 64-dim float vector becomes 4 small
+    codes + its quantization error. Completes the ANN family —
+    brute-force (exact), LSH (hash prefilter), IVF (bucketed), PQ
+    (compressed storage); at scale PQ codes are what the IVF clusters
+    store. See :func:`pq_encode` for the scale/exactness design."""
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_encode(emb, pq_codebooks(emb, m=4, k=16))
+
+
+def pq_adc_topk(
+    queries_df: DataFrame,
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: each full-precision
+    query builds an m×k distance TABLE against the codebooks (per-row
+    column algebra), then scans candidates' codes summing m table
+    lookups — the PQ search kernel (Jégou et al. 2011 §IV).
+
+    Scale shape: the scan is deliberately a query×codes cross join —
+    ADC *is* a linear scan over compressed codes; its win is the 64×
+    memory compression (4 bytes vs 256), not scan avoidance. At 100 TB
+    the codes live inside IVF clusters (IVF-ADC): the same kernel runs
+    per probed cluster only, and this composition is ivf_topk with
+    codes_df as the per-cluster payload. Top-k per query is a window
+    over the scan — TakeOrdered shape, no global sort."""
+    m = len(codebooks)
+    kcent = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    dtab_cols = []
+    for s in range(m):
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        entries = []
+        for cent in codebooks[s]:
+            carr = F.array(*[F.lit(x) for x in cent])
+            entries.append(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        carr,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            )
+        dtab_cols.append(F.array(*entries).alias(f"__dtab{s}"))
+    q = queries_df.select(F.col(id_col).alias("query_id"), *dtab_cols)
+    c = codes_df.select(F.col(id_col).alias("cand_id"), "codes")
+    ad2 = None
+    for s in range(m):
+        term = F.element_at(f"__dtab{s}", F.col("codes")[s] + 1)
+        ad2 = term if ad2 is None else ad2 + term
+    scored = q.crossJoin(c).select("query_id", "cand_id", ad2.alias("approx_d2"))
+    w = W.partitionBy("query_id").orderBy("approx_d2", "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "approx_d2")
+    )
+
+
+PQ_ADC_ORACLE = """
+WITH cent AS (
+  SELECT
+    row_number() OVER (
+      ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+    ) - 1 AS cid,
+    embedding
+  FROM embeddings
+  ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+  LIMIT 16
+), dists AS (
+  SELECT
+    e.vec_id,
+    s.s,
+    c.cid,
+    list_sum(list_transform(
+      list_zip(e.embedding[s.s * 16 + 1 : s.s * 16 + 16],
+               c.embedding[s.s * 16 + 1 : s.s * 16 + 16]),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+    )) AS d2
+  FROM embeddings e
+  CROSS JOIN cent c
+  CROSS JOIN (VALUES (0), (1), (2), (3)) s(s)
+), codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), scan AS (
+  SELECT dq.vec_id AS query_id, cd.vec_id AS cand_id,
+         list_sum(list(dq.d2 ORDER BY dq.s)) AS approx_d2
+  FROM codes cd
+  JOIN dists dq ON dq.s = cd.s AND dq.cid = cd.cid
+  WHERE dq.vec_id % 20 = 0
+  GROUP BY dq.vec_id, cd.vec_id
+)
+SELECT query_id, cand_id, approx_d2 FROM (
+  SELECT query_id, cand_id, approx_d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, cand_id) AS rn
+  FROM scan
+) WHERE rn <= 10
+"""
+
+
+@query("similarity_pq_adc_topk", oracle=PQ_ADC_ORACLE, tags=("similarity", "llm", "approx"))
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC approximate top-10 over PQ codes (queries = every 20th
+    vector). Fully oracle-checked: codebook pick, encoding, distance
+    tables, and the in-order lookup sum are all deterministic doubles,
+    so DuckDB reproduces approx_d2 bit-for-bit via its own join-form
+    of the same algorithm."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=4, k=16)
+    codes = pq_encode(emb, books)
+    return pq_adc_topk(emb.filter(F.col("vec_id") % 20 == 0), codes, books, k=10)

@@ -59,6 +59,12 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "1-ROW broadcast (corpus token total + smoothing normalizer) — "
         "scalar aggregate, constant-size build side at any SF",
     ),
+    "similarity_pq_adc_topk": (
+        ("nested-loop-join", "cartesian-product"),
+        "ADC IS a linear scan over compressed codes (its win is 64x "
+        "memory compression, not scan avoidance); at scale the same "
+        "kernel runs per probed IVF cluster (IVF-ADC)",
+    ),
 }
 
 ENTRIES = catalog.entries()

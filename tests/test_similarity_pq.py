@@ -1,0 +1,93 @@
+"""Product quantization: encoding mechanics + ADC search quality.
+
+The driver corpus embeddings are near-orthogonal random vectors — the
+WORST case for PQ (no subspace structure to exploit), so ADC recall
+is judged against chance, not against clustered-data figures. The
+exact properties (code ranges, determinism, error monotonicity in k)
+hold on any data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_vortex_spark.catalog import load
+from duckdb_vortex_spark.operators.similarity import (
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+    topk_bruteforce,
+)
+
+from .conftest import SF_DIR
+
+
+def test_pq_codes_shape_and_range(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    books = pq_codebooks(emb, m=4, k=16)
+    assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == 16
+    codes = pq_encode(emb, books)
+    row = codes.agg(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m"),
+        F.min("qerr").alias("emin"),
+    ).first()
+    assert row.lo >= 0 and row.hi <= 15 and row.m == 4
+    assert row.emin >= 0.0
+
+
+def test_pq_sampled_vectors_encode_losslessly_per_subspace(spark):
+    """A vector that IS a codebook entry quantizes to itself: the k
+    hash-sampled seed vectors must have near-zero quantization error
+    (exactly zero per subspace, up to the float->double cast which is
+    exact)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    books = pq_codebooks(emb, m=4, k=16)
+    codes = pq_encode(emb, books)
+    zero = codes.filter(F.col("qerr") == 0.0).count()
+    assert zero >= 16  # at least the 16 seed vectors themselves
+
+
+def test_pq_more_codes_never_hurts_error(spark):
+    """Total quantization error with k=16 codes is <= error with k=4
+    codes for every vector (the k=4 codebook is a prefix of k=16's
+    candidate pick order is NOT guaranteed, so compare corpus sums)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    e4 = (
+        pq_encode(emb, pq_codebooks(emb, m=4, k=4))
+        .agg(F.sum("qerr"))
+        .first()[0]
+    )
+    e16 = (
+        pq_encode(emb, pq_codebooks(emb, m=4, k=16))
+        .agg(F.sum("qerr"))
+        .first()[0]
+    )
+    assert e16 <= e4
+
+
+def test_pq_adc_recall_beats_chance(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    base = {
+        (r.query_id, r.cand_id) for r in topk_bruteforce(q, emb, k=10).collect()
+    }
+    books = pq_codebooks(emb, m=4, k=16)
+    codes = pq_encode(emb, books)
+    got = {
+        (r.query_id, r.cand_id)
+        for r in pq_adc_topk(q, codes, books, k=10).collect()
+    }
+    n = emb.count()
+    recall = len(base & got) / len(base)
+    # chance = k/n = 0.02 here. Two headwinds keep the bar modest:
+    # near-orthogonal vectors are PQ's worst case (4 bits / 16 dims
+    # destroys most of the signal), and the exact baseline ranks by
+    # cosine while ADC ranks by L2 (unnormalized). Measured ~6.6x
+    # chance; assert >3x to stay robust to testdata regeneration.
+    assert recall > 3 * (10 / n), recall
+    # the query is its own nearest neighbor and its code is its own
+    # argmin, so the self pair should usually survive quantization:
+    self_hits = sum(1 for (a, b) in got if a == b)
+    assert self_hits >= 0.5 * q.count(), self_hits
