@@ -50,6 +50,9 @@ HEADLINE = [
     "timeseries_gapfill_locf",
     "join_interval_binned",
     "stream_stream_interval_join",
+    # round-3 scale operators
+    "events_sessionize_gap",
+    "similarity_pq_adc_topk",
 ]
 
 

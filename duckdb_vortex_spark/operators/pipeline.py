@@ -389,3 +389,74 @@ def pipeline_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("sample_rate"),
         )
     )
+
+
+# --- mixture rates APPLIED as a deterministic sample ----------------------
+
+MIXTURE_APPLIED_ORACLE = """
+WITH per_source AS (
+  SELECT
+    source,
+    COUNT(*) AS n_docs,
+    CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS BIGINT)
+      AS n_tokens
+  FROM documents
+  GROUP BY source
+), q AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS qq
+  FROM per_source
+), tot AS (
+  SELECT SUM(n_tokens) AS tok_total, SUM(qq) AS q_norm FROM q
+), rates AS (
+  SELECT s.source, s.n_docs,
+         CAST(floor(LEAST(1.0,
+              (CAST(s.qq AS DOUBLE) / t.q_norm)
+              * (0.5 * t.tok_total) / s.n_tokens) * 10000 + 0.5) AS BIGINT) AS rate_bp
+  FROM q s CROSS JOIN tot t
+)
+SELECT
+  d.source,
+  r.n_docs,
+  r.rate_bp,
+  COUNT(*) FILTER (
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < r.rate_bp
+  ) AS n_kept
+FROM documents d JOIN rates r USING (source)
+GROUP BY d.source, r.n_docs, r.rate_bp
+"""
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=MIXTURE_APPLIED_ORACLE,
+    tags=("sample", "llm", "agg"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture rates APPLIED: each document keeps/drops by the
+    portable md5 bucket (basis points) against its source's
+    temperature-smoothed sampling rate — the end-to-end corpus
+    rebalancing step (rates from pipeline_source_mixture_weights,
+    mechanism from sample_hash_deterministic). Output is the
+    per-source audit: docs, rate, kept count.
+
+    Scale: the rate table is |sources| rows broadcast onto a
+    scan-stage filter — rejected rows never shuffle; the audit
+    aggregate is the only exchange."""
+    rates = pipeline_source_mixture_weights(spark, sf_dir).select(
+        "source",
+        "n_docs",
+        F.floor(F.col("sample_rate") * 10000 + F.lit(0.5)).cast("bigint").alias("rate_bp"),
+    )
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate_bp")
+        .agg(F.count(F.when(bucket < F.col("rate_bp"), 1)).alias("n_kept"))
+        .select("source", "n_docs", "rate_bp", "n_kept")
+    )

@@ -795,3 +795,87 @@ def text_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbf.alias("top_bigram_frac"),
         ((twf <= 0.20) & (tbf <= 0.18)).alias("keep"),
     )
+
+
+# --- cross-document n-gram overlap (span-level dup signal) ----------------
+
+CROSS_DOC_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct(list_transform(range(1, len(toks) - 3),
+                   i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+              ELSE CAST([] AS VARCHAR[])
+         END AS grams
+  FROM t
+), posting AS (
+  SELECT unnest(grams) AS gram, doc_id FROM g
+), df AS (
+  SELECT gram, COUNT(*) AS n_docs FROM posting GROUP BY gram
+), per_doc AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE d.n_docs >= 2) AS n_shared
+  FROM posting p JOIN df d USING (gram)
+  GROUP BY p.doc_id
+)
+SELECT
+  g.doc_id,
+  COALESCE(p.n_grams, 0) AS n_grams,
+  COALESCE(p.n_shared, 0) AS n_shared,
+  CASE WHEN COALESCE(p.n_grams, 0) > 0
+       THEN CAST(p.n_shared AS DOUBLE) / p.n_grams
+       ELSE 0.0 END AS shared_frac
+FROM g LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("text_cross_doc_ngram_overlap", oracle=CROSS_DOC_ORACLE, tags=("text", "dedup", "llm"))
+def text_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per document, the
+    fraction of its distinct 5-gram shingles that also occur in at
+    least one OTHER document. High shared_frac marks docs that are
+    mostly copied passages even when no whole-document near-dup fires
+    — the complement of doc-level MinHash.
+
+    Scale: explode distinct shingles → ONE shuffle on the shingle key
+    for document frequency → count back per doc on the doc key. Both
+    aggregates are map-side-partial; no pairwise anything — cost is
+    O(total distinct shingles), the same inverted-index shape as
+    text_token_doc_frequency, independent of how duplicated the corpus
+    is (a shingle row carries a count, never a doc list)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    grams5 = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.array_join(F.slice(toks, i, 5), " "),
+    )
+    grams = F.when(F.size(toks) >= 5, F.array_distinct(grams5)).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = d.select("doc_id", grams.alias("grams"))
+    posting = base.select("doc_id", F.explode("grams").alias("gram"))
+    df_counts = posting.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        posting.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_shared"),
+        )
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return base.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_shared.alias("n_shared"),
+        F.when(n_grams > 0, n_shared.cast("double") / n_grams)
+        .otherwise(F.lit(0.0))
+        .alias("shared_frac"),
+    )

@@ -85,3 +85,97 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     seeds = part.filter(F.col("p_size") == 1).select(F.col("p_partkey").alias("id"))
     return bfs_hops(edges, seeds, max_hops=3)
+
+
+def pagerank(
+    edges: DataFrame,  # directed (src, dst) string node ids
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank in EXACT integer arithmetic: ranks are micro-unit
+    BIGINTs, each iteration is contrib = pr DIV out_degree summed over
+    in-edges, then pr' = (1-d)·1e6 + (d·Σcontrib) DIV 100. Integer
+    sums are associative, so the result is partitioning-independent
+    and an external SQL engine reproduces it exactly (the repo-wide
+    quantized-arithmetic rule; floor-division drops sub-µ mass, which
+    both engines drop identically).
+
+    Scale: each iteration is one equi join (ranks ⋈ edges on src) +
+    one aggregate (on dst) — the same two-shuffle shape as any
+    iterative Spark graph pass; ranks are localCheckpoint-ed per
+    iteration to truncate lineage. Degrees are computed once.
+    Returns (node, pr_q)."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    pr = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("pr_q"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("pr_q DIV d").alias("c"))
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(1000000 * (100 - damping_pct) // 100).cast("bigint")
+                    + F.expr(f"({damping_pct} * sc) DIV 100")
+                ).alias("pr_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
+PAGERANK_ORACLE = """
+WITH edges0 AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), e2 AS (
+  SELECT 'p' || p AS src, 's' || s AS dst FROM edges0
+  UNION ALL
+  SELECT 's' || s, 'p' || p FROM edges0
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM e2 GROUP BY src
+), pr0 AS (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS pr_q FROM deg
+), it1 AS (
+  SELECT e.dst AS node,
+         CAST(150000 AS BIGINT) + (85 * SUM(p.pr_q // d.d)) // 100 AS pr_q
+  FROM e2 e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), it2 AS (
+  SELECT e.dst AS node,
+         CAST(150000 AS BIGINT) + (85 * SUM(p.pr_q // d.d)) // 100 AS pr_q
+  FROM e2 e JOIN it1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), it3 AS (
+  SELECT e.dst AS node,
+         CAST(150000 AS BIGINT) + (85 * SUM(p.pr_q // d.d)) // 100 AS pr_q
+  FROM e2 e JOIN it2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)
+SELECT node, CAST(pr_q AS BIGINT) AS pr_q FROM it3
+"""
+
+
+@query("graph_pagerank_bipartite", oracle=PAGERANK_ORACLE, tags=("graph", "structure", "agg"))
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the (undirected-doubled) part↔supplier
+    graph — "which parts/suppliers sit at the center of the supply
+    network". Exact micro-unit integer ranks; the DuckDB oracle unrolls
+    the identical three iterations as chained CTEs."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    e2 = base.select(
+        F.concat(F.lit("p"), F.col("p").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("s").cast("string")).alias("dst"),
+    ).unionAll(
+        base.select(
+            F.concat(F.lit("s"), F.col("s").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("p").cast("string")).alias("dst"),
+        )
+    )
+    return pagerank(e2, iterations=3, damping_pct=85)

@@ -59,6 +59,11 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "1-ROW broadcast (corpus token total + smoothing normalizer) — "
         "scalar aggregate, constant-size build side at any SF",
     ),
+    "sample_temperature_mixture": (
+        ("nested-loop-join",),
+        "inherits pipeline_source_mixture_weights' 1-ROW totals "
+        "broadcast in its rate subtree — constant-size build side",
+    ),
     "similarity_pq_adc_topk": (
         ("nested-loop-join", "cartesian-product"),
         "ADC IS a linear scan over compressed codes (its win is 64x "

@@ -110,6 +110,7 @@ _NESTED_LOOP_OK = {
     "geo_points_within_radius",  # small-side theta join; grid-cell join at scale
     "text_bigram_lift",  # 1-row corpus-total broadcast cross (single-pass form)
     "pipeline_source_mixture_weights",  # 1-row corpus-totals broadcast cross
+    "sample_temperature_mixture",  # same 1-row totals cross in its rate subtree
     "similarity_pq_adc_topk",  # ADC IS a linear scan over compressed codes; scale path is IVF-ADC per probed cluster
 }
 _PYTHON_EVAL_OK = {
