@@ -223,3 +223,60 @@ def test_gapfill_10x(spark):
     t1, _ = _timed(lambda: time_bucket_gapfill(ev1).count())
     t10, _ = _timed(lambda: time_bucket_gapfill(ev10).count())
     _report("time_bucket_gapfill", t1, t10)
+
+
+def test_pq_encode_10x(spark):
+    """PQ encoding is map-side only — scaling must track input size
+    exactly (no shuffle to misbehave)."""
+    from duckdb_vortex_spark.operators.similarity import pq_codebooks, pq_encode
+
+    e1 = _replicate_embeddings(spark, 1)
+    e10 = _replicate_embeddings(spark, REPLICAS)
+    books = pq_codebooks(e1, m=4, k=16)
+    t1, n1 = _timed(lambda: pq_encode(e1, books).count())
+    t10, n10 = _timed(lambda: pq_encode(e10, books).count())
+    _report("pq_encode", t1, t10, f"rows 1x={n1} 10x={n10}")
+    assert n10 == n1 * REPLICAS
+
+
+def test_cross_doc_overlap_10x(spark):
+    """Inverted-index shape: one shingle-key shuffle carrying counts,
+    never doc lists — cost tracks total distinct shingles."""
+    from duckdb_vortex_spark.operators.text import text_cross_doc_ngram_overlap  # noqa: F401
+    from pyspark.sql import functions as F2
+
+    def run(d):
+        from duckdb_vortex_spark.operators.text import tokens
+
+        toks = tokens("text")
+        grams5 = F2.transform(
+            F2.sequence(F2.lit(1), F2.size(toks) - 4),
+            lambda i: F2.array_join(F2.slice(toks, i, 5), " "),
+        )
+        grams = F2.when(F2.size(toks) >= 5, F2.array_distinct(grams5)).otherwise(
+            F2.array().cast("array<string>")
+        )
+        posting = d.select("doc_id", F2.explode(grams).alias("gram"))
+        dfc = posting.groupBy("gram").agg(F2.count("*").alias("n_docs"))
+        return (
+            posting.join(dfc, "gram")
+            .groupBy("doc_id")
+            .agg(F2.count(F2.when(F2.col("n_docs") >= 2, 1)).alias("n_shared"))
+            .count()
+        )
+
+    d1, _ = _replicate_docs(spark, 1)
+    d10, _ = _replicate_docs(spark, REPLICAS)
+    t1, _ = _timed(lambda: run(d1))
+    t10, _ = _timed(lambda: run(d10))
+    _report("cross_doc_ngram_overlap", t1, t10)
+
+
+def test_sessionize_10x(spark):
+    from duckdb_vortex_spark.operators.timeseries import sessionize
+
+    ev1 = _replicate_events(spark, 1)
+    ev10 = _replicate_events(spark, REPLICAS)
+    t1, _ = _timed(lambda: sessionize(ev1).count())
+    t10, _ = _timed(lambda: sessionize(ev10).count())
+    _report("sessionize_gap", t1, t10)
