@@ -850,6 +850,32 @@ def pq_codebooks(
     ]
 
 
+def _cb_sql(cb: list[list[float]]) -> str:
+    """One nested-array SQL literal for a subspace codebook. Double
+    literals via repr (shortest round-trip decimal; Double.parseDouble
+    recovers the exact bits), so SQL-text construction is value-exact."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in cent) + ")" for cent in cb
+        )
+        + ")"
+    )
+
+
+def _d2_vec_sql(vec_col: str, cb: list[list[float]], s: int, dsub: int) -> str:
+    """SQL for the k-vector of squared-L2 distances between subspace s
+    of ``vec_col`` and the codebook — identical arithmetic (and
+    evaluation order) to the DuckDB oracle's list_sum/list_transform
+    form."""
+    return (
+        f"transform({_cb_sql(cb)}, c -> aggregate(zip_with("
+        f"slice({vec_col}, {s * dsub + 1}, {dsub}), c, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (a, b) -> a + b))"
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -866,42 +892,30 @@ def pq_encode(
     Map-side only: codebooks are plan literals (broadcast), encoding
     is per-row column algebra — zero shuffle at any scale. All
     arithmetic is double with a fixed evaluation order, so an external
-    SQL engine reproduces codes AND error bit-for-bit."""
+    SQL engine reproduces codes AND error bit-for-bit.
+
+    PERF: each subspace's argmin is ONE F.expr SQL string (a
+    struct-min over the distance vector) — building the same tree
+    through per-literal Column calls costs ~3000 py4j round trips and
+    ~6 s of driver time per plan; SQL-text construction is ~10 calls."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    vec = F.col(vec_col)
-    code_cols, err_cols = [], []
-    for s in range(m):
-        sub = F.slice(vec, s * dsub + 1, dsub)
-        d2s = []
-        for c, cent in enumerate(codebooks[s]):
-            carr = F.array(*[F.lit(x) for x in cent])
-            d2s.append(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        carr,
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                )
-            )
-        mind2 = F.least(*d2s)
-        code = F.lit(len(d2s) - 1)
-        # first index attaining the min (reverse-built CASE chain)
-        for c in range(len(d2s) - 2, -1, -1):
-            code = F.when(d2s[c] == mind2, F.lit(c)).otherwise(code)
-        code_cols.append(code.cast("int"))
-        err_cols.append(mind2)
-    qerr = err_cols[0]
-    for e in err_cols[1:]:
-        qerr = qerr + e
-    return df.select(
-        F.col(id_col),
-        F.array(*code_cols).alias("codes"),
-        qerr.alias("qerr"),
-    )
+    k = len(codebooks[0])
+    # struct-min: lexicographic (d2, index) min == argmin with ties to
+    # the lowest code — same tie rule as the oracle's ORDER BY d2, cid
+    mins = [
+        F.expr(
+            f"array_min(zip_with({_d2_vec_sql(vec_col, codebooks[s], s, dsub)}, "
+            f"sequence(0, {k - 1}), (d, i) -> struct(d AS d, i AS i)))"
+        ).alias(f"__m{s}")
+        for s in range(m)
+    ]
+    step = df.select(F.col(id_col), *mins)
+    codes = F.array(*[F.col(f"__m{s}.i").cast("int") for s in range(m)])
+    qerr = F.col("__m0.d")
+    for s in range(1, m):
+        qerr = qerr + F.col(f"__m{s}.d")
+    return step.select(F.col(id_col), codes.alias("codes"), qerr.alias("qerr"))
 
 
 # The oracle runs the IDENTICAL algorithm in SQL: portable-hash
@@ -979,29 +993,25 @@ def pq_adc_topk(
     codes_df as the per-cluster payload. Top-k per query is a window
     over the scan — TakeOrdered shape, no global sort."""
     m = len(codebooks)
-    kcent = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    vec = F.col(vec_col)
-    dtab_cols = []
-    for s in range(m):
-        sub = F.slice(vec, s * dsub + 1, dsub)
-        entries = []
-        for cent in codebooks[s]:
-            carr = F.array(*[F.lit(x) for x in cent])
-            entries.append(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        carr,
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                )
-            )
-        dtab_cols.append(F.array(*entries).alias(f"__dtab{s}"))
-    q = queries_df.select(F.col(id_col).alias("query_id"), *dtab_cols)
-    c = codes_df.select(F.col(id_col).alias("cand_id"), "codes")
+    # one F.expr per subspace (see pq_encode PERF note): the transform
+    # over the nested codebook literal IS the distance table
+    dtab_cols = [
+        F.expr(_d2_vec_sql(vec_col, codebooks[s], s, dsub)).alias(f"__dtab{s}")
+        for s in range(m)
+    ]
+    # persist() both join inputs: higher-order functions are interpreted
+    # (no codegen) and the optimizer inlines the 64 distance-table
+    # aggregates (and the encoder's 64 argmin aggregates) past the
+    # join, re-evaluating them once per PAIR instead of once per row —
+    # measured 8.4 s vs 1.5 s at sf0.1. A repartition barrier does NOT
+    # stop it (the projection is pushed through RepartitionByExpression);
+    # persist does, and matches reality at scale: the codes table is
+    # pre-materialized storage (4 bytes/vector — the point of PQ) and
+    # the query-side table is |queries| × m·k doubles, both bounded.
+    # Same persist-the-reused-subtree pattern as minhash signatures.
+    q = queries_df.select(F.col(id_col).alias("query_id"), *dtab_cols).persist()
+    c = codes_df.select(F.col(id_col).alias("cand_id"), "codes").persist()
     ad2 = None
     for s in range(m):
         term = F.element_at(f"__dtab{s}", F.col("codes")[s] + 1)
