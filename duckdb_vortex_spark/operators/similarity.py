@@ -168,16 +168,38 @@ def lsh_topk(
         [_hyperplane(dim, p, t) for p in range(n_planes)] for t in range(n_tables)
     ]
 
-    def signature(vec: Column, t: int) -> Column:
-        bits = []
-        for p in range(n_planes):
-            plane_arr = F.array(*[F.lit(v) for v in planes[t][p]])
-            bits.append((_dot(vec, plane_arr) > 0).cast("int").cast("string"))
-        return F.concat(F.lit(f"{t}:"), *bits)
+    def signature_sql(t: int) -> str:
+        # ONE F.expr per table (see pq_encode PERF note: building the
+        # 8×64 literals through Column calls costs thousands of py4j
+        # round trips — ~7 s of driver time per plan; even the SQL-text
+        # parse is ~0.5 s per expression, so the four table expressions
+        # are built ONCE against a standardized column name and reused
+        # by both join sides). Identical arithmetic/order to the
+        # previous per-plane Column form and to the DuckDB oracle, so
+        # signatures are value-identical.
+        planes_lit = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v!r}D" for v in planes[t][p]) + ")"
+                for p in range(n_planes)
+            )
+            + ")"
+        )
+        return (
+            f"concat('{t}:', concat_ws('', transform({planes_lit}, pl -> "
+            f"CAST(CAST(aggregate(zip_with(__vec, pl, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(a, b) -> a + b) > 0 AS INT) AS STRING))))"
+        )
+
+    sigs_arr = F.array(*[F.expr(signature_sql(t)) for t in range(n_tables)])
 
     def with_sigs(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        sigs = F.array(*[signature(F.col(vecname), t) for t in range(n_tables)])
-        return df.select(idname, vecname, F.explode(sigs).alias("sig"))
+        return (
+            df.withColumnRenamed(vecname, "__vec")
+            .select(idname, "__vec", F.explode(sigs_arr).alias("sig"))
+            .withColumnRenamed("__vec", vecname)
+        )
 
     q = with_sigs(
         queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
