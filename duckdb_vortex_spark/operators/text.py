@@ -728,14 +728,18 @@ WITH t AS (
               ELSE CAST([] AS VARCHAR[])
          END AS bi
   FROM t
+), wc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM g) GROUP BY doc_id, tok
+), bc AS (
+  SELECT doc_id, gram, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(bi) AS gram FROM g) GROUP BY doc_id, gram
 ), m AS (
-  SELECT doc_id,
-         len(toks) AS n_tokens,
-         COALESCE(list_max(list_transform(list_distinct(toks),
-                  d -> len(list_filter(toks, x -> x = d)))), 0) AS top_word_n,
-         len(bi) AS n_bigrams,
-         COALESCE(list_max(list_transform(list_distinct(bi),
-                  d -> len(list_filter(bi, x -> x = d)))), 0) AS top_bigram_n
+  SELECT g.doc_id,
+         len(g.toks) AS n_tokens,
+         COALESCE((SELECT MAX(c) FROM wc WHERE wc.doc_id = g.doc_id), 0) AS top_word_n,
+         len(g.bi) AS n_bigrams,
+         COALESCE((SELECT MAX(c) FROM bc WHERE bc.doc_id = g.doc_id), 0) AS top_bigram_n
   FROM g
 )
 SELECT
@@ -748,6 +752,29 @@ FROM m
 """
 
 
+def _max_run_count(arr: Column) -> Column:
+    """Occurrence count of the most frequent element: sort, then one
+    O(n) fold tracking (prev, current run, best run) — the max sorted
+    run length IS the max multiplicity. Replaces the per-distinct
+    filter-scan form, which is O(n²) interpreted-lambda work per row
+    (measured 22.8 s vs ~1 s over 500 docs at sf0.01)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+
+
 @query("text_top_ngram_coverage", oracle=TOP_NGRAM_ORACLE, tags=("text", "llm"))
 def text_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
@@ -758,9 +785,10 @@ def text_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity; this measures PEAK concentration — a doc can have high
     distinct ratio yet one runaway phrase).
 
-    Scale: per-row higher-order column functions, zero shuffle, linear
-    in corpus size; the per-doc distinct×occurrence scan is bounded by
-    document length (O(L·distinct) per row, both ≤ doc tokens)."""
+    Scale: per-row column algebra, zero shuffle, linear in corpus
+    size; the per-doc cost is one sort + one fold over the token
+    array (:func:`_max_run_count`). The oracle computes the same
+    multiplicities relationally (unnest + GROUP BY)."""
     d = load(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     bi_raw = F.transform(
@@ -768,24 +796,12 @@ def text_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice(toks, i, 2), " "),
     )
     bi = F.when(F.size(toks) >= 2, bi_raw).otherwise(F.array().cast("array<string>"))
-
-    def top_count(arr: Column) -> Column:
-        return F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(arr),
-                    lambda d_: F.size(F.filter(arr, lambda x: x == d_)),
-                )
-            ),
-            F.lit(0),
-        )
-
     base = d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        top_count(toks).alias("top_word_n"),
+        _max_run_count(toks).alias("top_word_n"),
         F.size(bi).alias("n_bigrams"),
-        top_count(bi).alias("top_bigram_n"),
+        _max_run_count(bi).alias("top_bigram_n"),
     )
     twf = F.col("top_word_n").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
     tbf = F.col("top_bigram_n").cast("double") / F.greatest(F.col("n_bigrams"), F.lit(1))
@@ -795,6 +811,7 @@ def text_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbf.alias("top_bigram_frac"),
         ((twf <= 0.20) & (tbf <= 0.18)).alias("keep"),
     )
+
 
 
 # --- cross-document n-gram overlap (span-level dup signal) ----------------
