@@ -429,3 +429,39 @@ def agg_histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double") / F.lit(1000000.0)
         ).alias("sum_price"),
     )
+
+
+# --- mode (most frequent value), deterministic -----------------------------
+
+MODE_ORACLE = """
+SELECT l_returnflag, l_quantity AS mode_quantity, n
+FROM (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY COUNT(*) DESC, l_quantity) AS rn
+  FROM lineitem
+  GROUP BY l_returnflag, l_quantity
+) t
+WHERE rn = 1
+"""
+
+
+@query("agg_mode_deterministic", oracle=MODE_ORACLE, tags=("agg",))
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE() — DuckDB's most-frequent-value aggregate — in its
+    deterministic form: count per (group, value), then rank with ties
+    broken toward the LOWEST value (both engines' native mode() leaves
+    ties unspecified, so the entry pins the portable formulation).
+    Two map-side-combinable aggregates sharing the group key; the
+    ranking window runs over the (group, value) AGGREGATE (bounded by
+    value cardinality), never the raw rows."""
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W2
+
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    w = W2.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "l_quantity")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_quantity"), "n")
+    )

@@ -370,3 +370,54 @@ def window_qualify_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 2)
         .drop("__rn")
     )
+
+
+# --- GROUPS frame mode (emulated) -----------------------------------------
+
+GROUPS_FRAME_ORACLE = """
+WITH g AS (
+  SELECT event_id, event_type, ts, value,
+         dense_rank() OVER (PARTITION BY event_type ORDER BY ts) AS grp
+  FROM events
+)
+SELECT
+  event_id,
+  event_type,
+  ts,
+  CAST(SUM(CAST(value AS DECIMAL(30,6)))
+       OVER (PARTITION BY event_type ORDER BY grp
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum
+FROM g
+"""
+
+
+@query("window_groups_frame", oracle=GROUPS_FRAME_ORACLE, tags=("window",))
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frame mode (SQL:2011): a frame counted in PEER GROUPS
+    of the ordering key. NEITHER engine has it natively (Spark has
+    only ROWS/RANGE; DuckDB v1.5 parses but rejects GROUPS), so the
+    entry pins the portable emulation both can run: dense_rank
+    numbers the peer groups, then a RANGE frame of ±1 over the rank
+    IS `GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING` (every peer of a
+    covered group shares its rank, so the range frame admits whole
+    groups only). Both windows share the event_type partitioning —
+    one exchange. Exact decimal sums."""
+    ev = load(spark, sf_dir, "events")
+    wr = W.partitionBy("event_type").orderBy("ts")
+    wg = (
+        W.partitionBy("event_type")
+        .orderBy("__grp")
+        .rangeBetween(-1, 1)
+    )
+    return (
+        ev.withColumn("__grp", F.dense_rank().over(wr))
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .over(wg)
+            .cast("double")
+            .alias("grp_sum"),
+        )
+    )
