@@ -808,3 +808,127 @@ def _decode_jpeg_inner(payload: bytes, np) -> tuple[int, int, bytes]:
         b = y + 1.772 * cb
         rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
     return width, height, rgb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# video container metadata (ISO BMFF / MP4 box walk — no decode)
+# ---------------------------------------------------------------------------
+
+
+def _parse_mp4_meta(payload: bytes) -> dict:
+    """ISO base-media-file-format (MP4/MOV, ISO/IEC 14496-12) box walk:
+    duration, timescale, per-track handler types, and video track
+    dimensions — the container METADATA a corpus pipeline filters on
+    (length, has-audio, resolution) without touching a single coded
+    frame. Pure struct parsing; the codec seam (_decode_payload) still
+    gates actual frame decode.
+
+    Box layout: [size:u32be][type:4cc][payload]; size==1 switches to a
+    64-bit largesize, size==0 means to-end-of-enclosing. mvhd v0
+    carries u32 timescale/duration at offsets 12/16 (v1: u64 at
+    16/24); tkhd v0 carries 16.16 fixed width/height in its last 8
+    bytes; hdlr's handler 4cc sits at payload offset 8."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (missing ftyp)")
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                break  # truncated/corrupt box: stop cleanly
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    meta = {
+        "container": "mp4",
+        "brand": payload[8:12].decode("latin1"),
+        "duration_s": None,
+        "timescale": None,
+        "n_tracks": 0,
+        "has_video": False,
+        "has_audio": False,
+        "width": None,
+        "height": None,
+    }
+    for btype, s, e in walk(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for b2, s2, e2 in walk(payload, s, e):
+            if b2 == b"mvhd":
+                ver = payload[s2]
+                if ver == 1:
+                    ts = int.from_bytes(payload[s2 + 20 : s2 + 24], "big")
+                    dur = int.from_bytes(payload[s2 + 24 : s2 + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[s2 + 12 : s2 + 16], "big")
+                    dur = int.from_bytes(payload[s2 + 16 : s2 + 20], "big")
+                meta["timescale"] = ts
+                if ts:
+                    meta["duration_s"] = dur / ts
+            elif b2 == b"trak":
+                meta["n_tracks"] += 1
+                for b3, s3, e3 in walk(payload, s2, e2):
+                    if b3 == b"tkhd":
+                        w = int.from_bytes(payload[e3 - 8 : e3 - 4], "big") >> 16
+                        h = int.from_bytes(payload[e3 - 4 : e3], "big") >> 16
+                        if w and h:
+                            meta["width"], meta["height"] = w, h
+                    elif b3 == b"mdia":
+                        for b4, s4, e4 in walk(payload, s3, e3):
+                            if b4 == b"hdlr":
+                                handler = payload[s4 + 8 : s4 + 12]
+                                if handler == b"vide":
+                                    meta["has_video"] = True
+                                elif handler == b"soun":
+                                    meta["has_audio"] = True
+    return meta
+
+
+_CONTAINER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_tracks", T.LongType(), True),
+        T.StructField("has_video", T.BooleanType(), True),
+        T.StructField("has_audio", T.BooleanType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+    ]
+)
+
+
+def probe_containers(media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Container-metadata probe over a binary media column (mapInPandas,
+    Arrow-batched): MP4/MOV today, the dispatch point for AVI/MKV.
+    Probing reads only box headers — O(boxes), not O(bytes) — so at
+    100 TB the scan cost is the payload READ, which a real deployment
+    avoids by probing at ingest and storing the result columnar."""
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = _parse_mp4_meta(bytes(payload))
+                except Exception:
+                    m = {
+                        "container": None, "brand": None, "duration_s": None,
+                        "timescale": None, "n_tracks": None, "has_video": None,
+                        "has_audio": None, "width": None, "height": None,
+                    }
+                m.pop("timescale", None)
+                rows.append({"doc_id": doc_id, **m})
+            yield pd.DataFrame(rows, columns=[f.name for f in _CONTAINER_SCHEMA.fields])
+
+    return media.select(id_col, payload_col).mapInPandas(batches, _CONTAINER_SCHEMA)

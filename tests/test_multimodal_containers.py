@@ -1,0 +1,87 @@
+"""MP4/ISO-BMFF container-metadata probe: hand-crafted spec-conformant
+boxes (ISO/IEC 14496-12 §4.2/§8.2/§8.3) as goldens, plus the Spark
+mapInPandas plumbing. No frame decode — the probe reads box headers
+only; the codec seam still gates decode."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from duckdb_vortex_spark.operators.multimodal import _parse_mp4_meta, probe_containers
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype, version, flags, payload):
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+def _trak(handler: bytes, w: int = 0, h: int = 0) -> bytes:
+    tkhd = _full(b"tkhd", 0, 7, b"\x00" * 72 + struct.pack(">II", w << 16, h << 16))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + handler + b"\x00" * 12 + b"h\x00")
+    return _box(b"trak", tkhd + _box(b"mdia", hdlr))
+
+
+def make_mp4(duration=90_000, timescale=30_000, w=640, h=360, audio=True, mvhd_v1=False):
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1")
+    if mvhd_v1:
+        mvhd = _full(
+            b"mvhd", 1, 0,
+            struct.pack(">QQ", 0, 0) + struct.pack(">I", timescale)
+            + struct.pack(">Q", duration) + b"\x00" * 80,
+        )
+    else:
+        mvhd = _full(
+            b"mvhd", 0, 0,
+            struct.pack(">II", 0, 0) + struct.pack(">II", timescale, duration)
+            + b"\x00" * 80,
+        )
+    traks = _trak(b"vide", w, h) + (_trak(b"soun") if audio else b"")
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + moov + _box(b"mdat", b"\x00" * 32)
+
+
+def test_parse_mp4_v0():
+    m = _parse_mp4_meta(make_mp4())
+    assert m["container"] == "mp4" and m["brand"] == "isom"
+    assert m["duration_s"] == pytest.approx(3.0)
+    assert m["n_tracks"] == 2 and m["has_video"] and m["has_audio"]
+    assert (m["width"], m["height"]) == (640, 360)
+
+
+def test_parse_mp4_v1_and_video_only():
+    m = _parse_mp4_meta(
+        make_mp4(duration=600_000, timescale=100_000, w=1920, h=1080,
+                 audio=False, mvhd_v1=True)
+    )
+    assert m["duration_s"] == pytest.approx(6.0)
+    assert m["n_tracks"] == 1 and m["has_video"] and not m["has_audio"]
+    assert (m["width"], m["height"]) == (1920, 1080)
+
+
+def test_parse_rejects_non_bmff():
+    with pytest.raises(ValueError):
+        _parse_mp4_meta(b"RIFF....WAVE" + b"\x00" * 20)
+
+
+def test_truncated_box_stops_cleanly():
+    payload = make_mp4()
+    m = _parse_mp4_meta(payload[: len(payload) - 40])  # cut inside mdat
+    assert m["container"] == "mp4"  # moov fully parsed before the cut
+
+
+def test_probe_containers_spark(spark):
+    rows = [
+        (1, bytearray(make_mp4())),
+        (2, bytearray(make_mp4(audio=False, w=320, h=240))),
+        (3, bytearray(b"not a container at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in probe_containers(df).collect()}
+    assert got[1].has_audio and got[1].width == 640
+    assert not got[2].has_audio and got[2].width == 320
+    assert got[3].container is None  # unparseable -> null row, no crash
