@@ -129,3 +129,44 @@ def test_plan_lint(name, spark):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected NL join"
     if name not in _PYTHON_EVAL_OK:
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime row-level filtering (the 100 TB shuffle-join saver):
+    with a selective filter on one join side, Catalyst injects a
+    bloom_filter_agg on the creation side and BloomFilterMightContain
+    on the probe side, pruning probe rows BEFORE the shuffle. Local
+    testdata sits under the default application-side threshold (10 GB)
+    so the test pins the behavior with the threshold floored — on a
+    real cluster the defaults trigger it for exactly the scans where
+    it pays."""
+    from pyspark.sql import functions as F
+
+    from duckdb_vortex_spark.catalog import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF_DIR, "lineitem")
+        orders = load(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in plan.replace(
+            "might_contain", "BloomFilterMightContain"
+        ), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
