@@ -276,12 +276,26 @@ class VortexReader(DataSourceReader):
                     return False
                 if isinstance(f, LessThanOrEqual) and s.min > f.value:
                     return False
-                if isinstance(f, EqualTo) and not (s.min <= f.value <= s.max):
-                    return False
-                if isinstance(f, In) and all(
-                    v < s.min or v > s.max for v in f.value
-                ):
-                    return False
+                if isinstance(f, EqualTo):
+                    if not (s.min <= f.value <= s.max):
+                        return False
+                    # string bloom: refutes point membership where the
+                    # min/max range cannot (non-clustered strings)
+                    if isinstance(f.value, str):
+                        bloom = vfmt.chunk_bloom(footer, chunk_idx, name)
+                        if bloom is not None and not vfmt.bloom_maybe_contains(
+                            bloom, f.value
+                        ):
+                            return False
+                if isinstance(f, In):
+                    if all(v < s.min or v > s.max for v in f.value):
+                        return False
+                    if all(isinstance(v, str) for v in f.value):
+                        bloom = vfmt.chunk_bloom(footer, chunk_idx, name)
+                        if bloom is not None and not any(
+                            vfmt.bloom_maybe_contains(bloom, v) for v in f.value
+                        ):
+                            return False
                 if isinstance(f, IsNull) and s.null_count == 0:
                     return False
                 if isinstance(f, StringStartsWith) and isinstance(s.max, str):

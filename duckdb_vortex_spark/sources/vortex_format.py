@@ -66,6 +66,7 @@ paths use plain ``open``.
 from __future__ import annotations
 
 import base64
+import hashlib
 import json
 import os
 import re
@@ -722,7 +723,8 @@ class VortexFileWriter:
     def _write_chunk(self, table) -> None:
         cols = {}
         for name in table.column_names:
-            cc = encode_column(table.column(name))
+            col = table.column(name)
+            cc = encode_column(col)
             cols[name] = {
                 "off": self._pos,
                 "len": len(cc.buf),
@@ -732,6 +734,12 @@ class VortexFileWriter:
                 "max": cc.max,
                 "null_count": cc.null_count,
             }
+            try:
+                bloom = bloom_build(col)
+            except Exception:  # noqa: BLE001 — stats are advisory, never fail a write
+                bloom = None
+            if bloom is not None:
+                cols[name]["bloom"] = base64.b64encode(bloom).decode()
             self._f.write(cc.buf)
             self._pos += len(cc.buf)
         self._chunks.append({"n_rows": table.num_rows, "columns": cols})
@@ -807,3 +815,61 @@ def chunk_stats(footer: Footer, chunk_idx: int, name: str):
     if cd is None:
         return None
     return _unjson_stat(cd["min"]), _unjson_stat(cd["max"]), cd["null_count"]
+
+
+# ---------------------------------------------------------------------------
+# per-chunk string bloom filters (point-predicate pruning beyond min/max)
+
+
+_BLOOM_BITS = 2048
+_BLOOM_K = 4
+_BLOOM_MAX_DISTINCT = 4096
+
+
+def bloom_build(arr) -> bytes | None:
+    """256-byte bloom filter over a string chunk's DISTINCT values
+    (k=4 md5-derived probes). Zone-map min/max refutes ranges but is
+    powerless against point predicates on non-clustered strings (two
+    chunks spanning 'aa'..'zz' overlap every equality); the bloom
+    refutes membership directly. Chunks with > 4096 distinct values
+    skip the bloom (it would saturate: at 2048 bits / k=4, 4096 keys
+    ≈ 100% fill) — absence means "no claim", never "absent".
+    Cost: 256 B per (chunk, column) in the footer, read with the
+    footer — no extra I/O."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        return None
+    uniq = pc.unique(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
+    if len(uniq) > _BLOOM_MAX_DISTINCT:
+        return None
+    bits = bytearray(_BLOOM_BITS // 8)
+    for v in uniq:
+        if not v.is_valid:
+            continue
+        h = hashlib.md5(v.as_py().encode("utf-8", "surrogatepass")).digest()
+        for i in range(_BLOOM_K):
+            idx = int.from_bytes(h[i * 4 : (i + 1) * 4], "little") % _BLOOM_BITS
+            bits[idx // 8] |= 1 << (idx % 8)
+    return bytes(bits)
+
+
+def bloom_maybe_contains(bloom: bytes, value: str) -> bool:
+    """True unless the bloom REFUTES membership (no false negatives)."""
+    h = hashlib.md5(value.encode("utf-8", "surrogatepass")).digest()
+    for i in range(_BLOOM_K):
+        idx = int.from_bytes(h[i * 4 : (i + 1) * 4], "little") % _BLOOM_BITS
+        if not (bloom[idx // 8] >> (idx % 8)) & 1:
+            return False
+    return True
+
+
+def chunk_bloom(footer: "Footer", chunk_idx: int, name: str) -> bytes | None:
+    """The chunk's string bloom, or None (older files / non-string /
+    high-cardinality chunks — extensible-footer key, fully backward
+    and forward compatible)."""
+    cd = footer.chunks[chunk_idx]["columns"].get(name)
+    if not cd or "bloom" not in cd:
+        return None
+    return base64.b64decode(cd["bloom"])

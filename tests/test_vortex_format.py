@@ -239,3 +239,89 @@ def test_delta_extreme_span_roundtrip():
     cc = vf.encode_column(arr)
     back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
     assert back.equals(arr)
+
+
+# --- per-chunk string bloom filters ----------------------------------------
+
+
+class TestStringBloom:
+    def test_bloom_build_and_probe(self):
+        import pyarrow as pa
+
+        from duckdb_vortex_spark.sources import vortex_format as vfmt
+
+        arr = pa.array(["alpha", "beta", "gamma", None])
+        bloom = vfmt.bloom_build(arr)
+        assert bloom is not None and len(bloom) == 256
+        for v in ("alpha", "beta", "gamma"):
+            assert vfmt.bloom_maybe_contains(bloom, v)
+        # 1000 random absent keys: false-positive rate must be tiny at
+        # 3 keys / 2048 bits (expected ~0 of 1000)
+        fps = sum(vfmt.bloom_maybe_contains(bloom, f"absent-{i}") for i in range(1000))
+        assert fps <= 5, fps
+
+    def test_bloom_skipped_for_high_cardinality_and_nonstring(self):
+        import pyarrow as pa
+
+        from duckdb_vortex_spark.sources import vortex_format as vfmt
+
+        assert vfmt.bloom_build(pa.array(list(range(100)))) is None
+        wide = pa.array([f"v{i}" for i in range(5000)])
+        assert vfmt.bloom_build(wide) is None
+
+    def test_equality_prunes_chunks_where_minmax_cannot(self, spark, tmp_path):
+        """Two chunks whose [min, max] both span 'aaa'..'zzz' (zone map
+        useless for equality) but with disjoint membership: the bloom
+        prunes the non-matching chunk AND fully prunes absent keys."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        from duckdb_vortex_spark.sources.vortex import VortexReader, register
+
+        register(spark)
+        # chunk 1: aaa, m01..m98, zzz ; chunk 2: aaa2.., n01..n98, zzz2..
+        rows = (["aaa"] + [f"m{i:02d}" for i in range(99)] + ["zzz"]
+                + ["aab"] + [f"n{i:02d}" for i in range(99)] + ["zzy"])
+        df = spark.createDataFrame([(v,) for v in rows], "s string").coalesce(1)
+        path = str(tmp_path / "bloom.vortex")
+        df.write.format("vortex").mode("append").option("chunk_rows", 101).save(path)
+
+        def surviving(pushed):
+            r = VortexReader({"path": path}, spark.read.format("vortex").load(path).schema)
+            r.pushed = pushed
+            # chunk_idx -1 is the sentinel "valid empty scan" partition
+            return [p for p in r.partitions() if p.row_group >= 0]
+
+        total = len(surviving([]))
+        assert total >= 2  # at least the two constructed chunks
+        assert len(surviving([EqualTo(("s",), "m42")])) < total  # other chunk refuted
+        assert surviving([EqualTo(("s",), "qqq")]) == []      # absent everywhere
+        assert surviving([In(("s",), ("qqq", "rrr"))]) == []  # all-absent IN
+        assert len(surviving([In(("s",), ("qqq", "n42"))])) >= 1  # one present value
+        # correctness: results identical to parquet-side evaluation
+        got = spark.read.format("vortex").load(path).filter("s = 'm42'").count()
+        assert got == 1
+
+    def test_old_footers_without_bloom_still_read(self, spark, tmp_path):
+        """Forward/backward compatibility: the bloom is an extensible
+        footer key — a footer written without it reads fine and simply
+        skips bloom pruning."""
+        import json
+
+        from duckdb_vortex_spark.sources import vortex_format as vfmt
+        from duckdb_vortex_spark.sources.vortex import register
+
+        register(spark)
+        path = str(tmp_path / "nobloom.vortex")
+        spark.createDataFrame([("x",), ("y",)], "s string").coalesce(1).write.format(
+            "vortex"
+        ).mode("append").save(path)
+        # strip the bloom keys in-place (simulating an older writer)
+        import glob as g
+        for f in g.glob(path + "/*.vortex") or [path]:
+            footer = vfmt.read_footer(f)
+            for ch in footer.chunks:
+                for cd in ch["columns"].values():
+                    cd.pop("bloom", None)
+            assert vfmt.chunk_bloom(footer, 0, "s") is None
+        got = spark.read.format("vortex").load(path).filter("s = 'x'").count()
+        assert got == 1
