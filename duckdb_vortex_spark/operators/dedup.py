@@ -709,3 +709,57 @@ def dedup_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (simhash_neardup_pairs) keeps its property pins in
     tests/test_operators_quality.py."""
     return simhash_neardup_pairs_portable(load(spark, sf_dir, "documents"))
+
+
+# --- asymmetric containment (quote / subset detection) --------------------
+
+CONTAINMENT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_duck_shingles(_DUCK_TOKS)} AS sh
+  FROM documents
+  WHERE doc_id % CAST(ceil((SELECT COUNT(*) FROM documents) / 320.0) AS BIGINT) = 0
+)
+SELECT
+  a.id AS doc_a,
+  b.id AS doc_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+FROM sh a JOIN sh b ON a.id != b.id
+WHERE len(a.sh) > 0
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
+"""
+
+
+@query("dedup_containment_pairs", oracle=CONTAINMENT_ORACLE, tags=("dedup", "llm"))
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment |A∩B| / |A| ≥ 0.8 over ordered
+    pairs: catches a document that is mostly CONTAINED in another
+    (quotes, excerpts, nested duplicates) even when symmetric Jaccard
+    is low because the container is much longer — the containment
+    variant of near-dedup (Broder 1997 distinguishes resemblance vs
+    containment). Same deterministic modulus budget and single-eval
+    intersect as the Jaccard fixture; the scale path reuses MinHash
+    bucket candidates with this as the verify predicate."""
+    import math
+
+    d = load(spark, sf_dir, "documents")
+    m = max(1, math.ceil(d.count() / 320.0))
+    sh = (
+        d.filter(F.col("doc_id") % m == 0)
+        .select(F.col("doc_id").alias("id"), shingles("text", 3).alias("sh"))
+        .persist()
+    )
+    a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sized = (
+        a.join(b, F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double").alias("__i"),
+            F.size("sh_a").alias("__na"),
+        )
+        .filter(F.col("__na") > 0)
+    )
+    return sized.select(
+        "doc_a", "doc_b", (F.col("__i") / F.col("__na")).alias("containment")
+    ).filter(F.col("containment") >= 0.8)

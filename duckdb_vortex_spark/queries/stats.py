@@ -275,3 +275,98 @@ def string_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("key_a") < F.col("key_b")) & (dist <= 2))
         .select("name_a", "name_b", dist.cast("bigint").alias("edit_dist"))
     )
+
+
+# --- count-min sketch (mergeable approximate counters) ---------------------
+
+CMS_ORACLE = """
+WITH rb AS (
+  SELECT r.r,
+         CAST(('0x' || substr(md5(r.r || ':' || event_type), 1, 8)) AS BIGINT) % 64 AS b
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+), sketch AS (
+  SELECT r, b, COUNT(*) AS c FROM rb GROUP BY r, b
+), keys AS (
+  SELECT DISTINCT event_type FROM events
+), probes AS (
+  SELECT k.event_type, r.r,
+         CAST(('0x' || substr(md5(r.r || ':' || k.event_type), 1, 8)) AS BIGINT) % 64 AS b
+  FROM keys k CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+), est AS (
+  SELECT p.event_type, MIN(s.c) AS cms_est
+  FROM probes p JOIN sketch s ON s.r = p.r AND s.b = p.b
+  GROUP BY p.event_type
+), exact AS (
+  SELECT event_type, COUNT(*) AS exact_n FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       e.exact_n,
+       CAST(s.cms_est AS BIGINT) AS cms_est,
+       s.cms_est >= e.exact_n AS never_underestimates
+FROM exact e JOIN est s USING (event_type)
+"""
+
+
+@query("sketch_count_min_estimate", oracle=CMS_ORACLE, tags=("agg", "stats", "approx"))
+def sketch_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built as a
+    TABLE — the mergeable-sketch shape for streaming/distributed
+    frequency estimation: d=4 hash rows × w=64 buckets of exact
+    partial counts (one groupBy — partials merge map-side, which is
+    the entire point of a linear sketch), probed with the same
+    portable md5 bucket function; estimate = min over the d rows.
+    Guarantees est ≥ exact always, est ≤ exact + N/w w.h.p. — the
+    never-underestimates bound is part of the checked output.
+
+    Scale: the sketch is d×w rows REGARDLESS of input size — build is
+    one map-side-combinable aggregate over the corpus, merge of two
+    sketches is elementwise addition, probe cost is |keys|·d. The
+    oracle runs the identical pipeline, so estimates match exactly."""
+    ev = load(spark, sf_dir, "events")
+    d_, w_ = 4, 64
+
+    def bucket(r: int, col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}:"), col)), 1, 8), 16, 10)
+            .cast("bigint") % w_
+        )
+
+    rb = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), bucket(r, F.col("event_type")).alias("b")
+                    )
+                    for r in range(d_)
+                ]
+            )
+        ).alias("rb")
+    ).select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    sketch = rb.groupBy("r", "b").agg(F.count("*").alias("c"))
+    keys = ev.select("event_type").distinct()
+    probes = keys.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), bucket(r, F.col("event_type")).alias("b")
+                    )
+                    for r in range(d_)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
+    )

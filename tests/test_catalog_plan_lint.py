@@ -34,6 +34,16 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "exact Jaccard verify confined to oracle scale; the scale path "
         "is MinHash-LSH candidate generation",
     ),
+    "dedup_containment_pairs": (
+        ("nested-loop-join",),
+        "ordered-pair containment verify on the same bounded fixture; "
+        "scale path reuses MinHash candidates with this predicate",
+    ),
+    "sketch_count_min_estimate": (
+        ("nested-loop-join",),
+        "|keys|×4 probe rows against the 256-row broadcast sketch — "
+        "constant-size build side at any corpus size",
+    ),
     "similarity_neardup_pairs": (
         ("nested-loop-join",),
         "exact cosine pair verify at oracle scale; scale path is "

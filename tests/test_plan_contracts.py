@@ -100,6 +100,8 @@ _NESTED_LOOP_OK = {
     "join_self_pairs",
     "similarity_neardup_pairs",
     "dedup_ngram_jaccard_pairs",
+    "dedup_containment_pairs",  # ordered-pair theta join, same bounded fixture
+    "sketch_count_min_estimate",  # |keys|x4 probes vs 256-row broadcast sketch
     "similarity_topk_bruteforce",
     "structure_scalar_subquery",
     "structure_correlated_exists",
