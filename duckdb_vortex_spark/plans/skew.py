@@ -132,4 +132,54 @@ def _register() -> None:
         )
 
 
+SALTED_JOIN_ORACLE = """
+SELECT
+  p.p_brand,
+  CAST(SUM(CAST(floor(l.l_quantity * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+"""
+
+
+def _register_join() -> None:
+    from ..catalog import load, query
+
+    @query("skew_salted_join", oracle=SALTED_JOIN_ORACLE, tags=("join", "skew", "agg"))
+    def skew_salted_join(spark, sf_dir: str) -> DataFrame:
+        """The hot-foreign-key join path, driver-checked: lineitem joins
+        part through ``salted_broadcast_left`` -- the big side gets a
+        content-derived salt, the small side is replicated 8x, and the
+        equi-join runs on (p_partkey, salt) so a dominant part key
+        spreads over 8 tasks instead of one. Post-join aggregate uses
+        quantized-BIGINT sums so the result is bit-identical to the
+        oracle's unsalted join + GROUP BY.
+
+        Scale: replication cost is 8x the DIMENSION (broadcast-sized
+        by precondition), zero extra shuffles of the fact side -- the
+        standard fix when one foreign key holds an executor's worth of
+        fact rows and AQE's skew split cannot help (broadcast joins
+        have no shuffle partitions to split)."""
+        li = load(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.floor(F.col("l_quantity") * F.lit(1000000) + F.lit(0.5))
+            .cast("bigint")
+            .alias("qty_q"),
+        )
+        p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        joined = salted_broadcast_left(li, p, on="p_partkey", n_salts=8)
+        return (
+            joined.groupBy("p_brand")
+            .agg(F.sum("qty_q").alias("sum_q"), F.count("*").alias("n_rows"))
+            .select(
+                "p_brand",
+                (F.col("sum_q").cast("double") / F.lit(1000000.0)).alias("sum_qty"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+            )
+        )
+
+
 _register()
+_register_join()

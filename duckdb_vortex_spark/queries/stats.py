@@ -370,3 +370,189 @@ def sketch_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
     )
+
+
+# --- HyperLogLog (mergeable distinct-count sketch) --------------------------
+
+HLL_ORACLE = """
+WITH h AS (
+  SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders
+), bw AS (
+  SELECT CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS bucket,
+         CAST(('0x' || substr(hx, 3, 14)) AS BIGINT) AS w
+  FROM h
+), regs AS (
+  SELECT bucket, MAX(57 - length(bin(w))) AS m FROM bw GROUP BY bucket
+), s AS (
+  SELECT CAST(SUM(CAST(power(2, 32 - LEAST(m, 32)) AS BIGINT)) AS BIGINT)
+         + (64 - COUNT(*)) * CAST(4294967296 AS BIGINT) AS denom,
+         COUNT(*) AS n_regs
+  FROM regs
+), est AS (
+  SELECT CAST(0.709 AS DOUBLE) * 4096.0 * 4294967296.0 / CAST(denom AS DOUBLE)
+           AS hll_est,
+         n_regs
+  FROM s
+), ex AS (
+  SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders
+)
+SELECT ex.exact_distinct,
+       est.hll_est,
+       est.n_regs,
+       abs(est.hll_est / CAST(ex.exact_distinct AS DOUBLE) - 1.0) <= 0.35
+         AS within_bound
+FROM ex CROSS JOIN est
+"""
+
+
+@query("sketch_hll_distinct", oracle=HLL_ORACLE, tags=("agg", "stats", "approx"))
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (Flajolet et al. 2007) built as a TABLE of 64
+    registers — the mergeable distinct-count sketch: md5 splits into a
+    6-bit bucket and a 56-bit word whose leading-zero run (via the
+    portable ``bin()``-length trick, identical in Spark and DuckDB)
+    feeds a per-bucket MAX. The harmonic mean runs in exact integer
+    arithmetic over a common 2^32 denominator (``SUM(2^(32-M))`` as
+    BIGINT) so the only float ops are one multiply chain and one
+    divide on identical operands — bit-identical across engines and
+    partitionings.
+
+    Scale: register build is one map-side-combinable MAX aggregate to
+    64 rows regardless of input size; merging two sketches is an
+    elementwise MAX — the shape Spark's own approx_count_distinct
+    uses, here exposed as a first-class relational sketch that can be
+    persisted, unioned across corpus shards, and probed later. The
+    exact COUNT(DISTINCT) rides along only to make the ±35 % error
+    bound (m=64 → σ≈13 %) oracle-decidable."""
+    o = load(spark, sf_dir, "orders")
+    hx = F.md5(F.col("o_custkey").cast("string"))
+    bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint") % 64).alias("bucket")
+    w = F.conv(F.substring(hx, 3, 14), 16, 10).cast("bigint")
+    rho = (F.lit(57) - F.length(F.bin(w))).alias("rho")
+    regs = o.select(bucket, rho).groupBy("bucket").agg(F.max("rho").alias("m"))
+    s = regs.agg(
+        (
+            F.sum(
+                F.pow(F.lit(2.0), (F.lit(32) - F.least(F.col("m"), F.lit(32))).cast("double"))
+                .cast("bigint")
+            )
+            + (F.lit(64) - F.count("*")) * F.lit(4294967296).cast("bigint")
+        ).alias("denom"),
+        F.count("*").alias("n_regs"),
+    )
+    est = s.select(
+        (
+            F.lit(0.709) * F.lit(4096.0) * F.lit(4294967296.0)
+            / F.col("denom").cast("double")
+        ).alias("hll_est"),
+        F.col("n_regs").cast("bigint").alias("n_regs"),
+    )
+    ex = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return ex.crossJoin(F.broadcast(est)).select(
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        "hll_est",
+        "n_regs",
+        (
+            F.abs(F.col("hll_est") / F.col("exact_distinct").cast("double") - F.lit(1.0))
+            <= F.lit(0.35)
+        ).alias("within_bound"),
+    )
+
+
+# --- fixed-bin histogram quantile sketch ------------------------------------
+
+HIST_QUANTILE_ORACLE = """
+WITH ext AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi, COUNT(*) AS n
+  FROM orders
+), binned AS (
+  SELECT LEAST(CAST(floor((o_totalprice - ext.lo)
+                          / ((ext.hi - ext.lo) / 1024.0)) AS BIGINT),
+               1023) AS bin
+  FROM orders CROSS JOIN ext
+), hist AS (
+  SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum_n FROM hist
+), qs AS (
+  SELECT CAST(qq.q AS DOUBLE) AS quantile,
+         MIN(CASE WHEN cum.cum_n
+                       >= CAST(ceil(CAST(qq.q AS DOUBLE) * ext.n) AS BIGINT)
+                  THEN cum.bin END) AS qbin
+  FROM cum CROSS JOIN ext CROSS JOIN (VALUES (0.5), (0.9), (0.99)) qq(q)
+  GROUP BY CAST(qq.q AS DOUBLE)
+)
+SELECT qs.quantile,
+       ext.lo + (qs.qbin + 1) * ((ext.hi - ext.lo) / 1024.0) AS est,
+       (ext.hi - ext.lo) / 1024.0 AS bin_width,
+       ext.n AS n_rows
+FROM qs CROSS JOIN ext
+ORDER BY qs.quantile
+"""
+
+
+@query(
+    "sketch_histogram_quantile",
+    oracle=HIST_QUANTILE_ORACLE,
+    tags=("agg", "stats", "approx", "window"),
+)
+def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass mergeable quantile sketch: a 1024-bin equi-width
+    histogram (extent from a 1-row broadcast, in-plan — no driver
+    scalar), cumulative counts over the 1024-row sketch, and the
+    p50/p90/p99 upper-edge estimates. Error is bounded by one bin
+    width ((hi-lo)/1024) by construction.
+
+    Scale: exact quantiles need a full sort (or Spark's GK sketch);
+    this is ONE map-side-combinable groupBy to ≤1024 rows regardless
+    of input size, and two histograms merge by adding counts — the
+    shape for percentile dashboards over a 100 TB corpus. The window
+    cumsum runs over the 1024-row sketch, not the data. All float ops
+    (bin width, bin index, edge) are identical IEEE expressions in
+    both engines, so estimates match bit-exactly."""
+    o = load(spark, sf_dir, "orders")
+    ext = o.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binw = (F.col("hi") - F.col("lo")) / F.lit(1024.0)
+    binned = o.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / binw).cast("bigint"),
+            F.lit(1023),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "bin", F.sum("c").over(Window.orderBy("bin")).alias("cum_n")
+    )
+    qvals = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("quantile")
+    )
+    qs = (
+        cum.crossJoin(F.broadcast(ext))
+        .crossJoin(F.broadcast(qvals))
+        .groupBy("quantile")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_n")
+                    >= F.ceil(F.col("quantile") * F.col("n")).cast("bigint"),
+                    F.col("bin"),
+                )
+            ).alias("qbin")
+        )
+    )
+    return (
+        qs.crossJoin(F.broadcast(ext))
+        .select(
+            "quantile",
+            (F.col("lo") + (F.col("qbin") + 1) * binw).alias("est"),
+            binw.alias("bin_width"),
+            F.col("n").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("quantile")
+    )

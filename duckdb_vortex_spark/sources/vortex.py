@@ -666,6 +666,76 @@ def write_sorted(df, path: str, sort_cols: list[str], chunk_rows: int = 65536, *
     )
 
 
+def zorder_key(df, cols: list[str], bits: int | None = None):
+    """Morton (Z-order) key over numeric ``cols`` as a Column, with
+    per-column extents taken from a 1-row broadcast kept IN-PLAN (no
+    driver scalar). Each column is scaled onto a ``2^bits`` grid, then
+    the grid coordinates' bits are interleaved — round-robin, column j
+    owning bit positions ``i*ncols + j``.
+
+    Returns ``(df_with_extents, key_column)``: the caller chains
+    ``repartitionByRange(key)`` etc. and drops the helper columns.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    n = len(cols)
+    if bits is None:
+        bits = min(16, 62 // n)
+    ext = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__zmn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__zmx_{c}") for c in cols],
+    )
+    d = df.crossJoin(F.broadcast(ext))
+    grid = (1 << bits) - 1
+    quant = []
+    for c in cols:
+        mn, mx = F.col(f"__zmn_{c}"), F.col(f"__zmx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        q = F.floor((F.col(c).cast("double") - mn) / span * F.lit(float(grid)))
+        quant.append(F.least(F.greatest(q, F.lit(0)), F.lit(grid)).cast("bigint"))
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, q in enumerate(quant):
+            z = z + F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j)
+    return d, z
+
+
+def write_zordered(
+    df, path: str, zorder_cols: list[str], bits: int | None = None,
+    chunk_rows: int = 65536, **options,
+) -> None:
+    """Write a vortex dataset clustered on a Morton (Z-order) curve
+    over ``zorder_cols`` — the multi-dimensional analogue of
+    ``write_sorted``. A single-column sort makes zone maps tight on
+    ONE column and useless on the rest; interleaving the columns'
+    bits makes every chunk a small hyper-rectangle in the combined
+    space, so a selective predicate on ANY of the z-ordered columns
+    (or a box over several) prunes most chunks from their min/max
+    zone maps alone. This is the layout Delta/Iceberg expose as
+    ``OPTIMIZE ... ZORDER BY`` (public Delta OPTIMIZE docs; Morton
+    1966), here feeding the ``.vortex`` footer's per-chunk statistics
+    (SURVEY.md §2A A7).
+
+    Scale: one extra 1-row extent aggregate + one range shuffle on the
+    z-key — same cost shape as write_sorted; the curve computation is
+    pure JVM column algebra (shift/mask), no Python. Extents come from
+    the data itself in-plan, so no coordination step precedes the
+    write."""
+    d, z = zorder_key(df, zorder_cols, bits)
+    helper = [c for c in d.columns if c.startswith("__zmn_") or c.startswith("__zmx_")]
+    (
+        d.withColumn("__zkey", z)
+        .repartitionByRange("__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *helper)
+        .write.format("vortex")
+        .mode(options.pop("mode", "append"))
+        .option("chunk_rows", chunk_rows)
+        .options(**options)
+        .save(path)
+    )
+
+
 def dataset_stats(spark, path: str):
     """ANALYZE-style dataset statistics from footers ONLY — no data
     pages are read. Returns a DataFrame (file, column, n_rows,

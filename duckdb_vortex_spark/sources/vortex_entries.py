@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
-from .vortex import register, write_sorted
+from .vortex import register, write_sorted, write_zordered
 
 
 def _fresh_dir(tag: str) -> str:
@@ -124,6 +124,61 @@ def vortex_typed_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("sum_price"),
             F.min("l_shipdate").alias("min_ship"),
             F.max("l_returnflag").alias("max_flag"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+VORTEX_ZORDER_ORACLE = """
+SELECT
+  o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+FROM orders
+WHERE o_custkey BETWEEN 400 AND 700
+  AND o_totalprice BETWEEN 100000.0 AND 200000.0
+GROUP BY o_orderstatus
+"""
+
+
+@query("vortex_zorder_pruned_scan", oracle=VORTEX_ZORDER_ORACLE, tags=("vortex", "io"))
+def vortex_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY orders → Morton/Z-order-clustered .vortex dataset on
+    (o_custkey, o_totalprice) → scan with a pushed BOX predicate over
+    both curve dimensions → grouped aggregate. Z-ordering makes every
+    chunk a hyper-rectangle in (custkey × price) space, so the box
+    prunes chunks from footer zone maps on EITHER column — the layout
+    Delta/Iceberg call OPTIMIZE ZORDER BY, here over the .vortex
+    statistics layer (SURVEY.md §2A A7; pruning superiority vs a
+    single-column sort is pinned in
+    tests/test_vortex_source.py::test_zorder_write_prunes_on_second_dimension).
+    The oracle runs the same box on the parquet source, so encode/
+    decode + both pushed range predicates must return exactly the
+    right rows for the hash to match."""
+    register(spark)
+    path = _fresh_dir("zo")
+    try:
+        write_zordered(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+            ),
+            path,
+            zorder_cols=["o_custkey", "o_totalprice"],
+            chunk_rows=2048,
+        )
+        back = spark.read.format("vortex").load(path)
+        out = (
+            back.filter(
+                F.col("o_custkey").between(400, 700)
+                & F.col("o_totalprice").between(100000.0, 200000.0)
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+            )
         )
         out = spark.createDataFrame(out.collect(), out.schema)
         return out

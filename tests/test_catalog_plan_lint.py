@@ -80,6 +80,17 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "memory compression, not scan avoidance); at scale the same "
         "kernel runs per probed IVF cluster (IVF-ADC)",
     ),
+    "sketch_hll_distinct": (
+        ("nested-loop-join",),
+        "1-ROW broadcast (the 64-register HLL estimate joined to the "
+        "exact count for the error-bound boolean) — constant-size "
+        "build side at any SF",
+    ),
+    "sketch_histogram_quantile": (
+        ("nested-loop-join",),
+        "1-ROW extent broadcast + ≤1024-row sketch × 3 quantile probes "
+        "— every build side is constant-size regardless of corpus",
+    ),
 }
 
 ENTRIES = catalog.entries()

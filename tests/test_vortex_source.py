@@ -434,3 +434,46 @@ def test_relation_reuse_pushdown_caveat(spark, tmp_path):
     assert safe.count() == 10
     assert sorted(r["k"] for r in safe.filter(F.col("k") < 2).collect()) == [0, 1]
     assert safe.count() == 10
+
+
+def test_zorder_write_prunes_on_second_dimension(spark, tmp_path):
+    """A7 layout test: a Morton-curve (Z-order) clustered write makes
+    zone maps selective on EVERY z-ordered column, where a single-col
+    sort is selective only on its sort key. Same 40-chunk dataset,
+    same pushed range predicate on the SECOND column: the sorted-by-a
+    layout keeps ~all chunks (b spans the full range in each), the
+    z-ordered layout prunes most of them from footer min/max alone."""
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from duckdb_vortex_spark.sources.vortex import write_sorted, write_zordered
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("a"),
+        ((F.col("id") * 7919) % 200).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    p_sorted = str(tmp_path / "sorted.vortex")
+    p_zorder = str(tmp_path / "zorder.vortex")
+    write_sorted(df, p_sorted, sort_cols=["a"], chunk_rows=1000)
+    write_zordered(df, p_zorder, zorder_cols=["a", "b"], chunk_rows=1000)
+
+    schema = spark.read.format("vortex").load(p_zorder).schema
+    pushed = [GreaterThan(("b",), 150), LessThan(("b",), 160)]
+
+    def surviving(path):
+        r = VortexReader({"path": path}, schema)
+        r.pushed = list(pushed)
+        return len(r.partitions())
+
+    n_sorted, n_zorder = surviving(p_sorted), surviving(p_zorder)
+    assert n_zorder < n_sorted, (n_zorder, n_sorted)
+    assert n_zorder <= 20  # most of the ~40 chunks pruned
+
+    # both layouts return identical filtered results
+    q = lambda p: (  # noqa: E731
+        spark.read.format("vortex").load(p)
+        .filter((F.col("b") > 150) & (F.col("b") < 160))
+        .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+        .collect()[0]
+    )
+    assert q(p_sorted) == q(p_zorder)
