@@ -53,6 +53,8 @@ HEADLINE = [
     # round-3 scale operators
     "events_sessionize_gap",
     "similarity_pq_adc_topk",
+    "similarity_ivfpq_ann",
+    "text_duplicate_span_trim",
 ]
 
 

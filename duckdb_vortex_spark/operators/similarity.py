@@ -1104,3 +1104,141 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_codebooks(emb, m=4, k=16)
     codes = pq_encode(emb, books)
     return pq_adc_topk(emb.filter(F.col("vec_id") % 20 == 0), codes, books, k=10)
+
+
+def ivfpq_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC composition (Jégou et al. 2011 §V — the production ANN
+    layout): the corpus is partitioned by nearest centroid (IVF) and
+    stored as PQ codes; a query probes its ``n_probe`` nearest
+    clusters and runs the ADC kernel ONLY over those clusters' codes.
+
+    This is the 100 TB shape end-to-end: centroids + codebooks are
+    broadcast literals; the corpus shuffles once on cluster_id (and
+    would persist bucketed-by-cluster for reuse); per query the scan
+    cost is n_probe/n_clusters of the codes — 4 bytes per candidate —
+    instead of a full-precision linear scan. pq_adc_topk is the
+    degenerate n_probe = n_clusters case."""
+    centroids = sample_centroids(corpus_df, n_clusters, id_col, vec_col)
+    books = pq_codebooks(corpus_df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    cand = (
+        ivf_assign(corpus_df, centroids, 1, id_col, vec_col)
+        .select(F.col(id_col), "cluster_id")
+        .join(pq_encode(corpus_df, books, id_col, vec_col), id_col)
+        .select(F.col(id_col).alias("cand_id"), "cluster_id", "codes")
+        .persist()  # same interpreted-HOF barrier as pq_adc_topk
+    )
+    dsub = len(books[0][0])
+    dtab_cols = [
+        F.expr(_d2_vec_sql(vec_col, books[s], s, dsub)).alias(f"__dtab{s}")
+        for s in range(m)
+    ]
+    qry = (
+        ivf_assign(queries_df, centroids, n_probe, id_col, vec_col)
+        .select(F.col(id_col).alias("query_id"), "cluster_id", F.col(vec_col))
+        .select("query_id", "cluster_id", *dtab_cols)
+        .persist()
+    )
+    ad2 = None
+    for s in range(m):
+        term = F.element_at(f"__dtab{s}", F.col("codes")[s] + 1)
+        ad2 = term if ad2 is None else ad2 + term
+    scored = (
+        qry.join(cand, "cluster_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", ad2.alias("approx_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "approx_d2")
+    )
+
+
+IVFPQ_ORACLE = f"""
+WITH cent AS (
+  SELECT
+    row_number() OVER (
+      ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+    ) - 1 AS cid,
+    embedding
+  FROM embeddings
+  ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+  LIMIT 16
+), csim AS (
+  SELECT e.vec_id, c.cid,
+         {{cos}} AS csim
+  FROM embeddings e CROSS JOIN cent c
+), cand_asg AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM csim
+  ) WHERE rn = 1
+), qry_asg AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM csim WHERE vec_id % 20 = 0
+  ) WHERE rn <= 4
+), dists AS (
+  SELECT
+    e.vec_id,
+    s.s,
+    c.cid,
+    list_sum(list_transform(
+      list_zip(e.embedding[s.s * 16 + 1 : s.s * 16 + 16],
+               c.embedding[s.s * 16 + 1 : s.s * 16 + 16]),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+    )) AS d2
+  FROM embeddings e
+  CROSS JOIN cent c
+  CROSS JOIN (VALUES (0), (1), (2), (3)) s(s)
+), codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), scan AS (
+  SELECT dq.vec_id AS query_id, cd.vec_id AS cand_id,
+         list_sum(list(dq.d2 ORDER BY dq.s)) AS approx_d2
+  FROM codes cd
+  JOIN cand_asg ca ON ca.vec_id = cd.vec_id
+  JOIN dists dq ON dq.s = cd.s AND dq.cid = cd.cid
+  JOIN qry_asg qa ON qa.vec_id = dq.vec_id AND qa.cluster_id = ca.cluster_id
+  WHERE dq.vec_id != cd.vec_id
+  GROUP BY dq.vec_id, cd.vec_id
+)
+SELECT query_id, cand_id, approx_d2 FROM (
+  SELECT query_id, cand_id, approx_d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, cand_id) AS rn
+  FROM scan
+) WHERE rn <= 10
+""".format(cos=_sql_cos("e.embedding", "c.embedding"))
+
+
+@query("similarity_ivfpq_ann", oracle=IVFPQ_ORACLE, tags=("similarity", "llm", "approx"))
+def similarity_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC approximate top-10 (queries = every 20th vector): the
+    composed production ANN — IVF cluster pruning × PQ compressed
+    scan. The oracle reproduces centroid pick, cosine cluster
+    assignment, PQ encoding, and the in-order ADC sums bit-for-bit,
+    restricted to (query, candidate) pairs whose clusters the query
+    probes."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") % 20 == 0), emb,
+        k=10, n_clusters=16, n_probe=4, m=4, k_codes=16,
+    )

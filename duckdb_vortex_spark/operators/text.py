@@ -896,3 +896,125 @@ def text_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("shared_frac"),
     )
+
+
+# --- exact-substring span trimming (ExactSubstr dedup) ----------------------
+
+SPAN_TRIM_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+), words AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) AS pos, toks[r.i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+), starts AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) AS p,
+         array_to_string(list_slice(toks, r.i, r.i + 4), ' ') AS gram
+  FROM t, unnest(range(1, CASE WHEN len(toks) >= 5 THEN len(toks) - 3 ELSE 1 END)) AS r(i)
+), gc AS (
+  SELECT gram, COUNT(*) AS n,
+         MIN({'d': doc_id, 'p': p}) AS canon
+  FROM starts GROUP BY gram
+), dup_starts AS (
+  SELECT s.doc_id, s.p
+  FROM starts s JOIN gc USING (gram)
+  WHERE gc.n >= 2 AND NOT (s.doc_id = gc.canon.d AND s.p = gc.canon.p)
+), rm AS (
+  SELECT DISTINCT doc_id, CAST(p + r.o AS BIGINT) AS pos
+  FROM dup_starts, unnest(range(0, 5)) AS r(o)
+), kept AS (
+  SELECT w.doc_id, w.pos, w.tok
+  FROM words w ANTI JOIN rm ON rm.doc_id = w.doc_id AND rm.pos = w.pos
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+  FROM kept GROUP BY doc_id
+), nw AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words FROM t
+)
+SELECT nw.doc_id,
+       nw.n_words,
+       CAST(nw.n_words - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.trimmed_text, '') AS trimmed_text,
+       CASE WHEN nw.n_words > 0
+            THEN CAST(nw.n_words - COALESCE(a.n_kept, 0) AS DOUBLE) / nw.n_words
+            ELSE 0.0 END AS removed_frac
+FROM nw LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("text_duplicate_span_trim", oracle=SPAN_TRIM_ORACLE, tags=("text", "dedup", "llm"))
+def text_duplicate_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022 §4.1): every 5-gram
+    occurrence that is not the canonical (lexicographically first
+    (doc, pos)) occurrence of its gram gets its 5-token span cut from
+    the document; the trimmed token stream is reassembled in order.
+    Unlike text_cross_doc_ngram_overlap (which only SCORES span
+    duplication), this emits the cleaned corpus: duplicated passages
+    survive exactly once, whole-document duplicates collapse to one
+    copy, and partially-copied docs keep their novel text.
+
+    Scale: inverted-index shape end-to-end — explode 5-gram start
+    positions (one row per token, same as any shingle pass), ONE
+    shuffle on the gram key for (count, canonical) then a join back,
+    a bounded 5x position expansion for covered tokens, anti-join on
+    (doc, pos), and one doc-key aggregate to rebuild text. No
+    pairwise work anywhere; cost is O(total tokens), independent of
+    duplication degree. The canonical pick is MIN(struct(doc, pos)) —
+    associative, partitioning-independent, identical in the oracle."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = d.select("doc_id", toks.alias("toks"))
+    words = t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    start_structs = F.when(
+        F.size("toks") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 4),
+            lambda i: F.struct(
+                i.cast("bigint").alias("p"),
+                F.array_join(F.slice(F.col("toks"), i, 5), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:bigint,gram:string>>"))
+    starts = t.select("doc_id", F.explode(start_structs).alias("s")).select(
+        "doc_id", F.col("s.p").alias("p"), F.col("s.gram").alias("gram")
+    )
+    gc = starts.groupBy("gram").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("p").alias("p"))).alias("canon"),
+    )
+    dup_starts = (
+        starts.join(gc, "gram")
+        .filter(
+            (F.col("n") >= 2)
+            & ~((F.col("doc_id") == F.col("canon.d")) & (F.col("p") == F.col("canon.p")))
+        )
+        .select("doc_id", "p")
+    )
+    rm = dup_starts.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("pos")
+    ).distinct()
+    kept = words.join(rm, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("trimmed_text"),
+    )
+    nw = t.select("doc_id", F.size("toks").cast("bigint").alias("n_words"))
+    n_removed = (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint")
+    return nw.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        n_removed.alias("n_removed"),
+        F.coalesce(F.col("trimmed_text"), F.lit("")).alias("trimmed_text"),
+        F.when(F.col("n_words") > 0, n_removed.cast("double") / F.col("n_words"))
+        .otherwise(F.lit(0.0))
+        .alias("removed_frac"),
+    )

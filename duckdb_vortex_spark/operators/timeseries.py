@@ -804,3 +804,196 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     running session index (lag + cumulative sum) then one aggregate
     per (user, session). See :func:`sessionize` for the scale design."""
     return sessionize(load(spark, sf_dir, "events"), gap_seconds=14400)
+
+
+# --- robust (MAD) anomaly detection ---------------------------------------
+
+MAD_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), med AS (
+  SELECT event_type, median(n) AS med FROM hourly GROUP BY event_type
+), madt AS (
+  SELECT h.event_type, median(abs(CAST(h.n AS DOUBLE) - m.med)) AS mad
+  FROM hourly h JOIN med m USING (event_type) GROUP BY h.event_type
+)
+SELECT h.event_type, CAST(h.h AS VARCHAR) AS hour_str,
+       CAST(h.n AS BIGINT) AS n_events,
+       m.med, d.mad,
+       CAST(h.n AS DOUBLE) > m.med + 5.0 * d.mad AS is_anomaly
+FROM hourly h JOIN med m USING (event_type) JOIN madt d USING (event_type)
+"""
+
+
+@query("timeseries_anomaly_mad", oracle=MAD_ORACLE, tags=("timeseries", "agg", "stats"))
+def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly flags: hourly event counts per type
+    scored against the type's median + 5×MAD (median absolute
+    deviation) — the robust z-score that a single traffic spike
+    cannot poison, unlike mean/stddev (timeseries_rolling_zscore's
+    complement: global robust baseline vs rolling parametric).
+    Degenerate series (MAD = 0, common for sparse types) flag any
+    count above the median — documented, identical in both engines.
+
+    Scale: the hourly rollup is the only pass over raw events (one
+    map-side-combinable groupBy); both medians run per event_type
+    over the SMALL rollup (≤ hours×types rows). Medians of integer
+    counts interpolate as (a+b)/2 — exact in double, so Spark's
+    median and DuckDB's agree bit-for-bit."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    med = hourly.groupBy("event_type").agg(F.median("n").alias("med"))
+    madt = (
+        hourly.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("n").cast("double") - F.col("med"))).alias("mad"))
+    )
+    return (
+        hourly.join(med, "event_type")
+        .join(madt, "event_type")
+        .select(
+            "event_type",
+            F.col("h").cast("string").alias("hour_str"),
+            F.col("n").cast("bigint").alias("n_events"),
+            "med",
+            "mad",
+            (F.col("n").cast("double") > F.col("med") + F.lit(5.0) * F.col("mad"))
+            .alias("is_anomaly"),
+        )
+    )
+
+
+# --- LTTB downsampling ----------------------------------------------------
+
+LTTB_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS x,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yq,
+         value,
+         ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+), bp AS (
+  SELECT *, rn // 20 AS b FROM pts
+), bstats AS (
+  SELECT event_type, b, COUNT(*) AS cnt,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+         MAX(b) OVER (PARTITION BY event_type) AS bmax
+  FROM bp GROUP BY event_type, b
+), banchor AS (
+  SELECT event_type, b, bmax,
+         lag(CAST(sx AS DOUBLE) / cnt)  OVER w AS axp,
+         lag(CAST(sy AS DOUBLE) / 1000000.0 / cnt) OVER w AS ayp,
+         lead(CAST(sx AS DOUBLE) / cnt) OVER w AS axn,
+         lead(CAST(sy AS DOUBLE) / 1000000.0 / cnt) OVER w AS ayn
+  FROM bstats
+  WINDOW w AS (PARTITION BY event_type ORDER BY b)
+), scored AS (
+  SELECT p.event_type, p.b, p.rn, p.ts, p.value, a.bmax,
+         CASE WHEN a.axp IS NULL OR a.axn IS NULL THEN NULL
+              ELSE abs((a.axp - a.axn) * (CAST(p.yq AS DOUBLE) / 1000000.0 - a.ayp)
+                       - (a.axp - CAST(p.x AS DOUBLE)) * (a.ayn - a.ayp))
+         END AS area
+  FROM bp p JOIN banchor a ON a.event_type = p.event_type AND a.b = p.b
+), ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY event_type, b
+           ORDER BY CASE WHEN b = 0 THEN rn
+                         WHEN b = bmax THEN -rn
+                         ELSE NULL END ASC NULLS LAST,
+                    area DESC, rn ASC
+         ) AS pick
+  FROM scored
+)
+SELECT event_type, CAST(ts AS VARCHAR) AS ts_str, value, CAST(b AS BIGINT) AS bucket
+FROM ranked WHERE pick = 1
+"""
+
+
+@query("timeseries_lttb_downsample", oracle=LTTB_ORACLE, tags=("timeseries", "window"))
+def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013;
+    the Timescale/Grafana visual-fidelity downsampler) with FIXED
+    anchors: each 20-point bucket keeps the point forming the largest
+    triangle against its neighbor buckets' average points (classic
+    LTTB chains the previously SELECTED point — inherently sequential;
+    anchoring on bucket averages is the standard parallel relaxation
+    and is what makes the operator one window pass instead of a
+    per-series scan). First/last buckets keep their first/last point,
+    per the original algorithm.
+
+    Determinism: bucket averages come from exact BIGINT sums (epoch
+    micros; values quantized 1e6) divided once in a pinned order, and
+    the triangle-area floats then evaluate identically in both
+    engines; ties break on earliest row. Scale: one shuffle on the
+    series key; bucket stats are a map-side-combinable groupBy over
+    points, anchors a window over the per-BUCKET rollup; per-point
+    state is O(1)."""
+    ev = load(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("x"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint").alias("yq"),
+        "value",
+        "ts",
+        (F.row_number().over(w_rn) - 1).alias("rn"),
+    )
+    bp = pts.withColumn("b", F.expr("rn DIV 20"))
+    bstats = (
+        bp.groupBy("event_type", "b")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("x").alias("sx"),
+            F.sum("yq").alias("sy"),
+        )
+        .withColumn("bmax", F.max("b").over(Window.partitionBy("event_type")))
+    )
+    w_b = Window.partitionBy("event_type").orderBy("b")
+    ax = F.col("sx").cast("double") / F.col("cnt")
+    ay = F.col("sy").cast("double") / F.lit(1000000.0) / F.col("cnt")
+    banchor = bstats.select(
+        "event_type",
+        "b",
+        "bmax",
+        F.lag(ax).over(w_b).alias("axp"),
+        F.lag(ay).over(w_b).alias("ayp"),
+        F.lead(ax).over(w_b).alias("axn"),
+        F.lead(ay).over(w_b).alias("ayn"),
+    )
+    py = F.col("yq").cast("double") / F.lit(1000000.0)
+    area = F.when(
+        F.col("axp").isNull() | F.col("axn").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.abs(
+            (F.col("axp") - F.col("axn")) * (py - F.col("ayp"))
+            - (F.col("axp") - F.col("x").cast("double")) * (F.col("ayn") - F.col("ayp"))
+        )
+    )
+    scored = bp.join(banchor, ["event_type", "b"]).select(
+        "event_type", "b", "rn", "ts", "value", "bmax", area.alias("area")
+    )
+    head_tail = (
+        F.when(F.col("b") == 0, F.col("rn"))
+        .when(F.col("b") == F.col("bmax"), -F.col("rn"))
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    w_pick = Window.partitionBy("event_type", "b").orderBy(
+        head_tail.asc_nulls_last(), F.col("area").desc(), F.col("rn").asc()
+    )
+    return (
+        scored.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("ts").cast("string").alias("ts_str"),
+            "value",
+            F.col("b").cast("bigint").alias("bucket"),
+        )
+    )

@@ -80,6 +80,12 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "memory compression, not scan avoidance); at scale the same "
         "kernel runs per probed IVF cluster (IVF-ADC)",
     ),
+    "similarity_ivfpq_ann": (
+        ("nested-loop-join",),
+        "16-ROW centroid broadcast for cluster assignment — constant-"
+        "size build side at any corpus scale (same shape as ivf_ann); "
+        "the candidate scan itself joins hash-wise on cluster_id",
+    ),
     "sketch_hll_distinct": (
         ("nested-loop-join",),
         "1-ROW broadcast (the 64-register HLL estimate joined to the "

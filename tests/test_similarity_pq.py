@@ -91,3 +91,38 @@ def test_pq_adc_recall_beats_chance(spark):
     # argmin, so the self pair should usually survive quantization:
     self_hits = sum(1 for (a, b) in got if a == b)
     assert self_hits >= 0.5 * q.count(), self_hits
+
+
+def test_ivfpq_recall_beats_chance_and_respects_probes(spark):
+    """IVF-ADC composition: recall@10 vs brute force well above chance
+    (random embeddings are PQ's worst case — see module docstring),
+    and every returned candidate lives in a cluster the query probed
+    (the IVF constraint that makes the scan n_probe/n_clusters of the
+    corpus)."""
+    from duckdb_vortex_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        sample_centroids,
+        topk_bruteforce,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    approx = ivfpq_topk(q, emb, k=10).toPandas()
+    exact = topk_bruteforce(q, emb, k=10).toPandas()
+    base = set(zip(exact.query_id, exact.cand_id))
+    got = set(zip(approx.query_id, approx.cand_id))
+    n = emb.count()
+    recall = len(base & got) / len(base)
+    assert recall > 3 * (10 / n), recall
+
+    cents = sample_centroids(emb, 16)
+    cand_cl = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(emb, cents, 1).select("vec_id", "cluster_id").collect()
+    }
+    probed = {}
+    for r in ivf_assign(q, cents, 4).select("vec_id", "cluster_id").collect():
+        probed.setdefault(r["vec_id"], set()).add(r["cluster_id"])
+    for qid, cid in got:
+        assert cand_cl[cid] in probed[qid], (qid, cid)
