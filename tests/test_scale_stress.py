@@ -280,3 +280,86 @@ def test_sessionize_10x(spark):
     t1, _ = _timed(lambda: sessionize(ev1).count())
     t10, _ = _timed(lambda: sessionize(ev10).count())
     _report("sessionize_gap", t1, t10)
+
+
+def test_ivfpq_10x(spark):
+    """IVF-ADC: the candidate scan is cluster-pruned (n_probe/n_clusters
+    of the codes per query) — 10x corpus with FIXED queries must scale
+    ~linearly in corpus size, and per-cluster code counts must stay
+    balanced enough that no task owns the scan."""
+    from duckdb_vortex_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        sample_centroids,
+    )
+
+    e1 = _replicate_embeddings(spark, 1)
+    e10 = _replicate_embeddings(spark, REPLICAS)
+    q = e1.filter(F.col("vec_id") % 20 == 0).limit(50)
+    t1, n1 = _timed(lambda: ivfpq_topk(q, e1, k=10).count())
+    t10, n10 = _timed(lambda: ivfpq_topk(q, e10, k=10).count())
+    cents = sample_centroids(e10, 16)
+    sizes = sorted(
+        r["n"]
+        for r in ivf_assign(e10, cents, 1)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    skew = sizes[-1] / max(sizes[len(sizes) // 2], 1)
+    _report("ivfpq_ann", t1, t10, f"max/median cluster={skew:.1f}")
+    assert skew < 20.0, f"one cluster owns the scan: {sizes}"
+
+
+def test_span_trim_10x(spark):
+    """ExactSubstr trimming: inverted-index shape — one gram-key
+    shuffle carrying (count, canonical), bounded 5x coverage
+    expansion; cost tracks total tokens, independent of duplication
+    degree (alphabet-rotated replicas keep per-replica dup rates at
+    the base level)."""
+    from duckdb_vortex_spark.operators.text import tokens
+
+    def run(d):
+        toks = tokens("text")
+        t = d.select("doc_id", toks.alias("toks"))
+        start_structs = F.when(
+            F.size("toks") >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("p"),
+                    F.array_join(F.slice(F.col("toks"), i, 5), " ").alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<p:bigint,gram:string>>"))
+        starts = t.select("doc_id", F.explode(start_structs).alias("s")).select(
+            "doc_id", F.col("s.p").alias("p"), F.col("s.gram").alias("gram")
+        )
+        gc = starts.groupBy("gram").agg(
+            F.count("*").alias("n"),
+            F.min(F.struct(F.col("doc_id").alias("d"), F.col("p").alias("p"))).alias(
+                "canon"
+            ),
+        )
+        dup = (
+            starts.join(gc, "gram")
+            .filter(
+                (F.col("n") >= 2)
+                & ~(
+                    (F.col("doc_id") == F.col("canon.d"))
+                    & (F.col("p") == F.col("canon.p"))
+                )
+            )
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("pos"),
+            )
+            .distinct()
+        )
+        return dup.count()
+
+    d1, _ = _replicate_docs(spark, 1)
+    d10, _ = _replicate_docs(spark, REPLICAS)
+    t1, _ = _timed(lambda: run(d1))
+    t10, _ = _timed(lambda: run(d10))
+    _report("duplicate_span_trim", t1, t10)
