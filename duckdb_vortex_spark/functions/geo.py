@@ -168,3 +168,83 @@ def geo_points_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id_a") < F.col("id_b")) & (d2 <= r * r))
         .select("id_a", "id_b", d2.cast("bigint").alias("dist2"))
     )
+
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_sql(lon: str, lat: str, spark_dialect: bool) -> str:
+    """Build the geohash-6 expression (30 interleaved bits, lon first,
+    base32 chars) in either engine's SQL dialect — identical structure
+    and arithmetic, only the shift spelling differs (Spark:
+    shiftright(); DuckDB: >>). One SQL string per side keeps plan
+    construction O(1) py4j calls (the PQ plan-construction lesson)."""
+    lon_q = f"LEAST(CAST(floor(({lon} + 180.0) / 360.0 * 32768.0) AS BIGINT), 32767)"
+    lat_q = f"LEAST(CAST(floor(({lat} + 90.0) / 180.0 * 32768.0) AS BIGINT), 32767)"
+
+    def shr(x: str, n: int) -> str:
+        return f"shiftright({x}, {n})" if spark_dialect else f"({x} >> {n})"
+
+    terms = []
+    for i in range(15):
+        terms.append(f"({shr(lon_q, 14 - i)} & 1) * {1 << (29 - 2 * i)}")
+        terms.append(f"({shr(lat_q, 14 - i)} & 1) * {1 << (28 - 2 * i)}")
+    z = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substring('{_GH32}', CAST(({shr(z, 25 - 5 * k)} & 31) AS INT) + 1, 1)"
+        for k in range(6)
+    ]
+    if spark_dialect:
+        return "concat(" + ", ".join(chars) + ")"
+    return " || ".join(chars)
+
+
+_GH_LON = "(CAST(s_suppkey % 3600 AS DOUBLE) / 10.0 - 180.0)"
+_GH_LAT = "(CAST(s_suppkey % 1737 AS DOUBLE) / 10.0 - 86.8)"
+
+GEOHASH_ORACLE = f"""
+WITH pts AS (
+  SELECT s_suppkey,
+         {_GH_LON} AS lon,
+         {_GH_LAT} AS lat,
+         {_geohash_sql(_GH_LON, _GH_LAT, spark_dialect=False)} AS geohash6
+  FROM supplier
+)
+SELECT s_suppkey, lon, lat, geohash6,
+       substring(geohash6, 1, 4) AS geohash4,
+       COUNT(*) OVER (PARTITION BY substring(geohash6, 1, 4)) AS n_in_cell4
+FROM pts
+"""
+
+
+@query("geo_geohash_cells", oracle=GEOHASH_ORACLE, tags=("geo", "window"))
+def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (Niemeyer's public-domain scheme: interleave
+    lon/lat bits MSB-first, lon first, base32 without a/i/l/o) as pure
+    shift/mask column algebra — 30 bits → 6 characters, pinned against
+    the classic u4pruy test vector in pytest. Cell-prefix counts show
+    the spatial-bucketing use: geohash prefixes ARE the grid keys for
+    spatial joins/aggregation (the proximity-join shape of
+    geo_points_within_radius, but with a portable string key that
+    range-partitions and prefix-prunes in any store).
+
+    Scale: encoding is map-side only; the cell count is one shuffle on
+    the 4-char prefix — at 100 TB the same expression computes inside
+    the scan and feeds write_partitioned(geohash4) so spatial
+    predicates prune directories before any footer I/O."""
+    s = load(spark, sf_dir, "supplier")
+    gh = F.expr(_geohash_sql(_GH_LON, _GH_LAT, spark_dialect=True))
+    pts = s.select(
+        "s_suppkey",
+        F.expr(_GH_LON).alias("lon"),
+        F.expr(_GH_LAT).alias("lat"),
+        gh.alias("geohash6"),
+    )
+    from pyspark.sql import Window as W
+
+    gh4 = F.substring("geohash6", 1, 4)
+    return pts.select(
+        "s_suppkey", "lon", "lat", "geohash6",
+        gh4.alias("geohash4"),
+        F.count("*").over(W.partitionBy(gh4)).alias("n_in_cell4"),
+    )

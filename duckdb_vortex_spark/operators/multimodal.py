@@ -7,9 +7,12 @@ is nullable — large blobs stay in object storage and are fetched
 inside the decode UDF per batch; small blobs inline. The Spark-side
 plumbing (schemas, mapInPandas batch shape, partition sizing) is real
 and tested, and ``_decode_payload`` carries REAL dependency-free
-codecs for BMP, PNG (full defilter) and WAV PCM; only formats that
-genuinely need native libs (JPEG/MP3/video) raise NotImplementedError
-— the seam a PIL/ffmpeg deployment plugs into. 'fake/raw' remains as
+codecs for BMP, PNG (full defilter), WAV PCM, GIF (LZW, animated),
+baseline JPEG (huffman + IDCT, real-encoder interop-pinned) and
+AVI/MJPEG video (RIFF box walk feeding the JPEG decoder per frame);
+only formats that genuinely need native libs (MP3 frame decode,
+inter-frame video codecs like H.264) raise NotImplementedError — the
+seam a PIL/ffmpeg deployment plugs into. 'fake/raw' remains as
 the deterministic synthetic fixture.
 
 The geo column note (SURVEY.md §2A A17): WKB geometry is likewise an
@@ -73,8 +76,10 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
     interop-pinned against javax.imageio goldens) are decoded here in
     pure Python/numpy. 'fake/raw' payloads are raw byte streams with an
     8-byte (width,height) header (deterministic synthetic fixture).
-    Codecs needing native libs (MP3/video containers) still raise
-    NotImplementedError — the seam a PIL/ffmpeg deployment plugs into.
+    AVI/MJPEG video decodes via the RIFF box walk + per-frame JPEG
+    decode (_decode_avi_mjpeg). Codecs needing native libs (MP3 frame
+    decode, inter-frame video) still raise NotImplementedError — the
+    seam a PIL/ffmpeg deployment plugs into.
     """
     if media_type == "fake/raw":
         if len(payload) < 8:
@@ -97,6 +102,11 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
     if media_type in ("image/jpeg", "image/jpg"):
         w, h, pixels = _decode_jpeg(payload)
         return _pixel_features(pixels, w, h)
+    if media_type in ("video/avi", "video/x-msvideo", "video/mjpeg"):
+        w, h, pixels, n_frames = _decode_avi_mjpeg(payload)
+        feats = _pixel_features(pixels, w, h)
+        feats["n_frames"] = n_frames
+        return feats
     raise NotImplementedError(
         f"codec for {media_type!r} not available in this environment; "
         "plug a real decoder into _decode_payload"
@@ -1008,3 +1018,70 @@ def _parse_mp3_meta(payload: bytes) -> dict:
         "mono": mono,
         "duration_s": (total_samples / rate) if rate else None,
     }
+
+
+# --- AVI (RIFF) container + MJPEG video decode ----------------------------
+
+def _riff_subchunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) for RIFF chunks in
+    buf[pos:end]; chunks are word-aligned per the RIFF spec (same walk
+    as _decode_wav)."""
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", buf, pos + 4)
+        yield cid, pos + 8, min(length, end - (pos + 8))
+        pos += 8 + length + (length & 1)
+
+
+def _decode_avi_mjpeg(payload: bytes, max_decoded: int = 4):
+    """AVI/MJPEG video → (width, height, sampled decoded pixels,
+    n_frames). The REAL video-decode leg: an OpenDML/AVI RIFF box walk
+    (LIST hdrl → avih for dimensions/frame count, LIST movi for frame
+    chunks) feeding each '..dc'/'..db' MJPEG frame — which is a
+    complete baseline JPEG per the MJPEG convention — through this
+    module's own interop-pinned JPEG decoder. At most ``max_decoded``
+    frames are decoded, evenly spaced — the keyframe-sampling pattern
+    multimodal_frame_sample prunes with BEFORE Python at scale.
+
+    Non-MJPEG AVI payloads (a different biCompression) raise
+    NotImplementedError: inter-frame codecs (MPEG-4/H.264) genuinely
+    need native libs — the remaining documented seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/AVI magic)")
+
+    width = height = 0
+    frames: list[bytes] = []
+    compression = b"MJPG"
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, compression
+        for cid, body, blen in _riff_subchunks(payload, pos, end):
+            if cid == b"LIST":
+                walk(body + 4, body + blen)  # skip the 4-byte list type
+            elif cid == b"avih" and blen >= 40:
+                width, height = struct.unpack_from("<II", payload, body + 32)
+            elif cid == b"strf" and blen >= 20:
+                # BITMAPINFOHEADER: biCompression at offset 16
+                compression = payload[body + 16 : body + 20]
+            elif len(cid) == 4 and cid[2:] in (b"dc", b"db") and blen > 0:
+                frames.append(payload[body : body + blen])
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    if compression not in (b"MJPG", b"mjpg", b"dmb1"):
+        raise NotImplementedError(
+            f"AVI video codec {compression!r} needs a native decoder; "
+            "only MJPEG decodes in pure Python here"
+        )
+    step = max(1, len(frames) // max_decoded)
+    picked = frames[::step][:max_decoded]
+    decoded = []
+    w = h = 0
+    for fb in picked:
+        w, h, pixels = _decode_jpeg(fb)
+        decoded.append(pixels)
+    if width and w and (w != width or h != height):
+        # trust the actual frame over a lying header
+        width, height = w, h
+    return (width or w), (height or h), b"".join(decoded), len(frames)

@@ -424,3 +424,64 @@ def join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name", F.row_number().over(W.orderBy("r_regionkey")).alias("rn")
     )
     return a.join(b, "rn", "left").select(F.col("rn").alias("pos"), "n_name", "r_name")
+
+
+SCD2_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey,
+         CAST(DATE '1990-01-01' AS TIMESTAMP) AS valid_from,
+         c_mktsegment || '#v1' AS segment_v
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CAST(DATE '1996-06-01' + to_days(CAST(c_custkey % 700 AS INT)) AS TIMESTAMP),
+         c_mktsegment || '#v2'
+  FROM customer
+)
+SELECT o.o_orderkey, o.o_custkey, d.segment_v
+FROM orders o
+ASOF LEFT JOIN dim d
+  ON o.o_custkey = d.c_custkey AND o.o_orderdate >= d.valid_from
+"""
+
+
+@query("join_scd2_temporal", oracle=SCD2_ORACLE, tags=("join", "asof"))
+def join_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) temporal join: each fact
+    row picks the dimension VERSION in effect on its date — the
+    warehouse op behind every point-in-time-correct report. The
+    versioned dimension (two validity windows per customer, split at
+    a key-derived date) joins via the same union+window as-of operator
+    as the event joins: effective-dated versions are exactly a
+    backward as-of on valid_from, with no need to carry valid_to at
+    all (the next version's start closes the previous window —
+    half-open [from, next_from) semantics by construction).
+
+    Scale: one shuffle on the dimension key, linear in facts +
+    versions — versus the naive BETWEEN range join that explodes to
+    facts × versions per key before filtering. Oracle is DuckDB's
+    native ASOF LEFT JOIN over the identical version set."""
+    cust = load(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        F.lit("1990-01-01").cast("date").cast("timestamp").alias("valid_from"),
+        F.concat(F.col("c_mktsegment"), F.lit("#v1")).alias("segment_v"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.date_add(F.lit("1996-06-01").cast("date"), (F.col("c_custkey") % 700).cast("int"))
+        .cast("timestamp")
+        .alias("valid_from"),
+        F.concat(F.col("c_mktsegment"), F.lit("#v2")).alias("segment_v"),
+    )
+    dim = v1.unionByName(v2)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_orderdate"
+    )
+    joined = asof_join(
+        o, dim, on=["c_custkey"], left_ts="o_orderdate", right_ts="valid_from",
+        direction="backward",
+    )
+    return joined.select(
+        "o_orderkey", F.col("c_custkey").alias("o_custkey"), "segment_v"
+    )

@@ -39,3 +39,20 @@ def test_wkb_bytes_are_standard(spark):
     assert struct.unpack("<I", g[1:5])[0] == 1
     assert struct.unpack("<d", g[5:13])[0] == 3.5
     assert struct.unpack("<d", g[13:21])[0] == -7.25
+
+
+def test_geohash_classic_vector(spark):
+    """The canonical geohash test point (57.64911N, 10.40744E) encodes
+    to u4pruy... in every published implementation; pin our shift/mask
+    form to it in BOTH dialects."""
+    import duckdb
+
+    from duckdb_vortex_spark.functions.geo import _geohash_sql
+
+    spark_val = spark.range(1).selectExpr(
+        f"{_geohash_sql('10.40744', '57.64911', True)} AS gh"
+    ).collect()[0]["gh"]
+    duck_val = duckdb.connect().execute(
+        f"SELECT {_geohash_sql('10.40744', '57.64911', False)}"
+    ).fetchone()[0]
+    assert spark_val == duck_val == "u4pruy"

@@ -495,3 +495,88 @@ def test_jpeg_rejects_progressive_and_garbage():
     data[idx + 1] = 0xC2
     with _pytest.raises(NotImplementedError, match="baseline"):
         _decode_jpeg(bytes(data))
+
+
+# --- AVI / MJPEG ----------------------------------------------------------
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def _build_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     compression: bytes = b"MJPG") -> bytes:
+    """Spec-conformant minimal AVI: RIFF('AVI ', LIST hdrl(avih,
+    LIST strl(strh, strf=BITMAPINFOHEADER)), LIST movi('00dc'
+    frames)) — the layout every MJPEG camera/ffmpeg writer emits."""
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        40_000,                      # usec/frame (25 fps)
+        0, 0, 0x10,                  # maxbytes, padding, HASINDEX-ish flags
+        len(frames), 0, 1, 0,        # total frames, initial, streams, bufsize
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + compression
+        + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, 25, 0,
+                      len(frames), 0, 10_000, 0, 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, compression, width * height * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def test_avi_mjpeg_decodes_frames_via_jpeg_decoder():
+    """An MJPEG AVI built from real-encoder JPEG frames decodes through
+    the container walk + the interop-pinned JPEG decoder: dimensions
+    from avih, every '00dc' chunk counted, sampled frames' pixels
+    identical to decoding the JPEGs directly."""
+    from duckdb_vortex_spark.operators.multimodal import (
+        _decode_avi_mjpeg,
+        _decode_jpeg,
+        _decode_payload,
+    )
+
+    frames = [_jpeg_bytes("red16x16")] * 3
+    avi = _build_avi_mjpeg(frames, 16, 16)
+    w, h, pixels, n_frames = _decode_avi_mjpeg(avi)
+    assert (w, h, n_frames) == (16, 16, 3)
+    _, _, one = _decode_jpeg(frames[0])
+    assert pixels[: len(one)] == one  # sampled frame == direct decode
+
+    feats = _decode_payload("video/avi", avi)
+    assert feats["n_frames"] == 3 and feats["width"] == 16 and feats["height"] == 16
+    assert feats["byte_mean"] is not None
+
+
+def test_avi_rejects_non_mjpeg_codec():
+    """Inter-frame codecs stay behind the documented seam."""
+    import pytest as _pytest
+
+    from duckdb_vortex_spark.operators.multimodal import _decode_avi_mjpeg
+
+    avi = _build_avi_mjpeg([_jpeg_bytes("gray8x8")], 8, 8, compression=b"H264")
+    with _pytest.raises(NotImplementedError, match="H264"):
+        _decode_avi_mjpeg(avi)
+
+
+def test_avi_bad_magic_raises():
+    import pytest as _pytest
+
+    from duckdb_vortex_spark.operators.multimodal import _decode_avi_mjpeg
+
+    with _pytest.raises(ValueError):
+        _decode_avi_mjpeg(b"RIFXAAAA" + b"\x00" * 16)
