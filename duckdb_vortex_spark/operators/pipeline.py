@@ -460,3 +460,73 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.when(bucket < F.col("rate_bp"), 1)).alias("n_kept"))
         .select("source", "n_docs", "rate_bp", "n_kept")
     )
+
+
+# --- dataset card ---------------------------------------------------------
+
+DATASET_CARD_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_toks,
+         md5(text) AS h
+  FROM documents
+), dup AS (
+  SELECT h, COUNT(*) AS c FROM t GROUP BY h
+)
+SELECT COALESCE(t.lang, '<all>') AS lang,
+       COALESCE(t.source, '<all>') AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(t.n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) FILTER (WHERE d.c > 1) AS n_exact_dup_docs,
+       COUNT(*) FILTER (WHERE t.n_toks < 20) AS n_short_docs
+FROM t JOIN dup d USING (h)
+GROUP BY ROLLUP (t.lang, t.source)
+"""
+
+
+@query("pipeline_dataset_card", oracle=DATASET_CARD_ORACLE, tags=("llm", "agg", "stats"))
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet in one plan (the 'dataset card' every corpus
+    release ships — Gebru et al. 2021): per (lang, source) cell plus
+    lang and corpus rollup totals — doc/token/char volumes, exact-
+    duplicate incidence (md5 content groups >1), and short-doc counts.
+    The numbers a data curator reads BEFORE choosing mixture weights
+    (pipeline_source_mixture_weights consumes exactly these margins).
+
+    Scale: one tokenize pass, one content-hash aggregate for dup
+    counts joined back on the hash key, and one ROLLUP aggregate —
+    Spark computes all three grouping sets in a single Expand+
+    partial-aggregate pass, so the card costs the same one shuffle as
+    any grouped count at 100 TB."""
+    from .text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens("text")).alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    dup = t.groupBy("h").agg(F.count("*").alias("c"))
+    return (
+        t.join(dup, "h")
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.count(F.when(F.col("c") > 1, 1)).alias("n_exact_dup_docs"),
+            F.count(F.when(F.col("n_toks") < 20, 1)).alias("n_short_docs"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs",
+            "n_tokens",
+            "total_chars",
+            "n_exact_dup_docs",
+            "n_short_docs",
+        )
+    )

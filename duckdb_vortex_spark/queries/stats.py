@@ -22,7 +22,7 @@ scales with the sample, not the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
@@ -555,4 +555,143 @@ def sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_rows"),
         )
         .orderBy("quantile")
+    )
+
+
+# --- HLL sketch MERGE over time --------------------------------------------
+
+HLL_CUM_ORACLE = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day, md5(CAST(event_id AS VARCHAR)) AS hx
+  FROM events
+), bw AS (
+  SELECT day,
+         CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS bucket,
+         57 - length(bin(CAST(('0x' || substr(hx, 3, 14)) AS BIGINT))) AS rho
+  FROM h
+), daily AS (
+  SELECT day, bucket, MAX(rho) AS m FROM bw GROUP BY day, bucket
+), grid AS (
+  SELECT d.day, b.bucket
+  FROM (SELECT DISTINCT day FROM daily) d
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+), cum AS (
+  SELECT g.day, g.bucket,
+         MAX(dl.m) OVER (PARTITION BY g.bucket ORDER BY g.day) AS m_cum
+  FROM grid g LEFT JOIN daily dl ON dl.day = g.day AND dl.bucket = g.bucket
+), per_day AS (
+  SELECT day,
+         CAST(SUM(CAST(power(2, 32 - LEAST(COALESCE(m_cum, 0), 32)) AS BIGINT)) AS BIGINT) AS denom,
+         COUNT(m_cum) AS n_regs
+  FROM cum GROUP BY day
+), est AS (
+  SELECT day,
+         CAST(0.709 AS DOUBLE) * 4096.0 * 4294967296.0 / CAST(denom AS DOUBLE)
+           AS hll_cum_est,
+         n_regs
+  FROM per_day
+), daily_n AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT event_id) AS dn
+  FROM events GROUP BY date_trunc('day', ts)
+), exact_cum AS (
+  SELECT day, CAST(SUM(dn) OVER (ORDER BY day) AS BIGINT) AS exact_cum_n
+  FROM daily_n
+)
+SELECT CAST(CAST(e.day AS TIMESTAMP) AS VARCHAR) AS day_str,
+       x.exact_cum_n,
+       e.hll_cum_est,
+       e.n_regs,
+       x.exact_cum_n < 256
+       OR abs(e.hll_cum_est / CAST(x.exact_cum_n AS DOUBLE) - 1.0) <= 0.35
+         AS bound_ok
+FROM est e JOIN exact_cum x ON x.day = e.day
+"""
+
+
+@query(
+    "sketch_hll_daily_cumulative",
+    oracle=HLL_CUM_ORACLE,
+    tags=("agg", "stats", "approx", "window"),
+)
+def sketch_hll_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POINT of a mergeable sketch, demonstrated: per-day HLL
+    register tables (64 rows/day) merged CUMULATIVELY — a running
+    cumulative MAX per register over days — give distinct-events-to-
+    date for every day from one pass over each day's data, no re-scan
+    of history. This is the dashboard/shard-union shape: persist each
+    partition's registers, answer any union's cardinality later by an
+    elementwise MAX.
+
+    Raw HLL (no linear-counting small-range correction — that needs
+    libm log, banned repo-wide for cross-engine determinism) is only
+    quotable above ~4m; bound_ok therefore gates the ±35 % check to
+    days with exact ≥ 256 (the estimate itself is still emitted and
+    hash-compared on every row). Exact cumulative counts ride along
+    via a window cumsum of per-day distincts (event ids are unique,
+    so daily distincts sum exactly).
+
+    Scale: register build is one (day, bucket) aggregate; the merge
+    works on the days×64 grid — constant width regardless of event
+    volume."""
+    ev = load(spark, sf_dir, "events")
+    hx = F.md5(F.col("event_id").cast("string"))
+    day = F.date_trunc("day", "ts")
+    bw = ev.select(
+        day.alias("day"),
+        (F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint") % 64).alias("bucket"),
+        (F.lit(57) - F.length(F.bin(F.conv(F.substring(hx, 3, 14), 16, 10).cast("bigint"))))
+        .alias("rho"),
+    )
+    daily = bw.groupBy("day", "bucket").agg(F.max("rho").alias("m"))
+    days = daily.select("day").distinct()
+    buckets = spark.range(64).select(F.col("id").alias("bucket"))
+    grid = days.crossJoin(F.broadcast(buckets))
+    cum = (
+        grid.join(daily, ["day", "bucket"], "left")
+        .select(
+            "day",
+            "bucket",
+            F.max("m")
+            .over(Window.partitionBy("bucket").orderBy("day"))
+            .alias("m_cum"),
+        )
+    )
+    per_day = cum.groupBy("day").agg(
+        F.sum(
+            F.pow(
+                F.lit(2.0),
+                (F.lit(32) - F.least(F.coalesce(F.col("m_cum"), F.lit(0)), F.lit(32)))
+                .cast("double"),
+            ).cast("bigint")
+        ).cast("bigint").alias("denom"),
+        F.count("m_cum").alias("n_regs"),
+    )
+    est = per_day.select(
+        "day",
+        (
+            F.lit(0.709) * F.lit(4096.0) * F.lit(4294967296.0)
+            / F.col("denom").cast("double")
+        ).alias("hll_cum_est"),
+        F.col("n_regs").cast("bigint").alias("n_regs"),
+    )
+    daily_n = ev.groupBy(day.alias("day")).agg(F.countDistinct("event_id").alias("dn"))
+    exact_cum = daily_n.select(
+        "day",
+        F.sum("dn").over(Window.orderBy("day")).cast("bigint").alias("exact_cum_n"),
+    )
+    return est.join(exact_cum, "day").select(
+        F.col("day").cast("string").alias("day_str"),
+        "exact_cum_n",
+        "hll_cum_est",
+        "n_regs",
+        (
+            (F.col("exact_cum_n") < 256)
+            | (
+                F.abs(
+                    F.col("hll_cum_est") / F.col("exact_cum_n").cast("double")
+                    - F.lit(1.0)
+                )
+                <= F.lit(0.35)
+            )
+        ).alias("bound_ok"),
     )

@@ -92,6 +92,11 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "exact count for the error-bound boolean) — constant-size "
         "build side at any SF",
     ),
+    "sketch_hll_daily_cumulative": (
+        ("nested-loop-join",),
+        "64-ROW bucket-grid broadcast (days × fixed 64 registers) — "
+        "constant-size build side at any event volume",
+    ),
     "sketch_histogram_quantile": (
         ("nested-loop-join",),
         "1-ROW extent broadcast + ≤1024-row sketch × 3 quantile probes "

@@ -114,6 +114,10 @@ _NESTED_LOOP_OK = {
     "pipeline_source_mixture_weights",  # 1-row corpus-totals broadcast cross
     "sample_temperature_mixture",  # same 1-row totals cross in its rate subtree
     "similarity_pq_adc_topk",  # ADC IS a linear scan over compressed codes; scale path is IVF-ADC per probed cluster
+    "similarity_ivfpq_ann",  # 16-row centroid broadcast for assignment; candidate scan joins hash-wise on cluster_id
+    "sketch_hll_distinct",  # 1-row HLL-estimate broadcast joined to the exact count
+    "sketch_histogram_quantile",  # 1-row extent + ≤1024-row sketch × 3 probes, all constant-size
+    "sketch_hll_daily_cumulative",  # 64-row register-grid broadcast, constant at any volume
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design
