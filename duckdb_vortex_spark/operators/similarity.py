@@ -851,6 +851,7 @@ def pq_codebooks(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic PQ codebooks: the same portable-hash-ordered
     first-``k`` vectors that seed IVF (sample_centroids) supply the
@@ -861,7 +862,10 @@ def pq_codebooks(
     (TakeOrderedAndProject) and the k×dim result collects to the
     driver only to be re-broadcast as plan literals — constant-size
     at any corpus scale."""
-    cent = sample_centroids(df, k, id_col=id_col, vec_col=vec_col).collect()
+    cent = (
+        centroids if centroids is not None
+        else sample_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    ).collect()
     dim = len(cent[0]["centroid"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -903,6 +907,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as m sub-quantizer codes (nearest codebook
     entry per subspace by squared L2, ties to the lowest code) plus
@@ -932,12 +937,15 @@ def pq_encode(
         ).alias(f"__m{s}")
         for s in range(m)
     ]
-    step = df.select(F.col(id_col), *mins)
+    step = df.select(F.col(id_col), *[F.col(c) for c in passthrough], *mins)
     codes = F.array(*[F.col(f"__m{s}.i").cast("int") for s in range(m)])
     qerr = F.col("__m0.d")
     for s in range(1, m):
         qerr = qerr + F.col(f"__m{s}.d")
-    return step.select(F.col(id_col), codes.alias("codes"), qerr.alias("qerr"))
+    return step.select(
+        F.col(id_col), *[F.col(c) for c in passthrough],
+        codes.alias("codes"), qerr.alias("qerr"),
+    )
 
 
 # The oracle runs the IDENTICAL algorithm in SQL: portable-hash
@@ -1129,11 +1137,19 @@ def ivfpq_topk(
     instead of a full-precision linear scan. pq_adc_topk is the
     degenerate n_probe = n_clusters case."""
     centroids = sample_centroids(corpus_df, n_clusters, id_col, vec_col)
-    books = pq_codebooks(corpus_df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    # the SAME collected sample seeds both structures when
+    # n_clusters == k_codes: one distributed top-K pass, not two —
+    # and encoding runs directly on the assigned frame (cluster_id as
+    # a passthrough), removing the id-key join entirely
+    books = pq_codebooks(
+        corpus_df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col,
+        centroids=centroids if k_codes == n_clusters else None,
+    )
     cand = (
-        ivf_assign(corpus_df, centroids, 1, id_col, vec_col)
-        .select(F.col(id_col), "cluster_id")
-        .join(pq_encode(corpus_df, books, id_col, vec_col), id_col)
+        pq_encode(
+            ivf_assign(corpus_df, centroids, 1, id_col, vec_col),
+            books, id_col, vec_col, passthrough=("cluster_id",),
+        )
         .select(F.col(id_col).alias("cand_id"), "cluster_id", "codes")
         .persist()  # same interpreted-HOF barrier as pq_adc_topk
     )

@@ -265,3 +265,99 @@ def stream_static_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return enriched_segment_windows(
         load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
     )
+
+
+# --- streaming HLL registers ----------------------------------------------
+
+def hll_registers(df: DataFrame, key_col: str, m_buckets: int = 64) -> DataFrame:
+    """HLL register table (bucket, m) over ``key_col`` — works
+    UNCHANGED as a streaming aggregation because MAX is what a
+    streaming state store keeps per group: each micro-batch folds its
+    rows into the 64 running registers, giving distinct-so-far at
+    every trigger without storing keys. Same portable md5/bin
+    construction as sketch_hll_distinct, so the batch oracle and the
+    streamed registers agree exactly (pinned in
+    tests/test_streaming.py::test_stream_hll_registers_match_batch)."""
+    hx = F.md5(F.col(key_col).cast("string"))
+    return (
+        df.select(
+            (F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint") % m_buckets)
+            .alias("bucket"),
+            (
+                F.lit(57)
+                - F.length(F.bin(F.conv(F.substring(hx, 3, 14), 16, 10).cast("bigint")))
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+STREAM_HLL_ORACLE = """
+WITH h AS (
+  SELECT md5(CAST(event_id AS VARCHAR)) AS hx FROM events
+), bw AS (
+  SELECT CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS bucket,
+         57 - length(bin(CAST(('0x' || substr(hx, 3, 14)) AS BIGINT))) AS rho
+  FROM h
+), regs AS (
+  SELECT bucket, MAX(rho) AS m FROM bw GROUP BY bucket
+), s AS (
+  SELECT CAST(SUM(CAST(power(2, 32 - LEAST(m, 32)) AS BIGINT)) AS BIGINT)
+         + (64 - COUNT(*)) * CAST(4294967296 AS BIGINT) AS denom,
+         COUNT(*) AS n_regs
+  FROM regs
+), ex AS (
+  SELECT COUNT(DISTINCT event_id) AS exact_distinct FROM events
+)
+SELECT ex.exact_distinct,
+       CAST(0.709 AS DOUBLE) * 4096.0 * 4294967296.0 / CAST(s.denom AS DOUBLE)
+         AS hll_est,
+       s.n_regs,
+       ex.exact_distinct < 256
+       OR abs((CAST(0.709 AS DOUBLE) * 4096.0 * 4294967296.0 / CAST(s.denom AS DOUBLE))
+              / CAST(ex.exact_distinct AS DOUBLE) - 1.0) <= 0.35 AS bound_ok
+FROM ex CROSS JOIN s
+"""
+
+
+@query("stream_hll_distinct_events", oracle=STREAM_HLL_ORACLE, tags=("streaming", "approx", "agg"))
+def stream_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-events-so-far as a STREAMING sketch (batch mode of
+    hll_registers — the real readStream leg is pytest-driven like the
+    window entries): 64 MAX-registers are the entire state, so the
+    streaming aggregation answers COUNT(DISTINCT) at every trigger in
+    O(64) memory where exact streaming distinct state grows with the
+    key space. The estimate arithmetic is the exact-integer form of
+    sketch_hll_distinct; bound gated to the raw-HLL quotable regime."""
+    ev = load(spark, sf_dir, "events")
+    regs = hll_registers(ev, "event_id")
+    s = regs.agg(
+        (
+            F.sum(
+                F.pow(
+                    F.lit(2.0),
+                    (F.lit(32) - F.least(F.col("m"), F.lit(32))).cast("double"),
+                ).cast("bigint")
+            )
+            + (F.lit(64) - F.count("*")) * F.lit(4294967296).cast("bigint")
+        ).alias("denom"),
+        F.count("*").alias("n_regs"),
+    )
+    est = (
+        F.lit(0.709) * F.lit(4096.0) * F.lit(4294967296.0)
+        / F.col("denom").cast("double")
+    )
+    ex = ev.agg(F.countDistinct("event_id").alias("exact_distinct"))
+    return ex.crossJoin(F.broadcast(s)).select(
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        est.alias("hll_est"),
+        F.col("n_regs").cast("bigint").alias("n_regs"),
+        (
+            (F.col("exact_distinct") < 256)
+            | (
+                F.abs(est / F.col("exact_distinct").cast("double") - F.lit(1.0))
+                <= F.lit(0.35)
+            )
+        ).alias("bound_ok"),
+    )

@@ -286,3 +286,18 @@ def test_read_vortex_as_of_batches(spark, tmp_path):
     assert counts == sorted(counts) and counts[-1] == total
     with pytest.raises(FileNotFoundError):
         read_vortex_as_of(spark, out, -1)
+
+
+def test_stream_hll_registers_match_batch(spark, event_stream_dir):
+    """The HLL register table is a pure streaming aggregation: after
+    the availableNow run drains every micro-batch, the 64 MAX
+    registers equal the batch build exactly — distinct-so-far in O(64)
+    state at every trigger."""
+    from duckdb_vortex_spark.streaming.windows import hll_registers
+
+    schema = _batch_events(spark, event_stream_dir).schema
+    stream = stream_from_directory(spark, event_stream_dir, schema, max_files_per_trigger=2)
+    run_to_memory(hll_registers(stream, "event_id"), "hll_sink", "complete")
+    got = _rows(spark.table("hll_sink"))
+    want = _rows(hll_registers(_batch_events(spark, event_stream_dir), "event_id"))
+    assert got == want and len(got) > 0
