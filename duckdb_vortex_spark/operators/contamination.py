@@ -107,3 +107,71 @@ def contamination_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see module docstring for the skew analysis)."""
     d = load(spark, sf_dir, "documents")
     return cross_source_shared_shingles(d, "source", "text", n=3, max_sources=10)
+
+
+# --- benchmark decontamination (removal) ----------------------------------
+
+DECONTAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {_duck_shingles(_DUCK_TOKS)} AS sh FROM documents
+), eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS s FROM t WHERE source = 'src0'
+), train AS (
+  SELECT doc_id, source, unnest(sh) AS s FROM t WHERE source <> 'src0'
+), hits AS (
+  SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n_shared
+  FROM train tr JOIN eval_sh e ON e.s = tr.s
+  GROUP BY tr.doc_id
+)
+SELECT t.doc_id, t.source,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+       h.doc_id IS NULL AS is_kept
+FROM t LEFT JOIN hits h ON h.doc_id = t.doc_id
+WHERE t.source <> 'src0'
+"""
+
+
+@query(
+    "contamination_eval_removal",
+    oracle=DECONTAM_ORACLE,
+    tags=("llm", "dedup", "join"),
+)
+def contamination_eval_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION as a removal op (the GPT-3 appendix-C
+    / PaLM procedure): any training document sharing at least one
+    3-gram shingle with the held-out set (source 'src0' stands in for
+    the benchmark) is flagged out of the corpus; the shared-shingle
+    count rides along for auditability. Complements
+    contamination_cross_source, which SCORES source pairs — this one
+    produces the cleaned training corpus against a designated eval
+    set.
+
+    Scale: eval sets are small by nature, so the eval shingle set is
+    the classic broadcast side (here it flows through a hash join on
+    the shingle key — one shuffle of the training shingles, no
+    pairwise work); training docs never join each other. At 100 TB
+    the eval shingle set (~10⁵ rows) broadcasts and the whole op is
+    map-side."""
+    d = load(spark, sf_dir, "documents")
+    spark_ctx = d.sparkSession
+    tk = d.select("doc_id", "source", tokens("text").alias("toks")).repartition(
+        spark_ctx.sparkContext.defaultParallelism
+    )
+    sh = tk.select(
+        "doc_id", "source", F.explode(shingles_from_tokens(F.col("toks"), 3)).alias("s")
+    )
+    eval_sh = sh.filter(F.col("source") == "src0").select("s").distinct()
+    train = sh.filter(F.col("source") != "src0")
+    hits = (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+        .withColumnRenamed("doc_id", "hit_id")
+    )
+    base = tk.filter(F.col("source") != "src0").select("doc_id", "source")
+    return base.join(hits, base.doc_id == F.col("hit_id"), "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared_shingles"),
+        F.col("hit_id").isNull().alias("is_kept"),
+    )

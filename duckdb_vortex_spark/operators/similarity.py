@@ -1258,3 +1258,83 @@ def similarity_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 20 == 0), emb,
         k=10, n_clusters=16, n_probe=4, m=4, k_codes=16,
     )
+
+
+SEMDEDUP_ORACLE = f"""
+WITH cent AS (
+  SELECT row_number() OVER (
+           ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+         ) - 1 AS cid,
+         embedding
+  FROM embeddings
+  ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+  LIMIT 16
+), asg AS (
+  SELECT v.vec_id, v.embedding, c.cid,
+         {{cos}} AS csim
+  FROM embeddings v CROSS JOIN cent c
+), cl AS (
+  SELECT vec_id, embedding, cid AS cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS r
+    FROM asg
+  ) WHERE r = 1
+), rm AS (
+  SELECT DISTINCT b.vec_id
+  FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {{paircos}} >= 0.30
+)
+SELECT cl.vec_id, CAST(cl.cluster_id AS BIGINT) AS cluster_id,
+       rm.vec_id IS NULL AS is_kept
+FROM cl LEFT JOIN rm ON rm.vec_id = cl.vec_id
+""".format(
+    cos=_sql_cos("v.embedding", "c.embedding"),
+    paircos=_sql_cos("a.embedding", "b.embedding"),
+)
+
+
+@query("dedup_semantic_cluster", oracle=SEMDEDUP_ORACLE, tags=("dedup", "similarity", "llm"))
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    near-duplicates are pruned WITHIN k-means-style clusters — a row
+    is removed when a lower-id member of its own cluster sits above
+    the cosine threshold (one-pass greedy; the threshold is 0.30
+    because the synthetic embeddings are near-orthogonal, mirroring
+    similarity_neardup_pairs). Cross-cluster near-dups are invisible
+    by design — exactly the approximation the paper makes to avoid
+    the quadratic all-pairs pass.
+
+    Scale: the centroid set is a broadcast literal; assignment is
+    map-side; the pair join is hash-partitioned ON cluster_id, so
+    total pair work is Σ|cluster|², bounded by the cluster balance
+    the IVF slow tier measures (max/median 1.1) — never |corpus|².
+    At 100 TB with √n clusters this is the linear-ish pass that makes
+    semantic dedup feasible at all."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = sample_centroids(emb, 16)
+    cl = ivf_assign(emb, centroids, 1).select(
+        "vec_id", "embedding", "vnorm", "cluster_id"
+    )
+    a = cl.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("vnorm").alias("na"), "cluster_id",
+    )
+    b = cl.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("vnorm").alias("nb"), "cluster_id",
+    )
+    rm = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) >= 0.30
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    return cl.join(rm, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("__rm").isNull().alias("is_kept"),
+    )

@@ -86,6 +86,11 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "size build side at any corpus scale (same shape as ivf_ann); "
         "the candidate scan itself joins hash-wise on cluster_id",
     ),
+    "dedup_semantic_cluster": (
+        ("nested-loop-join",),
+        "16-ROW centroid broadcast for cluster assignment (ivf_assign "
+        "shape); the dedup pair join itself is hash-wise on cluster_id",
+    ),
     "stream_hll_distinct_events": (
         ("nested-loop-join",),
         "1-ROW broadcast (64-register estimate joined to the exact "

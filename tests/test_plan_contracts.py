@@ -119,6 +119,7 @@ _NESTED_LOOP_OK = {
     "sketch_histogram_quantile",  # 1-row extent + ≤1024-row sketch × 3 probes, all constant-size
     "sketch_hll_daily_cumulative",  # 64-row register-grid broadcast, constant at any volume
     "stream_hll_distinct_events",  # 1-row register-estimate broadcast joined to the exact count
+    "dedup_semantic_cluster",  # 16-row centroid broadcast; pair join is hash-wise on cluster_id
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design
