@@ -997,3 +997,145 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").cast("bigint").alias("bucket"),
         )
     )
+
+
+# --- market-basket affinity (association rules) ---------------------------
+
+BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n_orders AS (
+  SELECT COUNT(DISTINCT okey) AS n FROM items
+), supp AS (
+  SELECT item, COUNT(*) AS s FROM items GROUP BY item
+), pair_supp AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS s_ab
+  FROM items a JOIN items b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT p.item_a, p.item_b,
+       CAST(p.s_ab AS BIGINT) AS support_ab,
+       CAST(p.s_ab AS DOUBLE) / sa.s AS confidence_a_to_b,
+       CAST(p.s_ab AS DOUBLE) * n.n / (CAST(sa.s AS BIGINT) * CAST(sb.s AS BIGINT))
+         AS lift
+FROM pair_supp p
+JOIN supp sa ON sa.item = p.item_a
+JOIN supp sb ON sb.item = p.item_b
+CROSS JOIN n_orders n
+WHERE p.s_ab >= 5
+"""
+
+
+@query("basket_brand_affinity", oracle=BASKET_ORACLE, tags=("agg", "join", "stats"))
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal et al. 1993 support/
+    confidence/lift) over brands co-purchased in one order: pair
+    support from a WITHIN-BASKET self-join (baskets are small — the
+    join fans out |basket|² per order, never |catalog|²), item support
+    and the order total as broadcast sides, min-support 5 pruning the
+    long tail.
+
+    Scale: the within-order pair join shuffles on the order key once;
+    supports are map-side-combinable counts; lift arithmetic is a
+    double expression over exact BIGINT counts — bit-identical in the
+    oracle. The A-Priori trick (prune items below min-support BEFORE
+    pairing) drops in as one extra semi-join when baskets are large."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("okey").alias("n"))
+    supp = items.groupBy("item").agg(F.count("*").alias("s"))
+    a = items.select("okey", F.col("item").alias("item_a"))
+    b = items.select("okey", F.col("item").alias("item_b"))
+    pair_supp = (
+        a.join(b, "okey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("s_ab"))
+        .filter(F.col("s_ab") >= 5)
+    )
+    sa = supp.select(F.col("item").alias("item_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("s").alias("sb"))
+    return (
+        pair_supp.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("s_ab").cast("bigint").alias("support_ab"),
+            (F.col("s_ab").cast("double") / F.col("sa")).alias("confidence_a_to_b"),
+            (
+                F.col("s_ab").cast("double") * F.col("n")
+                / (F.col("sa").cast("bigint") * F.col("sb").cast("bigint"))
+            ).alias("lift"),
+        )
+    )
+
+
+# --- exponentially-weighted moving average --------------------------------
+
+# e0 suffix forces DOUBLE literals in DuckDB (bare decimals lex as
+# DECIMAL, whose int128/10^s -> double conversion double-rounds)
+_EWMA_W = "[" + ", ".join(f"{0.9 ** k!r}e0" for k in range(20)) + "]"
+_EWMA_W_SPARK = "array(" + ", ".join(f"{0.9 ** k!r}D" for k in range(20)) + ")"
+
+EWMA_ORACLE = f"""
+WITH fr AS (
+  SELECT event_id, user_id, ts, value,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM events
+)
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts_str, value,
+       list_reduce(list_transform(
+         list_zip(list_reverse(vals), list_slice({_EWMA_W}, 1, len(vals))),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)
+       / list_reduce(list_slice({_EWMA_W}, 1, len(vals)), (a, b) -> a + b) AS ewma
+FROM fr
+"""
+
+
+@query("timeseries_ewma_rows", oracle=EWMA_ORACLE, tags=("timeseries", "window"))
+def timeseries_ewma_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 0.1, i.e. decay 0.9)
+    over each user's trailing 20 events — the trend smoother behind
+    monitoring dashboards, as a WINDOW expression rather than a
+    sequential scan: the frame's values are zipped against a
+    20-element decay-weight literal (0.9^k spelled as exact repr
+    literals, so both engines parse the identical doubles) and folded
+    left-to-right, normalized by the weights actually present (exact
+    pandas ewm(adjust=True) semantics, truncated to 20 lags — the
+    infinite tail's weight is 0.9^20 ≈ 0.12 of mass, documented).
+
+    Scale: one shuffle on the series key; the frame is ROWS-bounded
+    so state per row is O(20); the fold order is the list order in
+    both engines, making the float sum bit-identical."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    fr = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.collect_list("value").over(w).alias("vals"),
+    )
+    ewma = F.expr(
+        f"aggregate(zip_with(reverse(vals), slice({_EWMA_W_SPARK}, 1, size(vals)),"
+        f" (v, wt) -> CAST(v AS DOUBLE) * wt), 0.0D, (a, b) -> a + b)"
+        f" / aggregate(slice({_EWMA_W_SPARK}, 1, size(vals)), 0.0D, (a, b) -> a + b)"
+    )
+    return fr.select(
+        "event_id", "user_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        "value",
+        ewma.alias("ewma"),
+    )

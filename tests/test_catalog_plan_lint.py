@@ -86,6 +86,11 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "size build side at any corpus scale (same shape as ivf_ann); "
         "the candidate scan itself joins hash-wise on cluster_id",
     ),
+    "basket_brand_affinity": (
+        ("nested-loop-join",),
+        "1-ROW broadcast (order total for the lift denominator) — "
+        "constant-size build side at any SF",
+    ),
     "dedup_semantic_cluster": (
         ("nested-loop-join",),
         "16-ROW centroid broadcast for cluster assignment (ivf_assign "

@@ -120,6 +120,7 @@ _NESTED_LOOP_OK = {
     "sketch_hll_daily_cumulative",  # 64-row register-grid broadcast, constant at any volume
     "stream_hll_distinct_events",  # 1-row register-estimate broadcast joined to the exact count
     "dedup_semantic_cluster",  # 16-row centroid broadcast; pair join is hash-wise on cluster_id
+    "basket_brand_affinity",  # 1-row order-total broadcast for the lift denominator
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design

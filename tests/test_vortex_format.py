@@ -27,7 +27,7 @@ def _roundtrip_column(arr: pa.Array) -> tuple[str, pa.Array]:
     "data,typ,want_enc",
     [
         (list(range(1000)), pa.int64(), "bitpack"),
-        ([7] * 100, pa.int64(), "bitpack"),  # width-0 constant
+        ([7] * 100, pa.int64(), "ree"),  # constant → single run-end pair
         ([-(2**63), 2**63 - 1, 0], pa.int64(), "bitpack"),  # full span (modular FoR)
         ([True, False] * 50, pa.bool_(), "bool"),
         ([round(x * 0.25, 2) for x in range(1000)], pa.float64(), "alp"),
@@ -325,3 +325,55 @@ class TestStringBloom:
             assert vfmt.chunk_bloom(footer, 0, "s") is None
         got = spark.read.format("vortex").load(path).filter("s = 'x'").count()
         assert got == 1
+
+
+class TestRunEndEncoding:
+    def test_run_heavy_ints_choose_ree_and_roundtrip(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from duckdb_vortex_spark.sources import vortex_format as vf
+
+        vals = np.repeat(np.arange(50, dtype=np.int64) * 1000, 100)  # 50 runs × 100
+        arr = pa.array(vals)
+        cc = vf.encode_column(arr)
+        assert cc.enc == "ree"
+        back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
+        assert back.equals(arr)
+        # the run representation must beat plain bitpack on size
+        flat = vf._pack_ints(vals)[1]
+        assert len(cc.buf) < len(flat)
+
+    def test_day_truncated_timestamps_roundtrip_ree(self):
+        import pyarrow as pa
+
+        from duckdb_vortex_spark.sources import vortex_format as vf
+
+        day_us = 86_400_000_000
+        ts = [1_700_000_000_000_000 + (i // 200) * day_us for i in range(1000)]
+        arr = pa.array(ts, type=pa.timestamp("us"))
+        cc = vf.encode_column(arr)
+        assert cc.enc == "ree"
+        back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
+        assert back.equals(arr)
+
+    def test_high_cardinality_ints_stay_bitpack(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from duckdb_vortex_spark.sources import vortex_format as vf
+
+        arr = pa.array(np.arange(1000, dtype=np.int64) * 7 + 3)
+        cc = vf.encode_column(arr)
+        assert cc.enc == "bitpack"  # no runs → REE must not fire
+
+    def test_ree_single_run_constant_column(self):
+        import pyarrow as pa
+
+        from duckdb_vortex_spark.sources import vortex_format as vf
+
+        arr = pa.array([42] * 500, type=pa.int32())
+        cc = vf.encode_column(arr)
+        assert cc.enc == "ree" and cc.meta["n_runs"] == 1
+        back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
+        assert back.equals(arr)
