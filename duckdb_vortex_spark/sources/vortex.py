@@ -279,9 +279,11 @@ class VortexReader(DataSourceReader):
                 if isinstance(f, EqualTo):
                     if not (s.min <= f.value <= s.max):
                         return False
-                    # string bloom: refutes point membership where the
-                    # min/max range cannot (non-clustered strings)
-                    if isinstance(f.value, str):
+                    # bloom: refutes point membership where the min/max
+                    # range cannot (non-clustered strings OR sparse int
+                    # keys — a chunk spanning ids 1..9000 with 3000
+                    # present refutes 2/3 of point lookups)
+                    if isinstance(f.value, (str, int)) and not isinstance(f.value, bool):
                         bloom = vfmt.chunk_bloom(footer, chunk_idx, name)
                         if bloom is not None and not vfmt.bloom_maybe_contains(
                             bloom, f.value
@@ -290,7 +292,10 @@ class VortexReader(DataSourceReader):
                 if isinstance(f, In):
                     if all(v < s.min or v > s.max for v in f.value):
                         return False
-                    if all(isinstance(v, str) for v in f.value):
+                    if all(
+                        isinstance(v, (str, int)) and not isinstance(v, bool)
+                        for v in f.value
+                    ):
                         bloom = vfmt.chunk_bloom(footer, chunk_idx, name)
                         if bloom is not None and not any(
                             vfmt.bloom_maybe_contains(bloom, v) for v in f.value

@@ -854,13 +854,14 @@ def chunk_stats(footer: Footer, chunk_idx: int, name: str):
 # per-chunk string bloom filters (point-predicate pruning beyond min/max)
 
 
-_BLOOM_BITS = 2048
+_BLOOM_BITS = 2048        # floor (and the pre-round-3 fixed size)
+_BLOOM_MAX_BITS = 65536   # 8 KiB ceiling per (chunk, column)
 _BLOOM_K = 4
 _BLOOM_MAX_DISTINCT = 4096
 
 
 def bloom_build(arr) -> bytes | None:
-    """256-byte bloom filter over a string chunk's DISTINCT values
+    """256-byte bloom filter over a string or integer chunk's DISTINCT values
     (k=4 md5-derived probes). Zone-map min/max refutes ranges but is
     powerless against point predicates on non-clustered strings (two
     chunks spanning 'aa'..'zz' overlap every equality); the bloom
@@ -872,27 +873,47 @@ def bloom_build(arr) -> bytes | None:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+    is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+    if not (is_str or pa.types.is_integer(arr.type)):
         return None
     uniq = pc.unique(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr)
     if len(uniq) > _BLOOM_MAX_DISTINCT:
         return None
-    bits = bytearray(_BLOOM_BITS // 8)
+    # adaptive sizing: ~10 bits/key keeps the k=4 FP rate ≈ 1–2 %;
+    # a fixed 2048 bits saturates (100 % FP) once a chunk holds a few
+    # thousand distinct keys — exactly the int-key case. Readers take
+    # the size from len(bloom), so old fixed-size blooms stay valid.
+    n_bits = _BLOOM_BITS
+    while n_bits < 10 * len(uniq) and n_bits < _BLOOM_MAX_BITS:
+        n_bits *= 2
+    bits = bytearray(n_bits // 8)
     for v in uniq:
         if not v.is_valid:
             continue
-        h = hashlib.md5(v.as_py().encode("utf-8", "surrogatepass")).digest()
+        h = hashlib.md5(_bloom_key(v.as_py())).digest()
         for i in range(_BLOOM_K):
-            idx = int.from_bytes(h[i * 4 : (i + 1) * 4], "little") % _BLOOM_BITS
+            idx = int.from_bytes(h[i * 4 : (i + 1) * 4], "little") % n_bits
             bits[idx // 8] |= 1 << (idx % 8)
     return bytes(bits)
 
 
-def bloom_maybe_contains(bloom: bytes, value: str) -> bool:
-    """True unless the bloom REFUTES membership (no false negatives)."""
-    h = hashlib.md5(value.encode("utf-8", "surrogatepass")).digest()
+def _bloom_key(value) -> bytes:
+    """Canonical hash key: utf-8 for strings, decimal string for ints
+    (type-stable across Python/Arrow widths — the pushed-filter value
+    arrives as a plain Python int regardless of the column's storage
+    width, so str() keys match without width bookkeeping)."""
+    if isinstance(value, str):
+        return value.encode("utf-8", "surrogatepass")
+    return str(int(value)).encode()
+
+
+def bloom_maybe_contains(bloom: bytes, value) -> bool:
+    """True unless the bloom REFUTES membership (no false negatives).
+    Size comes from the filter itself (adaptive writer sizing)."""
+    n_bits = len(bloom) * 8
+    h = hashlib.md5(_bloom_key(value)).digest()
     for i in range(_BLOOM_K):
-        idx = int.from_bytes(h[i * 4 : (i + 1) * 4], "little") % _BLOOM_BITS
+        idx = int.from_bytes(h[i * 4 : (i + 1) * 4], "little") % n_bits
         if not (bloom[idx // 8] >> (idx % 8)) & 1:
             return False
     return True

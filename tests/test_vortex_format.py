@@ -260,12 +260,14 @@ class TestStringBloom:
         fps = sum(vfmt.bloom_maybe_contains(bloom, f"absent-{i}") for i in range(1000))
         assert fps <= 5, fps
 
-    def test_bloom_skipped_for_high_cardinality_and_nonstring(self):
+    def test_bloom_skipped_for_high_cardinality_and_unsupported(self):
         import pyarrow as pa
 
         from duckdb_vortex_spark.sources import vortex_format as vfmt
 
-        assert vfmt.bloom_build(pa.array(list(range(100)))) is None
+        # ints are bloom-eligible since round 3 (adaptive sizing)
+        assert vfmt.bloom_build(pa.array(list(range(100)))) is not None
+        assert vfmt.bloom_build(pa.array([1.5, 2.5])) is None  # floats: no point predicates worth a bloom
         wide = pa.array([f"v{i}" for i in range(5000)])
         assert vfmt.bloom_build(wide) is None
 
@@ -377,3 +379,45 @@ class TestRunEndEncoding:
         assert cc.enc == "ree" and cc.meta["n_runs"] == 1
         back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
         assert back.equals(arr)
+
+
+class TestIntBloom:
+    def test_int_bloom_refutes_absent_key(self, tmp_path):
+        """Sparse int keys: a chunk holding only even ids must refute
+        an odd-id equality from the footer bloom alone (min/max spans
+        it, so zone maps cannot)."""
+        import pyarrow as pa
+
+        from duckdb_vortex_spark.sources import vortex_format as vf
+
+        evens = pa.array(list(range(0, 8000, 2)), type=pa.int64())
+        bloom = vf.bloom_build(evens)
+        assert bloom is not None
+        hits = sum(1 for v in range(1, 8000, 2) if vf.bloom_maybe_contains(bloom, v))
+        assert hits < 4000 * 0.05  # FP rate well under 5% at this fill
+        assert all(vf.bloom_maybe_contains(bloom, v) for v in range(0, 8000, 2))
+
+    def test_int_bloom_prunes_chunks_through_reader(self, spark, tmp_path):
+        from pyspark.sql.datasource import EqualTo
+
+        from duckdb_vortex_spark.sources.vortex import VortexReader
+
+        # two chunks: ids 0..999 even-only, 1000..1999 odd-only —
+        # a point lookup for an even id in the odd range must prune
+        df = spark.createDataFrame(
+            [(i,) for i in range(0, 1000, 2)] + [(i,) for i in range(1001, 2000, 2)],
+            "id bigint",
+        )
+        path = str(tmp_path / "ib.vortex")
+        df.coalesce(1).sortWithinPartitions("id").write.format("vortex").mode(
+            "append"
+        ).option("chunk_rows", 500).save(path)
+        back = spark.read.format("vortex").load(path)
+        r = VortexReader({"path": path}, back.schema)
+        r.pushed = [EqualTo(("id",), 1000)]  # even id inside the odd chunk's span
+        parts = r.partitions()  # bloom refutes both chunks → empty-scan sentinel
+        assert len(parts) == 1 and parts[0].row_group == -1
+        r2 = VortexReader({"path": path}, back.schema)
+        r2.pushed = [EqualTo(("id",), 1001)]
+        parts2 = r2.partitions()
+        assert len(parts2) == 1 and parts2[0].row_group == 1
