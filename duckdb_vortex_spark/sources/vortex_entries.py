@@ -184,3 +184,50 @@ def vortex_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+VORTEX_REE_ORACLE = """
+SELECT
+  CAST(l_quantity AS BIGINT) AS qty,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS sum_key
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+GROUP BY CAST(l_quantity AS BIGINT)
+"""
+
+
+@query("vortex_ree_clustered_scan", oracle=VORTEX_REE_ORACLE, tags=("vortex", "io"))
+def vortex_ree_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY lineitem clustered on its low-cardinality quantity column →
+    the quantity chunks become run-heavy and the writer picks RUN-END
+    encoding (codec-level selection pinned in
+    tests/test_vortex_format.py::TestRunEndEncoding; footer-level in
+    test_vortex_source.py::test_sorted_low_cardinality_uses_ree) →
+    range-pruned scan → per-quantity aggregate. The oracle aggregates
+    the parquet source, so REE decode + zone-map pruning must return
+    exactly the right rows."""
+    register(spark)
+    path = _fresh_dir("ree")
+    try:
+        write_sorted(
+            load(spark, sf_dir, "lineitem").select(
+                F.col("l_quantity").cast("bigint").alias("qty"), "l_orderkey"
+            ),
+            path,
+            sort_cols=["qty"],
+            chunk_rows=2048,
+        )
+        back = spark.read.format("vortex").load(path)
+        out = (
+            back.filter(F.col("qty").between(10, 20))
+            .groupBy("qty")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("l_orderkey").cast("bigint").alias("sum_key"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)

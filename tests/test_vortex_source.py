@@ -477,3 +477,27 @@ def test_zorder_write_prunes_on_second_dimension(spark, tmp_path):
         .collect()[0]
     )
     assert q(p_sorted) == q(p_zorder)
+
+
+def test_sorted_low_cardinality_uses_ree(spark, tmp_path):
+    """write_sorted on a low-cardinality int key → run-heavy chunks →
+    the footer records run-end encoding for that column."""
+    from duckdb_vortex_spark.sources import vortex_format as vfmt
+    from duckdb_vortex_spark.sources.vortex import _expand, write_sorted
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "ree.vortex")
+    write_sorted(df, path, sort_cols=["k"], chunk_rows=2000)
+    encs = set()
+    for f in _expand(path):
+        ft = vfmt.read_footer(f)
+        for ch in ft.chunks:
+            encs.add(ch["columns"]["k"]["enc"])
+    assert "ree" in encs, encs
+    got = (
+        spark.read.format("vortex").load(path)
+        .groupBy("k").agg(F.count("*").alias("n")).orderBy("k").collect()
+    )
+    assert [(r["k"], r["n"]) for r in got] == [(i, 4000) for i in range(5)]
