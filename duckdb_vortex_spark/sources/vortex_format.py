@@ -761,6 +761,7 @@ class VortexFileWriter:
             cols[name] = {
                 "off": self._pos,
                 "len": len(cc.buf),
+                "crc": zlib.crc32(cc.buf) & 0xFFFFFFFF,
                 "enc": cc.enc,
                 "meta": cc.meta,
                 "min": cc.min,
@@ -835,6 +836,16 @@ def read_chunk(path: str, footer: Footer, chunk_idx: int, columns: list[str]):
             cd = chunk["columns"][name]
             f.seek(cd["off"])
             buf = f.read(cd["len"])
+            # per-chunk CRC32 (extensible-footer key: absent in older
+            # files → no check): catches torn/bit-rotted pages at the
+            # column they corrupt instead of as a decode exception —
+            # or worse, silently wrong values — downstream
+            want = cd.get("crc")
+            if want is not None and (zlib.crc32(buf) & 0xFFFFFFFF) != want:
+                raise ValueError(
+                    f"{path!r}: CRC mismatch in chunk {chunk_idx} column {name!r}"
+                    " — file corrupt"
+                )
             typ = footer.schema.field(name).type
             arrays.append(decode_column(cd["enc"], cd["meta"], buf, n, typ))
             fields.append(pa.field(name, typ))

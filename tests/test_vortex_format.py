@@ -421,3 +421,56 @@ class TestIntBloom:
         r2.pushed = [EqualTo(("id",), 1001)]
         parts2 = r2.partitions()
         assert len(parts2) == 1 and parts2[0].row_group == 1
+
+
+class TestChunkCrc:
+    def test_corrupted_page_detected_at_column(self, tmp_path):
+        import pyarrow as pa
+
+        from duckdb_vortex_spark.sources import vortex_format as vf
+
+        tbl = pa.table({"x": pa.array(range(1000)), "s": pa.array([f"r{i}" for i in range(1000)])})
+        p = str(tmp_path / "crc.vortex")
+        w = vf.VortexFileWriter(p, tbl.schema)
+        w.write_table(tbl, row_group_size=500)
+        w.close()
+        ft = vf.read_footer(p)
+        # flip one byte inside chunk 1's 's' page (strings: big buffer)
+        cd = ft.chunks[1]["columns"]["s"]
+        assert cd["len"] > 8
+        data = bytearray(open(p, "rb").read())
+        data[cd["off"] + cd["len"] // 2] ^= 0xFF
+        open(p, "wb").write(bytes(data))
+        ft2 = vf.read_footer(p)
+        assert vf.read_chunk(p, ft2, 0, ["s"]).num_rows == 500  # clean chunk fine
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="CRC mismatch.*column 's'"):
+            vf.read_chunk(p, ft2, 1, ["s"])
+        assert vf.read_chunk(p, ft2, 1, ["x"]).num_rows == 500  # other column fine
+
+    def test_older_files_without_crc_still_read(self, tmp_path):
+        import json
+
+        import pyarrow as pa
+
+        from duckdb_vortex_spark.sources import vortex_format as vf
+
+        tbl = pa.table({"x": pa.array(range(100))})
+        p = str(tmp_path / "old.vortex")
+        w = vf.VortexFileWriter(p, tbl.schema)
+        w.write_table(tbl)
+        w.close()
+        # strip the crc keys, rewriting the footer (simulates a
+        # pre-crc writer)
+        data = open(p, "rb").read()
+        flen, magic = vf._TRAILER.unpack(data[-vf._TRAILER.size :])
+        footer = json.loads(data[-(vf._TRAILER.size + flen) : -vf._TRAILER.size])
+        for ch in footer["chunks"]:
+            for cd in ch["columns"].values():
+                cd.pop("crc", None)
+        payload = json.dumps(footer).encode()
+        body = data[: -(vf._TRAILER.size + flen)]
+        open(p, "wb").write(body + payload + vf._TRAILER.pack(len(payload), vf.MAGIC))
+        ft = vf.read_footer(p)
+        assert vf.read_chunk(p, ft, 0, ["x"]).column("x").to_pylist() == list(range(100))
