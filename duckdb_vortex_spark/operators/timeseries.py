@@ -1139,3 +1139,130 @@ def timeseries_ewma_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         ewma.alias("ewma"),
     )
+
+
+# --- DAU/MAU stickiness ---------------------------------------------------
+
+DAU_MAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+), exploded AS (
+  SELECT du.user_id, du.day + to_days(CAST(r.i AS INT)) AS obs_day
+  FROM du, unnest(range(0, 30)) AS r(i)
+), mau AS (
+  SELECT e.obs_day AS day, COUNT(DISTINCT e.user_id) AS mau
+  FROM exploded e JOIN dau d ON d.day = e.obs_day
+  GROUP BY e.obs_day
+)
+SELECT CAST(CAST(d.day AS TIMESTAMP) AS VARCHAR) AS day_str,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(m.mau AS BIGINT) AS mau,
+       CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+FROM dau d JOIN mau m ON m.day = d.day
+"""
+
+
+@query("events_dau_mau_stickiness", oracle=DAU_MAU_ORACLE, tags=("timeseries", "agg"))
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — daily actives over trailing-30-day
+    actives, the engagement ratio every product dashboard carries.
+    Trailing-window COUNT(DISTINCT) can't partial-aggregate directly;
+    the scalable form EXPLODES each (day, user) activity row into the
+    30 observation days it contributes to (a bounded 30× expansion of
+    the small day×user ROLLUP, not of raw events) and counts distinct
+    users per observation day — turning a windowed distinct into a
+    plain groupBy the engine can shuffle once. Early days carry
+    partial windows, per the standard metric definition.
+
+    Scale: raw events collapse to day×user first (one
+    map-side-combinable distinct); everything after works on rollup
+    rows. Both engines run the identical expansion."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    exploded = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"),
+        "day",
+    ).select(
+        "user_id",
+        F.expr("day + make_interval(0, 0, 0, CAST(i AS INT), 0, 0, 0)").alias("obs_day"),
+    )
+    mau = (
+        exploded.join(dau.select(F.col("day").alias("obs_day")), "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau.day == mau.obs_day)
+        .select(
+            F.col("day").cast("string").alias("day_str"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+    )
+
+
+# --- rolling median -------------------------------------------------------
+
+ROLLING_MEDIAN_ORACLE = """
+WITH fr AS (
+  SELECT event_id, user_id, ts, value,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM events
+)
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts_str, value,
+       CASE WHEN len(vals) % 2 = 1
+            THEN list_sort(vals)[(len(vals) + 1) // 2]
+            ELSE (list_sort(vals)[len(vals) // 2]
+                  + list_sort(vals)[len(vals) // 2 + 1]) / 2.0
+       END AS rolling_median
+FROM fr
+"""
+
+
+@query("window_rolling_median", oracle=ROLLING_MEDIAN_ORACLE, tags=("window", "timeseries", "stats"))
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over each user's trailing 20 events — the robust
+    moving-center neither engine offers as a native window aggregate
+    (percentiles can't partial-aggregate); expressed portably as a
+    frame-collect + sort + middle pick. Complements
+    timeseries_rolling_zscore (parametric) and timeseries_anomaly_mad
+    (global robust) with the ROLLING robust baseline.
+
+    Scale: one series-key shuffle; O(20 log 20) per row on a bounded
+    frame — at wider frames the right tool is a mergeable quantile
+    sketch per window (sketch_histogram_quantile's shape)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    fr = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.collect_list("value").over(w).alias("vals"),
+    )
+    srt = F.array_sort("vals")
+    n = F.size("vals")
+    mid_hi = F.expr("(size(vals) + 1) DIV 2").cast("int")
+    mid_lo = F.expr("size(vals) DIV 2").cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(srt, mid_hi)
+    ).otherwise(
+        (F.element_at(srt, mid_lo) + F.element_at(srt, mid_lo + 1)) / F.lit(2.0)
+    )
+    return fr.select(
+        "event_id", "user_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        "value",
+        med.alias("rolling_median"),
+    )
