@@ -231,3 +231,40 @@ def vortex_ree_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+VORTEX_BLOOM_ORACLE = """
+SELECT
+  CAST(o_orderkey * 7 AS BIGINT) AS sparse_key,
+  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  o_orderstatus
+FROM orders
+WHERE o_orderkey * 7 IN (700, 7007, 7010, 77777)
+"""
+
+
+@query("vortex_bloom_pruned_scan", oracle=VORTEX_BLOOM_ORACLE, tags=("vortex", "io"))
+def vortex_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY orders with a SPARSE surrogate key (orderkey×7 — only one
+    in seven values in each chunk's span exists) → IN-list point scan.
+    Zone maps cannot refute in-span probes on a sparse key; the
+    footer's adaptive integer bloom filters can (pruning counts pinned
+    in tests/test_vortex_format.py::TestIntBloom). This driver row
+    proves the bloom path end-to-end: the probe list mixes present
+    multiples of 7 (700, 7007), an in-span non-multiple only a bloom
+    can refute (7010), and an out-of-span key (77777 at small SFs) —
+    and the surviving rows hash-match the parquet-direct oracle."""
+    register(spark)
+    path = _fresh_dir("bl")
+    try:
+        load(spark, sf_dir, "orders").select(
+            (F.col("o_orderkey") * 7).cast("bigint").alias("sparse_key"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderstatus",
+        ).write.format("vortex").mode("append").option("chunk_rows", 2048).save(path)
+        back = spark.read.format("vortex").load(path)
+        out = back.filter(F.col("sparse_key").isin(700, 7007, 7010, 77777))
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
