@@ -1266,3 +1266,78 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         med.alias("rolling_median"),
     )
+
+
+# --- time-bound funnel (MATCH_RECOGNIZE-lite) -----------------------------
+
+FUNNEL_TB_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.view_ts AND e.ts <= v.view_ts + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.click_ts AND e.ts <= c.click_ts + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+)
+SELECT
+  v.user_id,
+  CAST(v.view_ts AS VARCHAR) AS view_ts,
+  CAST(c.click_ts AS VARCHAR) AS click_ts,
+  CAST(p.purchase_ts AS VARCHAR) AS purchase_ts,
+  p.user_id IS NOT NULL AS converted
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@query("events_funnel_time_bound", oracle=FUNNEL_TB_ORACLE, tags=("timeseries", "agg"))
+def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained ordered funnel (the MATCH_RECOGNIZE
+    `A -> B within 24h -> C within 24h` pattern, which neither engine
+    ships): each stage's earliest qualifying event must fall inside a
+    24-hour window of the previous stage's. Same chained one-key
+    aggregate shape as events_funnel_conversion — the time bound is a
+    per-row predicate, adding zero shuffles; sequential pattern
+    engines (Flink CEP) buffer per-key state to do this, the batch
+    form is three co-partitioned joins."""
+    ev = load(spark, sf_dir, "events")
+    day_us = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("view_ts")) & (F.col("ts") <= F.col("view_ts") + day_us))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("click_ts")) & (F.col("ts") <= F.col("click_ts") + day_us))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("view_ts").cast("string").alias("view_ts"),
+            F.col("click_ts").cast("string").alias("click_ts"),
+            F.col("purchase_ts").cast("string").alias("purchase_ts"),
+            F.col("purchase_ts").isNotNull().alias("converted"),
+        )
+    )

@@ -695,3 +695,51 @@ def sketch_hll_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bound_ok"),
     )
+
+
+# --- Gini impurity (log-free distribution concentration) -------------------
+
+GINI_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+), t AS (
+  SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq
+  FROM c GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       total AS n_orders,
+       1.0e0 - CAST(sum_sq AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+         AS gini_impurity
+FROM t
+"""
+
+
+@query("agg_gini_impurity", oracle=GINI_ORACLE, tags=("agg", "stats"))
+def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity (1 − Σp²) of the order-status distribution per
+    priority — the decision-tree split criterion and the log-FREE
+    concentration measure (entropy needs libm log, banned repo-wide
+    for cross-engine determinism; Gini ranks distributions the same
+    way for this use). Exact BIGINT count and count² sums; the single
+    final division runs on identical operands in both engines.
+
+    Scale: two stacked map-side-combinable aggregates (cell counts,
+    then per-group moments) — one shuffle carries cells, the second
+    only |priorities| rows."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("n"))
+    t = c.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+    )
+    return t.select(
+        "o_orderpriority",
+        F.col("total").alias("n_orders"),
+        (
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("gini_impurity"),
+    )
