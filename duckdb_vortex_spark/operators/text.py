@@ -993,9 +993,13 @@ def text_duplicate_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p")
     )
+    # no distinct(): LEFT ANTI tolerates duplicate probe rows
+    # (overlapping spans), and deduping (doc, pos) here would cost a
+    # full extra shuffle of the 5x-expanded positions — measured the
+    # single worst stage of the 10x slow tier
     rm = dup_starts.select(
         "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("pos")
-    ).distinct()
+    )
     kept = words.join(rm, ["doc_id", "pos"], "left_anti")
     agg = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),

@@ -172,3 +172,31 @@ def test_approx_percentile_error_bound(spark):
         F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_span_trim_invariants(spark):
+    """ExactSubstr trim invariants: token accounting is exact, clean
+    docs pass through verbatim, and every fully-duplicated doc's text
+    survives in exactly one (canonical) copy."""
+    from duckdb_vortex_spark.catalog import entries
+
+    out = entries()["text_duplicate_span_trim"].builder(spark, SF_DIR).toPandas()
+    docs = load(spark, SF_DIR, "documents").toPandas().set_index("doc_id")
+    assert (out.removed_frac >= 0).all() and (out.removed_frac <= 1).all()
+    for _, r in out.iterrows():
+        kept_words = [w for w in r.trimmed_text.split(" ") if w != ""]
+        assert len(kept_words) == r.n_words - r.n_removed, r.doc_id
+        if r.n_removed == 0:
+            orig = [w for w in docs.loc[r.doc_id].text.split() if w != ""]
+            assert kept_words == orig, r.doc_id
+    # exact-duplicate groups: md5-identical texts keep exactly one
+    # full copy (the canonical), the rest trim to (near) nothing
+    import hashlib
+
+    h = docs.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    for _, grp in docs.assign(h=h).groupby("h"):
+        if len(grp) < 2:
+            continue
+        sub = out[out.doc_id.isin(grp.index)]
+        full = (sub.n_removed == 0).sum()
+        assert full == 1, f"dup group kept {full} full copies"

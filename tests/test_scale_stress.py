@@ -354,7 +354,6 @@ def test_span_trim_10x(spark):
                 "doc_id",
                 F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("pos"),
             )
-            .distinct()
         )
         return dup.count()
 
