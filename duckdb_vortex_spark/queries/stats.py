@@ -743,3 +743,100 @@ def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total").cast("double") * F.col("total").cast("double"))
         ).alias("gini_impurity"),
     )
+
+
+# --- grouped histogram quantiles -------------------------------------------
+
+GROUPED_QUANTILE_ORACLE = """
+WITH ext AS (
+  SELECT o_orderpriority AS grp, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority
+), binned AS (
+  SELECT e.grp,
+         LEAST(CAST(floor((o.o_totalprice - e.lo) / ((e.hi - e.lo) / 256.0)) AS BIGINT),
+               255) AS bin
+  FROM orders o JOIN ext e ON e.grp = o.o_orderpriority
+), hist AS (
+  SELECT grp, bin, COUNT(*) AS c FROM binned GROUP BY grp, bin
+), cum AS (
+  SELECT grp, bin, SUM(c) OVER (PARTITION BY grp ORDER BY bin) AS cum_n FROM hist
+), qs AS (
+  SELECT cum.grp, CAST(qq.q AS DOUBLE) AS quantile,
+         MIN(CASE WHEN cum.cum_n >= CAST(ceil(CAST(qq.q AS DOUBLE) * e.n) AS BIGINT)
+                  THEN cum.bin END) AS qbin
+  FROM cum JOIN ext e ON e.grp = cum.grp
+  CROSS JOIN (VALUES (0.5), (0.95)) qq(q)
+  GROUP BY cum.grp, CAST(qq.q AS DOUBLE)
+)
+SELECT qs.grp AS o_orderpriority, qs.quantile,
+       e.lo + (qs.qbin + 1) * ((e.hi - e.lo) / 256.0) AS est,
+       (e.hi - e.lo) / 256.0 AS bin_width,
+       CAST(e.n AS BIGINT) AS n_rows
+FROM qs JOIN ext e ON e.grp = qs.grp
+"""
+
+
+@query(
+    "sketch_histogram_grouped_quantiles",
+    oracle=GROUPED_QUANTILE_ORACLE,
+    tags=("agg", "stats", "approx", "window"),
+)
+def sketch_histogram_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 PER GROUP via per-group 256-bin histograms — the
+    percentile-by-dimension dashboard query, done as grouped mergeable
+    sketches instead of per-group sorts: each group gets its own
+    extent (one rollup, broadcast back), bins fill in one
+    map-side-combinable (group, bin) aggregate, and the window cumsum
+    walks the ≤256-row-per-group sketch. Error ≤ one per-group bin
+    width by construction.
+
+    Scale: exact grouped percentiles re-sort every group's rows;
+    this is two small-keyed aggregates + a sketch-sized window at any
+    data size, and per-group histograms merge by adding counts (the
+    same property the global sketch_histogram_quantile exploits)."""
+    o = load(spark, sf_dir, "orders")
+    ext = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binw = (F.col("hi") - F.col("lo")) / F.lit(256.0)
+    binned = o.join(
+        F.broadcast(ext), o.o_orderpriority == ext.grp
+    ).select(
+        "grp",
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / binw).cast("bigint"),
+            F.lit(255),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("grp", "bin").agg(F.count("*").alias("c"))
+    cum = hist.select(
+        "grp", "bin",
+        F.sum("c").over(Window.partitionBy("grp").orderBy("bin")).alias("cum_n"),
+    )
+    qvals = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.95))).alias("quantile")
+    )
+    qs = (
+        cum.join(F.broadcast(ext), "grp")
+        .crossJoin(F.broadcast(qvals))
+        .groupBy("grp", "quantile")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_n")
+                    >= F.ceil(F.col("quantile") * F.col("n")).cast("bigint"),
+                    F.col("bin"),
+                )
+            ).alias("qbin")
+        )
+    )
+    return qs.join(F.broadcast(ext), "grp").select(
+        F.col("grp").alias("o_orderpriority"),
+        "quantile",
+        (F.col("lo") + (F.col("qbin") + 1) * binw).alias("est"),
+        binw.alias("bin_width"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )

@@ -112,6 +112,11 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "64-ROW bucket-grid broadcast (days × fixed 64 registers) — "
         "constant-size build side at any event volume",
     ),
+    "sketch_histogram_grouped_quantiles": (
+        ("nested-loop-join",),
+        "≤(groups×256)-row sketch × 2 quantile probes — every build "
+        "side is constant-size regardless of corpus",
+    ),
     "sketch_histogram_quantile": (
         ("nested-loop-join",),
         "1-ROW extent broadcast + ≤1024-row sketch × 3 quantile probes "
