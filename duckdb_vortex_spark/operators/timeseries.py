@@ -1341,3 +1341,79 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").isNotNull().alias("converted"),
         )
     )
+
+
+# --- interval-overlap join (binned) ---------------------------------------
+
+OVERLAP_JOIN_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey AS id_a, o_custkey % 20 AS k,
+         o_orderdate AS s, o_orderdate + to_days(CAST(o_orderkey % 30 AS INT)) AS e
+  FROM orders WHERE o_orderkey % 10 = 0
+), b AS (
+  SELECT o_orderkey AS id_b, o_custkey % 20 AS k,
+         o_orderdate AS s, o_orderdate + to_days(CAST(o_orderkey % 45 AS INT)) AS e
+  FROM orders WHERE o_orderkey % 10 = 1
+)
+SELECT a.id_a, b.id_b, CAST(a.k AS BIGINT) AS k,
+       CAST(GREATEST(a.s, b.s) AS VARCHAR) AS overlap_start,
+       CAST(LEAST(a.e, b.e) AS VARCHAR) AS overlap_end
+FROM a JOIN b ON a.k = b.k AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+def _interval_bins(s, e, width_s: int):
+    from pyspark.sql import functions as F2
+
+    return F2.sequence(
+        F2.floor(F2.unix_timestamp(s) / width_s),
+        F2.floor(F2.unix_timestamp(e) / width_s),
+    )
+
+
+@query("join_interval_overlap_binned", oracle=OVERLAP_JOIN_ORACLE, tags=("join", "timeseries"))
+def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (temporal/genomic range
+    intersection — the two-sided generalization of
+    join_interval_binned's point-in-interval): both interval sets
+    explode into the fixed-width time bins they touch, the join runs
+    as a plain EQUI join on (entity, bin) with the exact overlap
+    predicate behind it, and each overlapping pair survives exactly
+    once WITHOUT a distinct — it is kept only in the bin containing
+    the overlap's start (greatest of the two starts), the standard
+    bin-dedup trick.
+
+    Scale: pair work is bounded by co-binned intervals (Σ per-bin
+    |A|·|B| within each entity), never |A|·|B| global; bin width
+    trades fan-out (intervals span few bins) against bucket density —
+    the same knob as every binned range join. The oracle is the plain
+    theta join."""
+    o = load(spark, sf_dir, "orders")
+    width_s = 30 * 86400
+    a = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("id_a"),
+        (F.col("o_custkey") % 20).alias("k"),
+        F.col("o_orderdate").alias("s_a"),
+        F.expr("o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 30 AS INT), 0, 0, 0)").alias("e_a"),
+    )
+    b = o.filter(F.col("o_orderkey") % 10 == 1).select(
+        F.col("o_orderkey").alias("id_b"),
+        (F.col("o_custkey") % 20).alias("k"),
+        F.col("o_orderdate").alias("s_b"),
+        F.expr("o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 45 AS INT), 0, 0, 0)").alias("e_b"),
+    )
+    ax = a.withColumn("bin", F.explode(_interval_bins(F.col("s_a"), F.col("e_a"), width_s)))
+    bx = b.withColumn("bin", F.explode(_interval_bins(F.col("s_b"), F.col("e_b"), width_s)))
+    start_max = F.greatest(F.col("s_a"), F.col("s_b"))
+    return (
+        ax.join(bx, ["k", "bin"])
+        .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
+        .filter(F.col("bin") == F.floor(F.unix_timestamp(start_max) / width_s))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("k").cast("bigint").alias("k"),
+            start_max.cast("string").alias("overlap_start"),
+            F.least(F.col("e_a"), F.col("e_b")).cast("string").alias("overlap_end"),
+        )
+    )
