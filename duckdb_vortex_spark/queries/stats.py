@@ -840,3 +840,183 @@ def sketch_histogram_grouped_quantiles(spark: SparkSession, sf_dir: str) -> Data
         binw.alias("bin_width"),
         F.col("n").cast("bigint").alias("n_rows"),
     )
+
+
+# --- distribution-drift monitor (chi-square, log-free) ---------------------
+
+DRIFT_ORACLE = """
+WITH ext AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+), binned AS (
+  SELECT o_orderkey % 2 AS half,
+         LEAST(CAST(floor((o_totalprice - ext.lo)
+                          / ((ext.hi - ext.lo) / 64.0)) AS BIGINT), 63) AS bin
+  FROM orders CROSS JOIN ext
+), cells AS (
+  SELECT bin,
+         CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS n_ref,
+         CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref, CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM cells
+), terms AS (
+  SELECT c.bin,
+         CASE WHEN c.n_ref + c.n_cur > 0 THEN
+           CAST(floor(
+             (CAST(c.n_cur AS DOUBLE) * t.t_ref - CAST(c.n_ref AS DOUBLE) * t.t_cur)
+             * (CAST(c.n_cur AS DOUBLE) * t.t_ref - CAST(c.n_ref AS DOUBLE) * t.t_cur)
+             / (CAST(c.n_ref + c.n_cur AS DOUBLE)
+                * CAST(t.t_ref AS DOUBLE) * CAST(t.t_cur AS DOUBLE))
+             * 1000000000.0 + 0.5) AS BIGINT)
+         ELSE 0 END AS term_q,
+         t.t_ref, t.t_cur
+  FROM cells c CROSS JOIN tot t
+)
+SELECT
+  CAST(CAST(SUM(term_q) AS BIGINT) AS DOUBLE) / 1000000000.0 AS chi_square,
+  CAST(COUNT(*) FILTER (WHERE term_q IS NOT NULL AND t_ref + t_cur > 0) - 1 AS BIGINT)
+    AS dof,
+  t_ref, t_cur
+FROM terms
+GROUP BY t_ref, t_cur
+"""
+
+
+@query("stats_drift_chi_square", oracle=DRIFT_ORACLE, tags=("stats", "agg", "approx"))
+def stats_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: Pearson chi-square between two
+    cohorts' order-value histograms (here the even/odd orderkey halves
+    — identically distributed, so the statistic lands ≈ its dof, the
+    calibrated no-drift baseline). The ML-ops shift detector in its
+    log-FREE form: PSI/KL need libm log (banned repo-wide); chi-square
+    ranks drifts comparably from pure count arithmetic.
+
+    Determinism: each bin's term is one double expression over exact
+    integer counts, quantized to nano-units before the cross-partition
+    sum (the repo's quantized-sum rule — a raw double Σ over 64 bins
+    would be partition-order dependent). Scale: one shared-extent
+    histogram pass (map-side combinable), then 64-row arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    ext = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    binw = (F.col("hi") - F.col("lo")) / F.lit(64.0)
+    binned = o.crossJoin(F.broadcast(ext)).select(
+        (F.col("o_orderkey") % 2).alias("half"),
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / binw).cast("bigint"),
+            F.lit(63),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("half") == 0, 1)).cast("bigint").alias("n_ref"),
+        F.count(F.when(F.col("half") == 1, 1)).cast("bigint").alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    d = F.col("n_cur").cast("double") * F.col("t_ref") - F.col("n_ref").cast("double") * F.col("t_cur")
+    term = (
+        d * d
+        / (
+            (F.col("n_ref") + F.col("n_cur")).cast("double")
+            * F.col("t_ref").cast("double")
+            * F.col("t_cur").cast("double")
+        )
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            F.col("n_ref") + F.col("n_cur") > 0,
+            F.floor(term * F.lit(1000000000.0) + F.lit(0.5)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")).alias("term_q"),
+        "t_ref",
+        "t_cur",
+    )
+    return terms.groupBy("t_ref", "t_cur").agg(
+        (F.sum("term_q").cast("bigint").cast("double") / F.lit(1000000000.0)).alias("chi_square"),
+        (F.count(F.when(F.col("term_q").isNotNull() & (F.col("t_ref") + F.col("t_cur") > 0), 1)) - 1)
+        .cast("bigint")
+        .alias("dof"),
+    ).select("chi_square", "dof", "t_ref", "t_cur")
+
+
+# --- grouped HLL ----------------------------------------------------------
+
+HLL_GROUPED_ORACLE = """
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+), bw AS (
+  SELECT event_type,
+         CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS bucket,
+         57 - length(bin(CAST(('0x' || substr(hx, 3, 14)) AS BIGINT))) AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, bucket, MAX(rho) AS m FROM bw GROUP BY event_type, bucket
+), s AS (
+  SELECT event_type,
+         CAST(SUM(CAST(power(2, 32 - LEAST(m, 32)) AS BIGINT)) AS BIGINT)
+         + (64 - COUNT(*)) * CAST(4294967296 AS BIGINT) AS denom,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY event_type
+), ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type,
+       ex.exact_distinct,
+       CAST(0.709 AS DOUBLE) * 4096.0 * 4294967296.0 / CAST(s.denom AS DOUBLE)
+         AS hll_est,
+       CAST(s.n_regs AS BIGINT) AS n_regs,
+       ex.exact_distinct < 256
+       OR abs((CAST(0.709 AS DOUBLE) * 4096.0 * 4294967296.0 / CAST(s.denom AS DOUBLE))
+              / CAST(ex.exact_distinct AS DOUBLE) - 1.0) <= 0.35 AS bound_ok
+FROM s JOIN ex ON ex.event_type = s.event_type
+"""
+
+
+@query("sketch_hll_grouped", oracle=HLL_GROUPED_ORACLE, tags=("agg", "stats", "approx"))
+def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users PER EVENT TYPE as grouped HLL sketches — the
+    group-by-dimension cardinality dashboard, in O(64) state per group
+    instead of a distinct per group. Completes the sketch family's
+    symmetry: global (sketch_hll_distinct), time-merged
+    (sketch_hll_daily_cumulative), streaming
+    (stream_hll_distinct_events), and grouped. Same exact-integer
+    estimate arithmetic; bound gated to the raw-HLL quotable regime."""
+    ev = load(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    bw = ev.select(
+        "event_type",
+        (F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint") % 64).alias("bucket"),
+        (F.lit(57) - F.length(F.bin(F.conv(F.substring(hx, 3, 14), 16, 10).cast("bigint"))))
+        .alias("rho"),
+    )
+    regs = bw.groupBy("event_type", "bucket").agg(F.max("rho").alias("m"))
+    s = regs.groupBy("event_type").agg(
+        (
+            F.sum(
+                F.pow(F.lit(2.0), (F.lit(32) - F.least(F.col("m"), F.lit(32))).cast("double"))
+                .cast("bigint")
+            )
+            + (F.lit(64) - F.count("*")) * F.lit(4294967296).cast("bigint")
+        ).alias("denom"),
+        F.count("*").alias("n_regs"),
+    )
+    ex = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    est = (
+        F.lit(0.709) * F.lit(4096.0) * F.lit(4294967296.0)
+        / F.col("denom").cast("double")
+    )
+    return s.join(ex, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        est.alias("hll_est"),
+        F.col("n_regs").cast("bigint").alias("n_regs"),
+        (
+            (F.col("exact_distinct") < 256)
+            | (
+                F.abs(est / F.col("exact_distinct").cast("double") - F.lit(1.0))
+                <= F.lit(0.35)
+            )
+        ).alias("bound_ok"),
+    )

@@ -112,6 +112,11 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "64-ROW bucket-grid broadcast (days × fixed 64 registers) — "
         "constant-size build side at any event volume",
     ),
+    "stats_drift_chi_square": (
+        ("nested-loop-join",),
+        "1-ROW extent + 1-ROW cohort-totals broadcasts over the 64-row "
+        "cell table — constant-size build sides at any SF",
+    ),
     "sketch_histogram_grouped_quantiles": (
         ("nested-loop-join",),
         "≤(groups×256)-row sketch × 2 quantile probes — every build "

@@ -118,6 +118,7 @@ _NESTED_LOOP_OK = {
     "sketch_hll_distinct",  # 1-row HLL-estimate broadcast joined to the exact count
     "sketch_histogram_quantile",  # 1-row extent + ≤1024-row sketch × 3 probes, all constant-size
     "sketch_histogram_grouped_quantiles",  # per-group sketch × 2 probes, constant-size build sides
+    "stats_drift_chi_square",  # 1-row extent + totals broadcasts over the 64-row cell table
     "sketch_hll_daily_cumulative",  # 64-row register-grid broadcast, constant at any volume
     "stream_hll_distinct_events",  # 1-row register-estimate broadcast joined to the exact count
     "dedup_semantic_cluster",  # 16-row centroid broadcast; pair join is hash-wise on cluster_id
