@@ -530,3 +530,128 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_short_docs",
         )
     )
+
+
+# --- leakage-safe holdout split -------------------------------------------
+
+GROUP_HOLDOUT_ORACLE = """
+SELECT split,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT source, n_chars,
+    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT source, n_chars,
+      CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100 AS b
+    FROM documents
+  )
+)
+GROUP BY split
+"""
+
+
+@query("sample_group_holdout_split", oracle=GROUP_HOLDOUT_ORACLE, tags=("sample", "llm"))
+def sample_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is a hash of the
+    GROUP key (source), not the row, so every document from one source
+    lands in exactly one split — near-duplicate documents within a
+    source (the dominant leakage channel in web corpora: same site,
+    boilerplate, mirrored pages) can never straddle the train/eval
+    boundary. Row-hash splits (sample_hash_deterministic) cannot give
+    this guarantee.
+
+    80/10/10 by the same portable md5 basis-point bucket as the rest
+    of the sampling family; realized split sizes converge to the
+    ratios only as the number of GROUPS grows (the price of the
+    leakage guarantee — with few huge groups the variance is the
+    groups', not the rows'; the per-split n_sources audit column makes
+    that skew visible, and Σ n_sources = |sources| certifies the
+    partition is exact).
+
+    Scale: a per-row hash + CASE at the scan — no shuffle to decide
+    membership, no group table to join; the only exchange is the
+    3-group audit aggregate. Works identically as a streaming-scan
+    filter when materializing each split."""
+    d = load(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+# --- per-epoch deterministic reshuffle ------------------------------------
+
+EPOCH_SHARDS_ORACLE = """
+WITH e AS (
+  SELECT d.doc_id, ep.epoch,
+    md5(CAST(ep.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS hx
+  FROM documents d, (SELECT unnest([0, 1, 2]) AS epoch) ep
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+  CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS BIGINT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  arg_min(doc_id, hx) AS lead_doc,
+  CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+FROM e
+GROUP BY 1, 2
+"""
+
+
+@query("pipeline_epoch_shuffle_shards", oracle=EPOCH_SHARDS_ORACLE, tags=("sample", "llm"))
+def pipeline_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch reshuffle plan: for each training epoch,
+    every document is assigned a shard (md5(epoch:doc) % 8) and an
+    intra-shard order (the full md5 string) — a different but fully
+    reproducible permutation per epoch, the property data loaders need
+    for exactly-repeatable training runs (seeded shuffling without a
+    central shuffle service; Spark's own rand() is partition-dependent
+    and irreproducible across cluster layouts).
+
+    The audit output is per (epoch, shard): document count (spread
+    check), the order-leading document (pins the intra-shard ordering
+    — ties impossible: the full 32-hex md5 of distinct keys), and an
+    id checksum (pins membership). Everything is hash arithmetic —
+    across engines AND across cluster sizes the plan is bit-identical.
+
+    Scale: shard assignment is a per-row hash at the scan — the epoch
+    fan-out is an explode (no join), rows shuffle once on their
+    (epoch, shard) key, and writing epoch files is
+    partitionBy(epoch, shard) on exactly this frame. Intra-shard order
+    is a local sort within each written shard, never a global one."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e = d.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch")
+    ).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+            )
+        ).alias("hx"),
+    )
+    return (
+        e.groupBy(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            (F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint") % 8).alias("shard"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min_by("doc_id", "hx").alias("lead_doc"),
+            F.sum("doc_id").cast("bigint").alias("doc_id_checksum"),
+        )
+    )

@@ -1022,3 +1022,115 @@ def text_duplicate_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("removed_frac"),
     )
+
+
+# --- BM25 retrieval -------------------------------------------------------
+
+BM25_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+  FROM documents
+), L AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM t
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_len
+  FROM L
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM t)
+  WHERE tok IN ('join', 'hash', 'scan', 'filter')
+  GROUP BY doc_id, tok
+), dft AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      (CAST(22 * tf.tf * s.tot_len AS DOUBLE)
+        / CAST(10 * tf.tf * s.tot_len + 3 * s.tot_len + 9 * L.dl * s.n_docs AS DOUBLE))
+      * (CAST(2 * (s.n_docs - d.df) + 1 AS DOUBLE) / CAST(2 * d.df + 1 AS DOUBLE))
+      * 1000000.0e0 + 0.5e0) AS BIGINT) AS tsq
+  FROM tf
+  JOIN dft d USING (tok)
+  JOIN L USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(SUM(tsq) AS BIGINT) AS bm25_q,
+  CAST(CAST(SUM(tsq) AS BIGINT) AS DOUBLE) / 1000000.0e0 AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25_q DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("text_bm25_topk", oracle=BM25_ORACLE, tags=("text", "similarity", "llm"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for a fixed 4-term query —
+    the lexical-ranking standard (Robertson & Zaragoza 2009) joining
+    the TF-IDF entry to complete the sparse-retrieval pair.
+
+    Libm-free exactness: k1=1.2, b=0.75 clear to integers by
+    multiplying the saturation term through by 10·avgdl·n_docs —
+    tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) becomes
+    22·tf·tot_len / (10·tf·tot_len + 3·tot_len + 9·dl·n_docs), an
+    exact BIGINT ratio; the Robertson idf is kept as the RAW ratio
+    (N−df+.5)/(df+.5) = (2(N−df)+1)/(2df+1) rather than its log (the
+    repo-wide no-libm rule; log is monotone per term, so each term's
+    saturation shape is preserved). Each term score is exactly two
+    IEEE divisions and one multiply in a fixed sequence, quantized to
+    µ-units BEFORE the per-doc sum, so the ranking is bit-identical
+    across engines and partitionings.
+
+    Scale: corpus stats (n_docs, avgdl) are one dedicated aggregate —
+    at 100 TB they are computed once per corpus snapshot and cached,
+    not per query; they rejoin as a 1-row broadcast. Scoring itself is
+    the inverted-index shape: tokenize → filter to query terms AT THE
+    SCAN (non-matching tokens never shuffle) → per-(doc,term) counts →
+    vocabulary-bounded df broadcast; the top-10 is a rank-limit
+    pushdown (TakeOrderedAndProject), never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("t"))
+    lens = t.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    stats = lens.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("tot_len"),
+    )
+    base = t.select(
+        "doc_id", F.size("t").cast("bigint").alias("dl"), F.explode("t").alias("tok")
+    )
+    tf = (
+        base.filter(F.col("tok").isin("join", "hash", "scan", "filter"))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    sat = F.lit(22) * F.col("tf") * F.col("tot_len")
+    satden = (
+        F.lit(10) * F.col("tf") * F.col("tot_len")
+        + F.lit(3) * F.col("tot_len")
+        + F.lit(9) * F.col("dl") * F.col("n_docs")
+    )
+    idfn = F.lit(2) * (F.col("n_docs") - F.col("df")) + F.lit(1)
+    idfd = F.lit(2) * F.col("df") + F.lit(1)
+    tsq = F.floor(
+        (sat.cast("double") / satden.cast("double"))
+        * (idfn.cast("double") / idfd.cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", tsq.alias("tsq"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("tsq").cast("bigint").alias("bm25_q"))
+        .select(
+            "doc_id",
+            "bm25_q",
+            (F.col("bm25_q").cast("double") / F.lit(1000000.0)).alias("bm25"),
+        )
+        .orderBy(F.col("bm25_q").desc(), "doc_id")
+        .limit(10)
+    )

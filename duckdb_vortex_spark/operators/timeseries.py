@@ -1417,3 +1417,86 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("e_a"), F.col("e_b")).cast("string").alias("overlap_end"),
         )
     )
+
+
+# --- CUSUM changepoint ----------------------------------------------------
+
+CUSUM_ORACLE = """
+WITH q AS (
+  SELECT event_type, ts, event_id,
+    CAST(floor(value * 1000000.0e0 + 0.5e0) AS BIGINT) AS v_q
+  FROM events
+), m AS (
+  SELECT event_type,
+    CAST(SUM(v_q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_q,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY event_type
+), s AS (
+  SELECT q.event_type, q.ts, m.n,
+    CAST(SUM(q.v_q - m.mean_q) OVER (PARTITION BY q.event_type
+      ORDER BY q.ts, q.event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+  FROM q JOIN m USING (event_type)
+)
+SELECT event_type, ts AS changepoint_ts,
+  CAST(abs(cusum) AS BIGINT) AS max_abs_cusum_q, n
+FROM s
+QUALIFY row_number() OVER (PARTITION BY event_type
+  ORDER BY abs(cusum) DESC, ts, cusum) = 1
+"""
+
+
+@query("timeseries_changepoint_cusum", oracle=CUSUM_ORACLE, tags=("timeseries", "window"))
+def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954) per event-type series:
+    the running sum of deviations from the series mean peaks (in
+    absolute value) exactly where the level shifts — the classic
+    mean-shift locator, joining MAD (outliers), chi-square/KS
+    (distribution drift) to complete the monitoring family.
+
+    Exactness: values quantize to µ-unit BIGINTs at the scan, the
+    series mean is an integer floor-division, so every cusum is an
+    exact integer — the argmax row (ties broken by earliest ts) is
+    identical across engines and partitionings; no float ever enters
+    a cross-partition sum.
+
+    Scale: one shuffle on the series key serves the mean aggregate,
+    the running window, and the argmax pick (same-key windows share
+    the sort); state per series is O(1). The mean rejoins as a
+    per-series broadcast-size table, not a driver scalar."""
+    e = load(spark, sf_dir, "events")
+    q = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("v_q"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.expr("CAST(SUM(v_q) AS BIGINT) DIV COUNT(*)").alias("mean_q"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = q.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        F.sum(F.col("v_q") - F.col("mean_q")).over(run).cast("bigint").alias("cusum"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "ts", "cusum"
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("changepoint_ts"),
+            F.abs(F.col("cusum")).cast("bigint").alias("max_abs_cusum_q"),
+            "n",
+        )
+    )

@@ -465,3 +465,72 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("l_quantity").alias("mode_quantity"), "n")
     )
+
+
+# --- weighted median ------------------------------------------------------
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH wpts AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT flag, v, w,
+    CAST(SUM(w) OVER (PARTITION BY flag ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+    CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+  FROM wpts
+)
+SELECT flag, v AS weighted_median, tw AS total_weight
+FROM c
+WHERE 2 * cw >= tw AND 2 * (cw - w) < tw
+"""
+
+
+@query("agg_weighted_median", oracle=WEIGHTED_MEDIAN_ORACLE, tags=("agg", "window"))
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half the QUANTITY (not half
+    the rows) lies on each side, per return flag — the
+    volume-weighted robust center that plain median/percentile
+    (agg_median_percentile) cannot express.
+
+    Exactness: weights are exact BIGINTs (l_quantity is integral by
+    TPC-H construction; the cast truncates identically in both
+    engines), duplicate prices collapse to one (value, Σweight) point
+    first, and the lower-median pick is a pure integer predicate
+    (2·cw ≥ tw ∧ 2·(cw−w) < tw) — exactly one row per group, no
+    interpolation, no float comparison, partitioning-independent.
+
+    Scale: one shuffle on the group key; the running-weight window
+    runs over the (group, DISTINCT value) table, not raw rows — the
+    same distinct-first compaction as the KS entry; both window frames
+    share one sort. A full sort of raw lineitem per group is never
+    needed."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    wpts = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    )
+    run = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("flag")
+    c = wpts.select(
+        "flag",
+        "v",
+        "w",
+        F.sum("w").over(run).cast("bigint").alias("cw"),
+        F.sum("w").over(full).cast("bigint").alias("tw"),
+    )
+    return c.filter(
+        (F.lit(2) * F.col("cw") >= F.col("tw"))
+        & (F.lit(2) * (F.col("cw") - F.col("w")) < F.col("tw"))
+    ).select(
+        "flag", F.col("v").alias("weighted_median"), F.col("tw").alias("total_weight")
+    )

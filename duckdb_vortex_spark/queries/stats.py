@@ -1020,3 +1020,192 @@ def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bound_ok"),
     )
+
+
+# --- Kolmogorov–Smirnov drift ---------------------------------------------
+
+KS_ORACLE = """
+WITH s AS (
+  SELECT value,
+    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS a,
+    CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS b
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY value
+), c AS (
+  SELECT value,
+    CAST(SUM(a) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+    CAST(SUM(b) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+  FROM s
+), n AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2 FROM s
+)
+SELECT n1, n2, CAST(MAX(abs(ca * n2 - cb * n1)) AS BIGINT) AS d_num,
+  CAST(CAST(MAX(abs(ca * n2 - cb * n1)) AS BIGINT) AS DOUBLE)
+    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d,
+  CAST(MAX(abs(ca * n2 - cb * n1)) AS BIGINT) * 20 > n1 * n2 AS drifted
+FROM c CROSS JOIN n
+GROUP BY n1, n2
+"""
+
+
+@query("stats_drift_ks", oracle=KS_ORACLE, tags=("stats", "agg"))
+def stats_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    'click' and 'purchase' value distributions — the nonparametric
+    companion to stats_drift_chi_square: no binning choice, sensitive
+    to ANY distributional difference (location, scale, shape), and,
+    like the rest of the repo's monitors, libm-free.
+
+    Exactness: D = max_x |F1(x) − F2(x)| is evaluated CROSS-MULTIPLIED
+    — d_num = max |c1(x)·n2 − c2(x)·n1| over exact BIGINT cumulative
+    counts, so the max is integer arithmetic and partitioning-
+    independent; the only float op is the final division by n1·n2.
+    The drift flag (D > 0.05) compares integers (d_num·20 > n1·n2),
+    so the verdict itself never touches a double.
+
+    Scale: the ECDF window runs over the DISTINCT-value table, not the
+    raw events — bounded by value cardinality. For unbounded-
+    cardinality streams, bin first (sketch_histogram_quantile is the
+    mergeable-sketch scale path; KS over the 1024-bin sketch bounds
+    the exact statistic within one bin's mass). The cohort totals stay
+    in-plan as a 1-row broadcast (no driver scalar)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint").alias("a"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("bigint").alias("b"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = s.select(
+        F.sum("a").over(w).cast("bigint").alias("ca"),
+        F.sum("b").over(w).cast("bigint").alias("cb"),
+    )
+    n = s.agg(
+        F.sum("a").cast("bigint").alias("n1"), F.sum("b").cast("bigint").alias("n2")
+    )
+    gap = F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(F.max(gap).cast("bigint").alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_d"),
+            (F.col("d_num") * 20 > F.col("n1") * F.col("n2")).alias("drifted"),
+        )
+    )
+
+
+# --- bloom membership sketch ----------------------------------------------
+
+BLOOM_ORACLE = """
+WITH keys AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+), probes AS (
+  SELECT k, i,
+    CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + 8 * i, 8)) AS BIGINT)
+      % 63488 AS p
+  FROM keys, (SELECT unnest([0, 1, 2, 3]) AS i)
+), regs AS (
+  SELECT p // 62 AS idx, CAST(bit_or(1::BIGINT << (p % 62)) AS BIGINT) AS reg
+  FROM probes GROUP BY 1
+), cand AS (
+  SELECT c.c_custkey,
+    CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1 + 8 * i.i, 8))
+      AS BIGINT) % 63488 AS p
+  FROM customer c, (SELECT unnest([0, 1, 2, 3]) AS i) i
+), hit AS (
+  SELECT c_custkey,
+    CAST(bool_and(((r.reg >> (cand.p % 62)) & 1) = 1) AS BOOLEAN) AS bloom_pos
+  FROM cand JOIN regs r ON r.idx = cand.p // 62
+  GROUP BY c_custkey
+), truth AS (
+  SELECT h.c_custkey, h.bloom_pos, (k.k IS NOT NULL) AS exact_member
+  FROM hit h LEFT JOIN keys k ON k.k = h.c_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(COUNT(*) FILTER (WHERE exact_member) AS BIGINT) AS n_members,
+  CAST(COUNT(*) FILTER (WHERE bloom_pos) AS BIGINT) AS n_bloom_pos,
+  CAST(COUNT(*) FILTER (WHERE bloom_pos AND NOT exact_member) AS BIGINT)
+    AS n_false_pos,
+  CAST(COUNT(*) FILTER (WHERE exact_member AND NOT bloom_pos) AS BIGINT) = 0
+    AS no_false_negatives
+FROM truth
+"""
+
+
+@query("sketch_bloom_membership", oracle=BLOOM_ORACLE, tags=("stats", "agg", "approx"))
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as a RELATIONAL sketch — 1024 rows of (register
+    idx, 62-bit BIGINT; ~8 KiB), k=4 md5-derived probes per key — built over the
+    custkeys present in orders, probed by every customer, and audited
+    against exact membership. Completes the sketch family's coverage
+    of the four streaming questions: cardinality (HLL), frequency
+    (count-min), quantiles (histogram), and now MEMBERSHIP.
+
+    Exactness: construction and probing are pure integer bit algebra
+    (bit positions from md5 substrings, registers OR-merged — 62 bits
+    per register because a 1<<63 BIGINT shift is an overflow error in
+    DuckDB), so the sketch is bit-identical across engines; the
+    no-false-negatives invariant is STRUCTURAL (OR-merge can only add
+    bits) and the oracle asserts it as a boolean column.
+
+    Scale: the register build is one map-side-combining aggregate to
+    ≤1024 rows — mergeable across shards/days exactly like the HLL
+    tables (bit_or is associative-commutative); probing joins each
+    candidate's 4 probe rows against the ≤1024-row broadcast. This is
+    the relational form of the runtime bloom pruning Spark itself
+    injects (pinned in test_plan_contracts)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    idx4 = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+
+    def pos(key_col):
+        return (
+            F.conv(
+                F.substring(F.md5(key_col.cast("string")), F.lit(1) + F.lit(8) * F.col("i"), 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 63488
+        )
+
+    keys = o.select(F.col("o_custkey").alias("k")).distinct()
+    probes = keys.select("k", idx4).select("k", pos(F.col("k")).alias("p"))
+    regs = (
+        probes.groupBy(F.expr("p DIV 62").alias("idx"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 62 AS INT)))").alias("reg"))
+    )
+    cand = c.select(F.col("c_custkey"), idx4).select(
+        "c_custkey", pos(F.col("c_custkey")).alias("p")
+    )
+    hit = (
+        cand.join(F.broadcast(regs), F.expr("idx = p DIV 62"))
+        .groupBy("c_custkey")
+        .agg(
+            F.expr("bool_and(((reg >> CAST(p % 62 AS INT)) & 1) = 1)").alias("bloom_pos")
+        )
+    )
+    truth = hit.join(keys, hit["c_custkey"] == keys["k"], "left").select(
+        "c_custkey", "bloom_pos", F.col("k").isNotNull().alias("exact_member")
+    )
+    return truth.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.count(F.when(F.col("exact_member"), 1)).cast("bigint").alias("n_members"),
+        F.count(F.when(F.col("bloom_pos"), 1)).cast("bigint").alias("n_bloom_pos"),
+        F.count(F.when(F.col("bloom_pos") & ~F.col("exact_member"), 1))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        (
+            F.count(F.when(F.col("exact_member") & ~F.col("bloom_pos"), 1)).cast("bigint")
+            == F.lit(0)
+        ).alias("no_false_negatives"),
+    )

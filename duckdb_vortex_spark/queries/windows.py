@@ -421,3 +421,57 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("grp_sum"),
         )
     )
+
+
+# --- gaps and islands -----------------------------------------------------
+
+GAPS_ISLANDS_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
+    row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn_t
+  FROM events
+), isl AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM r GROUP BY user_id, event_type, rn_all - rn_t
+)
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_runs,
+  CAST(MAX(run_len) AS BIGINT) AS longest_run
+FROM isl GROUP BY user_id, event_type
+"""
+
+
+@query("window_gaps_islands", oracle=GAPS_ISLANDS_ORACLE, tags=("window", "events"))
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE same-type events
+    per user, via the classic two-row_number difference — rn_all −
+    rn_per_type is constant exactly within a run, so runs fall out of
+    a plain GROUP BY with no iterative pass. The canonical SQL pattern
+    the survey's window family was missing (streaks, outage episodes,
+    consecutive-day activity all reduce to it).
+
+    Determinism: both row_numbers order by (ts, event_id) — event_id
+    makes the order total, so island boundaries are identical across
+    engines and partitionings; everything else is integer counting.
+
+    Scale: ONE shuffle on user_id serves both windows and the
+    aggregates (the per-(user,type) window is a finer partitioning of
+    the same key), then map-side-combining hash aggs — the run
+    detection never materializes per-pair or per-gap state."""
+    e = load(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_t = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_t)).alias("grp"),
+    )
+    isl = (
+        r.groupBy("user_id", "event_type", "grp")
+        .agg(F.count("*").cast("bigint").alias("run_len"))
+    )
+    return isl.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+    )

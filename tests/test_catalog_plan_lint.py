@@ -117,6 +117,16 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "1-ROW extent + 1-ROW cohort-totals broadcasts over the 64-row "
         "cell table — constant-size build sides at any SF",
     ),
+    "stats_drift_ks": (
+        ("nested-loop-join",),
+        "1-ROW cohort-totals broadcast over the distinct-value ECDF "
+        "table — constant-size build side at any SF",
+    ),
+    "text_bm25_topk": (
+        ("nested-loop-join",),
+        "1-ROW corpus-stats broadcast (n_docs, tot_len kept in-plan) — "
+        "constant-size build side at any corpus size",
+    ),
     "sketch_histogram_grouped_quantiles": (
         ("nested-loop-join",),
         "≤(groups×256)-row sketch × 2 quantile probes — every build "
