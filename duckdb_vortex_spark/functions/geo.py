@@ -248,3 +248,87 @@ def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         gh4.alias("geohash4"),
         F.count("*").over(W.partitionBy(gh4)).alias("n_in_cell4"),
     )
+
+
+# --- point in polygon -----------------------------------------------------
+
+# Closed non-convex ring on the same synthetic integer grid as the
+# radius entry; consecutive vertex pairs are the edge list (no
+# horizontal edges, but the half-open crossing rule handles them
+# anyway). One Python literal generates BOTH dialects' edge tables.
+_POLY = [(10, 10), (80, 20), (60, 40), (80, 70), (30, 80), (20, 40)]
+_EDGES = list(zip(_POLY, _POLY[1:] + _POLY[:1]))
+
+_EDGE_VALUES = ", ".join(f"({x1}, {y1}, {x2}, {y2})" for (x1, y1), (x2, y2) in _EDGES)
+
+PIP_ORACLE = f"""
+WITH pts AS (
+  SELECT s_suppkey AS id,
+         CAST(s_suppkey % 97 AS BIGINT) AS px,
+         CAST(s_suppkey % 89 AS BIGINT) AS py
+  FROM supplier
+), edges(x1, y1, x2, y2) AS (
+  VALUES {_EDGE_VALUES}
+), c AS (
+  SELECT p.id,
+    CAST(COUNT(*) FILTER (WHERE ((e.y1 > p.py) != (e.y2 > p.py))
+      AND ((e.x1 - p.px) * (e.y2 - e.y1) + (p.py - e.y1) * (e.x2 - e.x1))
+          * (e.y2 - e.y1) > 0) AS BIGINT) AS n_cross
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.id
+)
+SELECT id, n_cross, (n_cross % 2 = 1) AS inside FROM c
+"""
+
+
+@query("geo_point_in_polygon", oracle=PIP_ORACLE, tags=("geo",))
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon by ray casting against a fixed non-convex ring
+    — the membership predicate behind geofencing and spatial joins,
+    completing the geo family (distance, bbox, radius join, geohash
+    cells).
+
+    Exactness: the crossing test is division-free — "px left of the
+    edge at height py" is evaluated cross-multiplied,
+    ((x1−px)(y2−y1) + (py−y1)(x2−x1))·(y2−y1) > 0, so membership is
+    pure BIGINT sign arithmetic on the integer grid: identical across
+    engines, no epsilon, no float ray. The half-open rule
+    (y1>py) ≠ (y2>py) counts each vertex crossing exactly once and
+    skips horizontal edges.
+
+    Scale: the polygon is a 6-row LITERAL exploded per point (no join
+    in the Spark plan at all — a polygon table would broadcast); work
+    is O(points · edges) map-side with one point-key aggregate. For
+    many-polygon workloads the same predicate runs after a
+    geohash-cell candidate join (geo_geohash_cells is the bucket
+    key)."""
+    s = load(spark, sf_dir, "supplier")
+    pts = s.select(
+        F.col("s_suppkey").alias("id"),
+        (F.col("s_suppkey") % 97).cast("bigint").alias("px"),
+        (F.col("s_suppkey") % 89).cast("bigint").alias("py"),
+    )
+    edge_arr = F.array(
+        *[
+            F.struct(
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for (x1, y1), (x2, y2) in _EDGES
+        ]
+    )
+    e = pts.select("id", "px", "py", F.explode(edge_arr).alias("e")).select(
+        "id", "px", "py", "e.x1", "e.y1", "e.x2", "e.y2"
+    )
+    t = (F.col("x1") - F.col("px")) * (F.col("y2") - F.col("y1")) + (
+        F.col("py") - F.col("y1")
+    ) * (F.col("x2") - F.col("x1"))
+    crossing = (
+        (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    ) & (t * (F.col("y2") - F.col("y1")) > 0)
+    c = e.groupBy("id").agg(
+        F.count(F.when(crossing, 1)).cast("bigint").alias("n_cross")
+    )
+    return c.select("id", "n_cross", (F.col("n_cross") % 2 == 1).alias("inside"))

@@ -1134,3 +1134,105 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_q").desc(), "doc_id")
         .limit(10)
     )
+
+
+# --- RAKE keyphrases ------------------------------------------------------
+
+_RAKE_STOPS = "', '".join(_STOPWORDS)
+
+RAKE_ORACLE = rf"""
+WITH pos AS (
+  SELECT doc_id, r.i AS pos, t[r.i] AS tok
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS t
+    FROM documents
+  ), unnest(range(1, len(t) + 1)) AS r(i)
+), nonstop AS (
+  SELECT doc_id, pos, lower(tok) AS tok,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM pos WHERE lower(tok) NOT IN ('{_RAKE_STOPS}')
+), sized AS (
+  SELECT doc_id, grp, pos, tok,
+    CAST(COUNT(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS plen
+  FROM nonstop
+), wstats AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(plen) AS BIGINT) AS deg
+  FROM sized GROUP BY tok
+), scored AS (
+  SELECT s.doc_id, s.grp,
+    string_agg(s.tok, ' ' ORDER BY s.pos) AS phrase,
+    CAST(MAX(s.plen) AS BIGINT) AS n_words,
+    CAST(SUM((w.deg * 1000000) // w.freq) AS BIGINT) AS score_q
+  FROM sized s JOIN wstats w USING (tok)
+  GROUP BY s.doc_id, s.grp
+)
+SELECT phrase, n_words, score_q, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM scored
+GROUP BY phrase, n_words, score_q
+ORDER BY score_q DESC, phrase
+LIMIT 15
+"""
+
+
+@query("text_rake_keyphrases", oracle=RAKE_ORACLE, tags=("text", "llm"))
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (the gaps-and-islands
+    pattern over the token stream), each word scores deg/freq —
+    degree counts co-occurrence inside candidate phrases — and a
+    phrase scores the sum of its words. The unsupervised
+    keyword-extraction standard, here as one declarative plan.
+
+    Exactness: ZERO floats — word scores are (deg·10^6) DIV freq over
+    exact BIGINT corpus counts, phrase scores are integer sums, and
+    the top-15 ordering (score desc, phrase asc) is total. Identical
+    phrases collapse across documents; their score is a function of
+    the words alone, so the collapse is well-defined.
+
+    Scale: one doc-key window pass finds islands (pos −
+    row_number(non-stop) is constant exactly within a run — no
+    iteration), word stats are a vocabulary-bounded aggregate that
+    rejoins as a broadcast, and the final top-15 is a rank-limit
+    pushdown. The token stream shuffles once on doc_id and once on
+    the word key — both unavoidable; nothing is quadratic."""
+    d = load(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), F.lower("tok").alias("tok"))
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    nonstop = pos.filter(~F.col("tok").isin(*_STOPWORDS)).select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.col("pos") - F.row_number().over(w_doc)).alias("grp"),
+    )
+    w_phrase = W.partitionBy("doc_id", "grp")
+    sized = nonstop.select(
+        "doc_id", "grp", "pos", "tok", F.count("*").over(w_phrase).cast("bigint").alias("plen")
+    )
+    wstats = sized.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored = (
+        sized.join(F.broadcast(wstats), "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.max("plen").cast("bigint").alias("n_words"),
+            F.sum(F.expr("(deg * 1000000) DIV freq")).cast("bigint").alias("score_q"),
+        )
+    )
+    return (
+        scored.groupBy("phrase", "n_words", "score_q")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("score_q").desc(), "phrase")
+        .limit(15)
+    )

@@ -1209,3 +1209,140 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.lit(0)
         ).alias("no_false_negatives"),
     )
+
+
+# --- HLL set intersection -------------------------------------------------
+
+HLL_INTERSECT_ORACLE = """
+WITH m AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS s,
+         md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE event_type IN ('click', 'purchase')
+), bw AS (
+  SELECT s, CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS bucket,
+         57 - length(bin(CAST(('0x' || substr(hx, 3, 14)) AS BIGINT))) AS rho
+  FROM m
+), regs AS (
+  SELECT s, bucket, MAX(rho) AS mr FROM bw GROUP BY s, bucket
+), alls AS (
+  SELECT s, bucket, mr FROM regs
+  UNION ALL
+  SELECT 'u', bucket, MAX(mr) FROM regs GROUP BY bucket
+), den AS (
+  SELECT s,
+    CAST(SUM(CAST(power(2, 32 - LEAST(mr, 32)) AS BIGINT)) AS BIGINT)
+      + (64 - COUNT(*)) * CAST(4294967296 AS BIGINT) AS denom
+  FROM alls GROUP BY s
+), est AS (
+  SELECT s,
+    CAST(0.709 AS DOUBLE) * 4096.0 * 4294967296.0 / CAST(denom AS DOUBLE) AS e
+  FROM den
+), piv AS (
+  SELECT MAX(CASE WHEN s = 'a' THEN e END) AS est_a,
+         MAX(CASE WHEN s = 'b' THEN e END) AS est_b,
+         MAX(CASE WHEN s = 'u' THEN e END) AS est_u
+  FROM est
+), ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY user_id
+  ) t WHERE ca = 1 AND cb = 1
+)
+SELECT ex.exact_inter,
+  piv.est_a + piv.est_b - piv.est_u AS inter_est,
+  piv.est_u AS union_est,
+  abs((piv.est_a + piv.est_b - piv.est_u) - CAST(ex.exact_inter AS DOUBLE))
+    <= 0.25e0 * (piv.est_a + piv.est_b) + 64.0e0 AS within_bound
+FROM ex CROSS JOIN piv
+"""
+
+
+@query(
+    "sketch_hll_set_intersection",
+    oracle=HLL_INTERSECT_ORACLE,
+    tags=("agg", "stats", "approx"),
+)
+def sketch_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from SKETCHES ALONE: clickers ∩
+    purchasers by inclusion–exclusion over three HLLs — A, B, and
+    their union (an elementwise register MAX, the merge that makes
+    persisted per-segment sketches composable without re-reading
+    either segment). The set-algebra closure of the sketch family:
+    HLLs answer |A|, |B|, |A∪B| natively and |A∩B| falls out as
+    est_a + est_b − est_u.
+
+    Exactness: registers and denominators are the global-HLL integer
+    pipeline (bit-identical across engines); the three estimates and
+    the inclusion–exclusion are one fixed sequence of IEEE ops on
+    identical operands. Intersection error compounds the three
+    sketches' σ (the known weakness of I–E on small overlaps), so the
+    oracle-decidable bound is deliberately loose — |err| ≤
+    0.25·(est_a+est_b) + 64 — and the exact overlap rides along to
+    decide it.
+
+    Scale: one pass builds both register sets (map-side-combining MAX
+    to ≤128 rows), the union sketch derives from those 128 rows, and
+    the exact-overlap audit is one user-key aggregate — at production
+    scale the audit drops and ONLY the ≤128-row sketch tables need
+    to exist."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    m = ev.select(
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias("s"),
+        F.md5(F.col("user_id").cast("string")).alias("hx"),
+    )
+    bucket = (F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint") % 64).alias("bucket")
+    rho = (
+        F.lit(57) - F.length(F.bin(F.conv(F.substring("hx", 3, 14), 16, 10).cast("bigint")))
+    ).alias("rho")
+    regs = m.select("s", bucket, rho).groupBy("s", "bucket").agg(F.max("rho").alias("mr"))
+    uregs = (
+        regs.groupBy("bucket")
+        .agg(F.max("mr").alias("mr"))
+        .select(F.lit("u").alias("s"), "bucket", "mr")
+    )
+    alls = regs.select("s", "bucket", "mr").union(uregs)
+    den = alls.groupBy("s").agg(
+        (
+            F.sum(
+                F.pow(F.lit(2.0), (F.lit(32) - F.least(F.col("mr"), F.lit(32))).cast("double"))
+                .cast("bigint")
+            )
+            + (F.lit(64) - F.count("*")) * F.lit(4294967296).cast("bigint")
+        ).alias("denom")
+    )
+    est = den.select(
+        "s",
+        (
+            F.lit(0.709) * F.lit(4096.0) * F.lit(4294967296.0)
+            / F.col("denom").cast("double")
+        ).alias("e"),
+    )
+    piv = est.agg(
+        F.max(F.when(F.col("s") == "a", F.col("e"))).alias("est_a"),
+        F.max(F.when(F.col("s") == "b", F.col("e"))).alias("est_b"),
+        F.max(F.when(F.col("s") == "u", F.col("e"))).alias("est_u"),
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("ca"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cb"),
+        )
+        .filter((F.col("ca") == 1) & (F.col("cb") == 1))
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return ex.crossJoin(F.broadcast(piv)).select(
+        "exact_inter",
+        inter.alias("inter_est"),
+        F.col("est_u").alias("union_est"),
+        (
+            F.abs(inter - F.col("exact_inter").cast("double"))
+            <= F.lit(0.25) * (F.col("est_a") + F.col("est_b")) + F.lit(64.0)
+        ).alias("within_bound"),
+    )

@@ -117,6 +117,11 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "1-ROW extent + 1-ROW cohort-totals broadcasts over the 64-row "
         "cell table — constant-size build sides at any SF",
     ),
+    "sketch_hll_set_intersection": (
+        ("nested-loop-join",),
+        "1-ROW exact-overlap audit × 1-ROW pivoted-estimates broadcast "
+        "— both sides constant-size at any event volume",
+    ),
     "stats_drift_ks": (
         ("nested-loop-join",),
         "1-ROW cohort-totals broadcast over the distinct-value ECDF "
