@@ -655,3 +655,83 @@ def pipeline_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("doc_id").cast("bigint").alias("doc_id_checksum"),
         )
     )
+
+
+# --- tokenizer vocabulary coverage ----------------------------------------
+
+VOCAB_COVERAGE_ORACLE = r"""
+WITH st AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT source,
+      unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS tok
+    FROM documents
+  )
+  GROUP BY source, tok
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (
+      ORDER BY SUM(n) DESC, tok) AS rnk
+    FROM st GROUP BY tok
+  ) WHERE rnk <= 100
+)
+SELECT st.source,
+  CAST(SUM(st.n) AS BIGINT) AS total_tokens,
+  CAST(SUM(CASE WHEN v.tok IS NULL THEN st.n ELSE 0 END) AS BIGINT)
+    AS oov_tokens,
+  CAST(CAST(SUM(CASE WHEN v.tok IS NULL THEN st.n ELSE 0 END) AS BIGINT)
+    AS DOUBLE) / CAST(CAST(SUM(st.n) AS BIGINT) AS DOUBLE) AS oov_rate
+FROM st LEFT JOIN vocab v ON v.tok = st.tok
+GROUP BY st.source
+"""
+
+
+@query(
+    "pipeline_vocab_coverage",
+    oracle=VOCAB_COVERAGE_ORACLE,
+    tags=("text", "llm", "sample"),
+)
+def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build a top-100 vocabulary
+    from corpus frequencies, then report each source's out-of-
+    vocabulary token rate — the go/no-go check before committing a
+    tokenizer to a corpus mix (a source with high OOV inflates
+    sequence lengths and burns training compute on <unk>/byte
+    fallbacks).
+
+    The corpus is tokenized ONCE: the (source, token) count table
+    feeds both the global vocabulary ranking (a re-aggregate of the
+    same table) and the per-source coverage sums — no second pass
+    over documents. The vocabulary pick is total-ordered (count desc,
+    token asc), all counts are exact BIGINTs, and the OOV rate is one
+    final division.
+
+    Scale: the (source, token) table is |sources|·|vocabulary|-
+    bounded, tiny next to the token stream that built it; the ranking
+    window runs over distinct tokens only, and the 100-row vocabulary
+    joins back as a broadcast. At 100 TB the vocabulary would come
+    from the real tokenizer instead — the audit plan is unchanged."""
+    from .text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    vocab = (
+        st.groupBy("tok")
+        .agg(F.sum("n").alias("cnt"))
+        .select("tok", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tok")).alias("rnk"))
+        .filter(F.col("rnk") <= 100)
+        .select(F.col("tok").alias("vtok"))
+    )
+    joined = st.join(F.broadcast(vocab), st["tok"] == vocab["vtok"], "left")
+    oov = F.sum(F.when(F.col("vtok").isNull(), F.col("n")).otherwise(F.lit(0))).cast(
+        "bigint"
+    )
+    return joined.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        oov.alias("oov_tokens"),
+        (oov.cast("double") / F.sum("n").cast("bigint").cast("double")).alias("oov_rate"),
+    )

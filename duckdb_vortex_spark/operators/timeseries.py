@@ -1500,3 +1500,84 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --- seasonal-naive forecast backtest -------------------------------------
+
+SEASONAL_NAIVE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+    CAST(SUM(CAST(floor(value * 1000000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT)
+      AS v_q
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT a.event_type, abs(a.v_q - b.v_q) AS abs_err
+  FROM hourly a
+  JOIN hourly b
+    ON b.event_type = a.event_type
+   AND b.h = a.h - INTERVAL 7 DAY
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_hours_scored,
+  CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err_q,
+  CAST(CAST(SUM(abs_err) AS BIGINT) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) / 1000000.0e0 AS mae
+FROM scored
+GROUP BY event_type
+"""
+
+
+@query(
+    "timeseries_seasonal_naive_forecast",
+    oracle=SEASONAL_NAIVE_ORACLE,
+    tags=("timeseries", "join"),
+)
+def timeseries_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's volume
+    with the SAME HOUR ONE WEEK EARLIER and score the mean absolute
+    error per series — the standard baseline every forecasting model
+    must beat, and the cheapest useful capacity-planning signal.
+
+    The seasonal lag is an equi join on (series, h − 7 days), not a
+    LAG(168) — the hourly grid has gaps, and a row-offset lag would
+    silently compare different hours of the week; the join is correct
+    by construction and drops unscoreable hours.
+
+    Exactness: hour sums are µ-quantized BIGINTs (exact, associative),
+    absolute errors and their sum stay integers; MAE's two divisions
+    are the only float ops, in a fixed sequence.
+
+    Scale: one (series, hour) rollup pass — map-side combinable,
+    output |series|·|hours| — then a rollup-sized self equi join on
+    the series key and one final aggregate. Raw events are touched
+    once."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("v_q")
+        )
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    scored = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.h") == F.col("a.h") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.abs(F.col("a.v_q") - F.col("b.v_q")).alias("abs_err"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours_scored"),
+        F.sum("abs_err").cast("bigint").alias("sum_abs_err_q"),
+        (
+            F.sum("abs_err").cast("bigint").cast("double")
+            / F.count("*").cast("double")
+            / F.lit(1000000.0)
+        ).alias("mae"),
+    )

@@ -324,3 +324,36 @@ def structure_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame
         """,
         args={"minprice": 300000.0, "mindate": datetime.datetime(1996, 1, 1)},
     )
+
+
+# --- NOT IN with NULLs (three-valued logic) -------------------------------
+
+sql_query(
+    "structure_not_in_null_semantics",
+    """
+WITH probe AS (
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000.0
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT)
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey IN (SELECT k FROM probe)) AS BIGINT) AS n_in,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+    AS n_not_in_with_null,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+        AS BIGINT) AS n_not_in_null_filtered
+""",
+    tags=("structure", "expression"),
+)
+# ^ The classic three-valued-logic trap, pinned as an entry: a probe
+# list containing ONE NULL makes every `NOT IN` row UNKNOWN, so
+# n_not_in_with_null MUST be 0 in any conforming engine (Spark plans
+# this as a null-aware anti join), while the null-filtered variant
+# returns the complement. IN is unaffected for matching rows. The
+# common-dialect SQL runs verbatim on both engines — the entry exists
+# because getting this wrong silently drops or invents rows in any
+# exclusion filter built on NOT IN (the dedup/contamination removal
+# shapes), and an engine port MUST preserve it.

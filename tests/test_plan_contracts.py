@@ -123,6 +123,9 @@ _NESTED_LOOP_OK = {
     "stream_hll_distinct_events",  # 1-row register-estimate broadcast joined to the exact count
     "dedup_semantic_cluster",  # 16-row centroid broadcast; pair join is hash-wise on cluster_id
     "basket_brand_affinity",  # 1-row order-total broadcast for the lift denominator
+    "stats_drift_ks",  # 1-row cohort-totals broadcast over the distinct-value ECDF
+    "text_bm25_topk",  # 1-row corpus-stats broadcast (n_docs, tot_len in-plan)
+    "sketch_hll_set_intersection",  # 1-row audit x 1-row pivoted-estimates cross
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design
