@@ -1052,16 +1052,22 @@ def _decode_avi_mjpeg(payload: bytes, max_decoded: int = 4):
     width = height = 0
     frames: list[bytes] = []
     compression = b"MJPG"
+    stream_type = b""  # fccType of the most recent strh in this strl LIST
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height, compression
+        nonlocal width, height, compression, stream_type
         for cid, body, blen in _riff_subchunks(payload, pos, end):
             if cid == b"LIST":
                 walk(body + 4, body + blen)  # skip the 4-byte list type
             elif cid == b"avih" and blen >= 40:
                 width, height = struct.unpack_from("<II", payload, body + 32)
-            elif cid == b"strf" and blen >= 20:
-                # BITMAPINFOHEADER: biCompression at offset 16
+            elif cid == b"strh" and blen >= 4:
+                stream_type = payload[body : body + 4]
+            elif cid == b"strf" and blen >= 20 and stream_type == b"vids":
+                # BITMAPINFOHEADER: biCompression at offset 16. Bound to
+                # the 'vids' stream via the preceding strh fccType — an
+                # audio stream's strf (WAVEFORMATEX, also >=20 bytes with
+                # extra data) must not overwrite the video fourcc.
                 compression = payload[body + 16 : body + 20]
             elif len(cid) == 4 and cid[2:] in (b"dc", b"db") and blen > 0:
                 frames.append(payload[body : body + blen])

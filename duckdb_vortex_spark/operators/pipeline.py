@@ -473,8 +473,8 @@ WITH t AS (
 ), dup AS (
   SELECT h, COUNT(*) AS c FROM t GROUP BY h
 )
-SELECT COALESCE(t.lang, '<all>') AS lang,
-       COALESCE(t.source, '<all>') AS source,
+SELECT CASE WHEN GROUPING(t.lang) = 1 THEN '<all>' ELSE t.lang END AS lang,
+       CASE WHEN GROUPING(t.source) = 1 THEN '<all>' ELSE t.source END AS source,
        COUNT(*) AS n_docs,
        CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
        CAST(SUM(t.n_chars) AS BIGINT) AS total_chars,
@@ -514,6 +514,15 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(dup, "h")
         .rollup("lang", "source")
         .agg(
+            # GROUPING() (not COALESCE on the key) labels rollup rows:
+            # a real NULL lang/source cell stays NULL instead of being
+            # conflated with the '<all>' subtotal row.
+            F.when(F.grouping("lang") == 1, F.lit("<all>"))
+            .otherwise(F.col("lang"))
+            .alias("lang_label"),
+            F.when(F.grouping("source") == 1, F.lit("<all>"))
+            .otherwise(F.col("source"))
+            .alias("source_label"),
             F.count("*").alias("n_docs"),
             F.sum("n_toks").cast("bigint").alias("n_tokens"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -521,8 +530,8 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("n_toks") < 20, 1)).alias("n_short_docs"),
         )
         .select(
-            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
-            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.col("lang_label").alias("lang"),
+            F.col("source_label").alias("source"),
             "n_docs",
             "n_tokens",
             "total_chars",

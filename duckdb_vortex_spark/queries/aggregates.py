@@ -472,7 +472,7 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_MEDIAN_ORACLE = """
 WITH wpts AS (
   SELECT l_returnflag AS flag, l_extendedprice AS v,
-    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+    CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
   FROM lineitem GROUP BY 1, 2
 ), c AS (
   SELECT flag, v, w,
@@ -494,9 +494,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume-weighted robust center that plain median/percentile
     (agg_median_percentile) cannot express.
 
-    Exactness: weights are exact BIGINTs (l_quantity is integral by
-    TPC-H construction; the cast truncates identically in both
-    engines), duplicate prices collapse to one (value, Σweight) point
+    Exactness: weights are exact BIGINTs via floor()-then-cast on BOTH
+    sides — a bare CAST(DECIMAL AS BIGINT) would NOT be portable
+    (DuckDB rounds 12.99 → 13 while Spark truncates → 12; it only
+    happens to agree on integral l_quantity, so the explicit floor
+    makes the pattern safe for non-integral weights too),
+    duplicate prices collapse to one (value, Σweight) point
     first, and the lower-median pick is a pure integer predicate
     (2·cw ≥ tw ∧ 2·(cw−w) < tw) — exactly one row per group, no
     interpolation, no float comparison, partitioning-independent.
@@ -513,7 +516,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(
             F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v")
         )
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+        .agg(F.sum(F.floor("l_quantity").cast("bigint")).cast("bigint").alias("w"))
     )
     run = (
         Window.partitionBy("flag")

@@ -1124,8 +1124,9 @@ WITH keys AS (
   FROM customer c, (SELECT unnest([0, 1, 2, 3]) AS i) i
 ), hit AS (
   SELECT c_custkey,
-    CAST(bool_and(((r.reg >> (cand.p % 62)) & 1) = 1) AS BOOLEAN) AS bloom_pos
-  FROM cand JOIN regs r ON r.idx = cand.p // 62
+    CAST(bool_and(((COALESCE(r.reg, 0) >> (cand.p % 62)) & 1) = 1) AS BOOLEAN)
+      AS bloom_pos
+  FROM cand LEFT JOIN regs r ON r.idx = cand.p // 62
   GROUP BY c_custkey
 ), truth AS (
   SELECT h.c_custkey, h.bloom_pos, (k.k IS NOT NULL) AS exact_member
@@ -1187,11 +1188,16 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = c.select(F.col("c_custkey"), idx4).select(
         "c_custkey", pos(F.col("c_custkey")).alias("p")
     )
+    # LEFT join: a probe landing in a never-set register must refute
+    # membership (reg absent => bit unset => bloom_pos false), not be
+    # silently dropped by an inner join before the bool_and.
     hit = (
-        cand.join(F.broadcast(regs), F.expr("idx = p DIV 62"))
+        cand.join(F.broadcast(regs), F.expr("idx = p DIV 62"), "left")
         .groupBy("c_custkey")
         .agg(
-            F.expr("bool_and(((reg >> CAST(p % 62 AS INT)) & 1) = 1)").alias("bloom_pos")
+            F.expr(
+                "bool_and(((coalesce(reg, CAST(0 AS BIGINT)) >> CAST(p % 62 AS INT)) & 1) = 1)"
+            ).alias("bloom_pos")
         )
     )
     truth = hit.join(keys, hit["c_custkey"] == keys["k"], "left").select(

@@ -562,6 +562,49 @@ def test_avi_mjpeg_decodes_frames_via_jpeg_decoder():
     assert feats["byte_mean"] is not None
 
 
+def test_avi_with_audio_stream_still_decodes_video():
+    """An AVI carrying an audio stream AFTER the video strl (the layout
+    every camera muxer emits) must still decode: the audio stream's
+    strf (WAVEFORMATEX + extra bytes, >=20 bytes) must NOT overwrite
+    the video biCompression fourcc — strf is bound to the preceding
+    strh fccType, and only the 'vids' stream's strf is read."""
+    from duckdb_vortex_spark.operators.multimodal import _decode_avi_mjpeg, _decode_jpeg
+
+    frames = [_jpeg_bytes("red16x16")] * 2
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        40_000, 0, 0, 0x10, len(frames), 0, 2, 0, 16, 16, 0, 0, 0, 0,
+    )
+    vstrh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, 25, 0,
+                      len(frames), 0, 10_000, 0, 0, 0, 16, 16)
+    )
+    vstrf = struct.pack(
+        "<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG", 16 * 16 * 3, 0, 0, 0, 0,
+    )
+    astrh = (
+        b"auds" + b"\x00\x00\x00\x00"
+        + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, 44100, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    )
+    # WAVEFORMATEX for MP3 (wFormatTag=0x55) + 12 extra bytes -> 30 bytes,
+    # clearing the >=20-byte bar that used to clobber the video fourcc.
+    astrf = struct.pack("<HHIIHHH", 0x55, 2, 44100, 16000, 1, 0, 12) + b"\x00" * 12
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", vstrh) + _riff_chunk(b"strf", vstrf))
+        + _riff_list(b"strl", _riff_chunk(b"strh", astrh) + _riff_chunk(b"strf", astrf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames))
+    avi = _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+    w, h, pixels, n_frames = _decode_avi_mjpeg(avi)
+    assert (w, h, n_frames) == (16, 16, 2)
+    _, _, one = _decode_jpeg(frames[0])
+    assert pixels[: len(one)] == one
+
+
 def test_avi_rejects_non_mjpeg_codec():
     """Inter-frame codecs stay behind the documented seam."""
     import pytest as _pytest
