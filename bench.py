@@ -4,18 +4,26 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed twice; the second (warm) run is reported, so the
-number reflects steady-state plan execution rather than JVM/codegen
-warm-up — matching how the reference would be measured (DuckDB has no
-JVM warm-up; comparing Spark cold start to it measures the wrong thing).
+Each query is executed once to warm plan/codegen/page-cache, then
+``N_TIMED`` more times; the reported value is the MEDIAN of the timed
+runs and the JSON carries a per-query ``spread`` ((max-min)/median).
+Medians replaced the earlier best-of-2 estimator in round 4: this
+box's 30-80% run-to-run noise made best-of-2 numbers churn round over
+round (two rounds of flagged-then-cleared movers, including a 1.92x
+"regression" on a byte-identical plan — see CHANGES_r4.md).
+Warm runs are reported because the reference (DuckDB) has no JVM
+warm-up; comparing Spark cold start to it measures the wrong thing.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+N_TIMED = 3  # timed runs per query (after 1 warm-up); median reported
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -86,13 +94,13 @@ def main() -> None:
     qs = catalog.queries()
     names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         run_one(spark, qs[name], sf_dir)  # warm-up: plan + codegen + page cache
-        # best-of-2 warm runs: this box shows ±30-80% run-to-run noise
-        # (shared VM); min-of-N is the standard steady-state estimator
-        timings[name] = round(
-            min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 4
-        )
+        runs = [run_one(spark, qs[name], sf_dir) for _ in range(N_TIMED)]
+        med = statistics.median(runs)
+        timings[name] = round(med, 4)
+        spreads[name] = round((max(runs) - min(runs)) / med, 2) if med else 0.0
         # Some operators persist() intermediates (minhash/simhash sigs,
         # token arrays). Left in place they accumulate across the 20
         # queries and the resulting executor-memory/GC pressure inflates
@@ -115,6 +123,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spreads": spreads,
+                "n_timed": N_TIMED,
+                "estimator": "median",
                 "sf": sf,
             }
         )
