@@ -362,15 +362,57 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FEATURE_EXTRACT_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM documents
+), e AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS BIGINT) AS byte
+  FROM (SELECT doc_id, hx, unnest(range(nb)) AS i FROM b)
+), agg AS (
+  SELECT doc_id,
+    SUM(byte) / COUNT(*) AS byte_mean,
+    CAST(MIN(byte) AS BIGINT) AS byte_min,
+    CAST(MAX(byte) AS BIGINT) AS byte_max
+  FROM e GROUP BY doc_id
+)
+SELECT d.doc_id, 'fake/raw' AS media_type,
+  CAST(octet_length(encode(d.text)) + 8 AS BIGINT) AS n_bytes,
+  a.byte_mean, a.byte_min, a.byte_max,
+  CAST(length(d.text) AS BIGINT) AS width,
+  CAST(1 AS BIGINT) AS height,
+  CAST(NULL AS BIGINT) AS sample_rate,
+  CAST(NULL AS BIGINT) AS n_channels,
+  CAST(NULL AS BIGINT) AS n_samples,
+  CAST(NULL AS DOUBLE) AS rms,
+  CAST(NULL AS BIGINT) AS n_frames
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 @query(
     "multimodal_feature_extract",
-    oracle=None,  # mapInPandas decode stub — not SQL-expressible; features tested in pytest
+    oracle=FEATURE_EXTRACT_ORACLE,
     tags=("multimodal", "llm", "udf"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal path: documents → media structs (binary
     payload + header) → Arrow-batched mapInPandas feature extraction.
-    Value correctness is pinned by tests/test_operators_quality.py."""
+
+    Oracle-decidable (closed the catalog's last rows-only entry in
+    round 4): the 'fake/raw' decode is deterministic byte arithmetic
+    — width/height unpacked from the 8-byte LE header, byte stats over
+    the body — so DuckDB recomputes it relationally, per-byte via
+    hex(encode(text)) pair extraction (byte-exact even for non-ASCII
+    payloads; no reliance on chars==bytes). byte_mean is one
+    double division of two exact integers on both engines (Python
+    sum/len vs SUM/COUNT), so it is bit-identical. The Python decode
+    path (mapInPandas over Arrow batches) is exactly what runs — the
+    oracle checks its OUTPUT VALUES, not a parallel implementation.
+    Real-codec value parity (BMP/PNG/WAV/GIF/JPEG/AVI) stays pinned by
+    tests/test_operators_quality.py + test_multimodal_codecs.py interop
+    goldens."""
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return extract_features(media)
 
