@@ -109,7 +109,9 @@ def _decode_payload(media_type: str, payload: bytes) -> dict:
         return feats
     raise NotImplementedError(
         f"codec for {media_type!r} not available in this environment; "
-        "plug a real decoder into _decode_payload"
+        "plug a real decoder into _decode_payload (MPEG audio frame "
+        "decode and inter-frame video are DECIDED seams — see AUDIO.md "
+        "for why a pure-Python decoder is unverifiable here)"
     )
 
 
