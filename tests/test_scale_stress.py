@@ -106,9 +106,22 @@ def _replicate_events(spark, k: int):
 
 
 def _timed(fn) -> tuple[float, int]:
-    t0 = time.monotonic()
-    n = fn()
-    return time.monotonic() - t0, n
+    """Warm-up run + median of 3 timed runs.
+
+    Round 4: single-shot timing booked one-time costs (codegen of the
+    10-branch union plan, first-touch task scheduling for 10x more
+    tasks, page-cache faults) as "scaling" — sessionize_gap measured
+    3.2x cold but 1.2x warm-median, and the bench harness had the same
+    estimator disease (see CHANGES_r4.md §1/§2). Factors recorded in
+    SCALE.md are steady-state plan-execution scaling, which is the
+    quantity the 100 TB arguments actually rest on."""
+    n = fn()  # warm-up: plan + codegen + page cache
+    ts = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        n = fn()
+        ts.append(time.monotonic() - t0)
+    return sorted(ts)[1], n
 
 
 def _report(name: str, t1: float, t10: float, extra: str = "") -> None:
@@ -362,3 +375,109 @@ def test_span_trim_10x(spark):
     t1, _ = _timed(lambda: run(d1))
     t10, _ = _timed(lambda: run(d10))
     _report("duplicate_span_trim", t1, t10)
+
+
+def test_semdedup_10x(spark):
+    """SemDeDup greedy within-cluster pruning: pair work is
+    Σ|cluster|², so the honest linear-scaling claim requires cluster
+    count ∝ corpus size (the paper's regime: fixed expected cluster
+    SIZE, 50k clusters for LAION). With k=16 at 1x and k=160 at 10x,
+    per-cluster population stays constant and total pair work grows
+    10x, not 100x. Skew evidence: max/median cluster size."""
+    from duckdb_vortex_spark.operators.similarity import _dot, ivf_assign, sample_centroids
+
+    def run(e, k):
+        cl = ivf_assign(e, sample_centroids(e, k), 1).select(
+            "vec_id", "embedding", "vnorm", "cluster_id"
+        )
+        a = cl.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+            F.col("vnorm").alias("na"), "cluster_id",
+        )
+        b = cl.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+            F.col("vnorm").alias("nb"), "cluster_id",
+        )
+        rm = (
+            a.join(b, "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter((_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) >= 0.30)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+        return cl.join(rm, "vec_id", "left_anti").count()
+
+    e1 = _replicate_embeddings(spark, 1)
+    e10 = _replicate_embeddings(spark, REPLICAS)
+    t1, _ = _timed(lambda: run(e1, 16))
+    t10, _ = _timed(lambda: run(e10, 160))
+    sizes = sorted(
+        r["n"]
+        for r in ivf_assign(e10, sample_centroids(e10, 160), 1)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    sum_sq = sum(s * s for s in sizes)
+    skew = sizes[-1] / max(sizes[len(sizes) // 2], 1)
+    _report(
+        "semdedup_cluster_prune", t1, t10,
+        f"max/median cluster={skew:.1f} sum_sq={sum_sq}",
+    )
+    assert skew < 20.0, f"one cluster owns the pair join: {sizes[-5:]}"
+
+
+def test_bm25_10x(spark):
+    """BM25 scoring: inverted-index shape — tokenize, filter to query
+    terms AT THE SCAN, per-(doc,term) counts, broadcast df, rank-limit
+    top-10. Cost tracks total tokens; the alphabet rotation changes
+    which replicas contain the query terms, but the per-replica scan
+    and shuffle volume is what's measured."""
+    from duckdb_vortex_spark.operators.text import tokens
+
+    def run(d):
+        t = d.select("doc_id", tokens("text").alias("t"))
+        lens = t.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+        stats = lens.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("tot_len"),
+        )
+        base = t.select(
+            "doc_id", F.size("t").cast("bigint").alias("dl"), F.explode("t").alias("tok")
+        )
+        tf = (
+            base.filter(F.col("tok").isin("join", "hash", "scan", "filter"))
+            .groupBy("doc_id", "dl", "tok")
+            .agg(F.count("*").cast("bigint").alias("tf"))
+        )
+        dft = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+        sat = F.lit(22) * F.col("tf") * F.col("tot_len")
+        satden = (
+            F.lit(10) * F.col("tf") * F.col("tot_len")
+            + F.lit(3) * F.col("tot_len")
+            + F.lit(9) * F.col("dl") * F.col("n_docs")
+        )
+        idfn = F.lit(2) * (F.col("n_docs") - F.col("df")) + F.lit(1)
+        idfd = F.lit(2) * F.col("df") + F.lit(1)
+        tsq = F.floor(
+            (sat.cast("double") / satden.cast("double"))
+            * (idfn.cast("double") / idfd.cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("bigint")
+        return (
+            tf.join(F.broadcast(dft), "tok")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", tsq.alias("tsq"))
+            .groupBy("doc_id")
+            .agg(F.sum("tsq").cast("bigint").alias("bm25_q"))
+            .orderBy(F.col("bm25_q").desc(), "doc_id")
+            .limit(10)
+            .count()
+        )
+
+    d1, _ = _replicate_docs(spark, 1)
+    d10, _ = _replicate_docs(spark, REPLICAS)
+    t1, _ = _timed(lambda: run(d1))
+    t10, _ = _timed(lambda: run(d10))
+    _report("bm25_topk", t1, t10)
