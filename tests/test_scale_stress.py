@@ -334,7 +334,10 @@ def test_span_trim_10x(spark):
 
     def run(d):
         toks = tokens("text")
-        t = d.select("doc_id", toks.alias("toks"))
+        # tokenize-once exchange barrier, matching the shipped plan
+        t = d.select("doc_id", toks.alias("toks")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
         start_structs = F.when(
             F.size("toks") >= 5,
             F.transform(
