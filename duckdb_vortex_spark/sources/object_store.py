@@ -1,0 +1,330 @@
+"""S3-protocol object-store filesystem for the vortex source (A3).
+
+Upgrades SURVEY.md §2A row A3 from a local-FS routing shim to a REAL
+object-store client: AWS Signature Version 4 request signing, ranged
+GETs (the footer-first `.vortex` read pattern never downloads a whole
+file to read a trailer), buffered PUT on close, ListObjectsV2-backed
+glob, HEAD-backed exists — implemented with stdlib only
+(urllib/hashlib/hmac/xml), no boto, no new dependencies.
+
+Reference parity: the reference reads `s3://` URIs through DuckDB's
+httpfs + the vortex crates' object-store layer (README.md:63-79 usage;
+Cargo.lock `object_store`); this module is the Spark-side equivalent
+behind the same `register_filesystem` seam `sources/vortex_format.py`
+routes every non-local URI through.
+
+Verification without external network (the sandbox has none): the
+test suite (tests/test_object_store.py) runs an in-process
+S3-compatible HTTP server that RECOMPUTES the SigV4 signature
+server-side and rejects mismatches — so signing is validated against
+an independent implementation of the spec's canonical-request / HMAC
+chain, not round-tripped through itself. Against real AWS/MinIO/GCS
+(interop mode), point `endpoint_url` at the store; the wire format is
+identical.
+
+At 100 TB: executors open ranged readers per task (no whole-object
+buffering; `read()` issues one ranged GET per call and the vortex
+reader already reads per-chunk-column slices), listings are paginated
+server-side, and credentials come from the environment exactly once
+per process. This client is the single-node/dev path — on a real
+cluster the same URIs go through Hadoop S3A via Spark itself; both
+routes hang off the same scheme registry.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import fnmatch
+import hashlib
+import hmac
+import io
+import os
+import urllib.error
+import urllib.parse
+import urllib.request
+import xml.etree.ElementTree as ET
+
+__all__ = ["S3FS", "SigV4Signer", "register_s3", "parse_s3_uri"]
+
+_EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+def parse_s3_uri(path: str) -> tuple[str, str]:
+    """``s3://bucket/key/parts`` → (bucket, key). Accepts s3/s3a/s3n."""
+    u = urllib.parse.urlparse(path)
+    if u.scheme not in ("s3", "s3a", "s3n"):
+        raise ValueError(f"not an s3 URI: {path!r}")
+    return u.netloc, u.path.lstrip("/")
+
+
+class SigV4Signer:
+    """AWS Signature Version 4 (the published algorithm: canonical
+    request → string-to-sign → HMAC key chain → authorization header).
+    Pure stdlib; deterministic given (key, secret, region, time)."""
+
+    def __init__(self, access_key: str, secret_key: str, region: str = "us-east-1",
+                 service: str = "s3"):
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
+        self.service = service
+
+    @staticmethod
+    def _canonical_query(query: dict[str, str]) -> str:
+        return "&".join(
+            f"{urllib.parse.quote(k, safe='-_.~')}={urllib.parse.quote(v, safe='-_.~')}"
+            for k, v in sorted(query.items())
+        )
+
+    def sign(self, method: str, host: str, canonical_uri: str,
+             query: dict[str, str], headers: dict[str, str],
+             payload_sha256: str, now: _dt.datetime | None = None) -> dict[str, str]:
+        """Returns the headers to add (Authorization, x-amz-date,
+        x-amz-content-sha256, host). ``canonical_uri`` must already be
+        URI-encoded per the S3 variant of the spec (each path segment
+        quoted, '/' preserved)."""
+        t = now or _dt.datetime.now(_dt.timezone.utc)
+        amz_date = t.strftime("%Y%m%dT%H%M%SZ")
+        datestamp = t.strftime("%Y%m%d")
+        hdrs = dict(headers)
+        hdrs["host"] = host
+        hdrs["x-amz-date"] = amz_date
+        if self.service == "s3":
+            # S3 requires the payload hash as a signed header; other
+            # services (and AWS's published sigv4 test vectors, which
+            # this signer is pinned against) omit it
+            hdrs["x-amz-content-sha256"] = payload_sha256
+        signed_names = sorted(k.lower() for k in hdrs)
+        canonical_headers = "".join(
+            f"{k}:{str(hdrs[next(h for h in hdrs if h.lower() == k)]).strip()}\n"
+            for k in signed_names
+        )
+        signed_headers = ";".join(signed_names)
+        canonical_request = "\n".join(
+            [
+                method,
+                canonical_uri,
+                self._canonical_query(query),
+                canonical_headers,
+                signed_headers,
+                payload_sha256,
+            ]
+        )
+        scope = f"{datestamp}/{self.region}/{self.service}/aws4_request"
+        string_to_sign = "\n".join(
+            [
+                "AWS4-HMAC-SHA256",
+                amz_date,
+                scope,
+                hashlib.sha256(canonical_request.encode()).hexdigest(),
+            ]
+        )
+
+        def _hmac(key: bytes, msg: str) -> bytes:
+            return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+        k_date = _hmac(("AWS4" + self.secret_key).encode(), datestamp)
+        k_region = _hmac(k_date, self.region)
+        k_service = _hmac(k_region, self.service)
+        k_signing = _hmac(k_service, "aws4_request")
+        signature = hmac.new(
+            k_signing, string_to_sign.encode(), hashlib.sha256
+        ).hexdigest()
+        auth = (
+            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+            f"SignedHeaders={signed_headers}, Signature={signature}"
+        )
+        out = {k: v for k, v in hdrs.items() if k != "host"}
+        out["Authorization"] = auth
+        return out
+
+
+class _S3ReadableFile(io.RawIOBase):
+    """Seekable read-only file over ranged GETs. ``read(n)`` issues ONE
+    ranged GET for exactly the requested slice (the vortex reader asks
+    for footer then per-chunk-column slices — no whole-object
+    download); ``read()`` with no size fetches the tail in one GET."""
+
+    def __init__(self, fs: "S3FS", bucket: str, key: str):
+        self._fs = fs
+        self._bucket = bucket
+        self._key = key
+        self._size = fs._head_size(bucket, key)
+        self._pos = 0
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = os.SEEK_SET) -> int:
+        if whence == os.SEEK_SET:
+            self._pos = offset
+        elif whence == os.SEEK_CUR:
+            self._pos += offset
+        elif whence == os.SEEK_END:
+            self._pos = self._size + offset
+        else:
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if self._pos >= self._size:
+            return b""
+        end = self._size - 1 if n is None or n < 0 else min(self._pos + n, self._size) - 1
+        data = self._fs._request(
+            "GET", self._bucket, self._key,
+            headers={"range": f"bytes={self._pos}-{end}"},
+        )
+        self._pos += len(data)
+        return data
+
+
+class _S3WritableFile(io.BytesIO):
+    """Buffered writer: bytes accumulate locally, one PUT on close
+    (the vortex writer emits a file once, sequentially — multipart
+    upload is the production extension point for >5 GB parts)."""
+
+    def __init__(self, fs: "S3FS", bucket: str, key: str):
+        super().__init__()
+        self._fs = fs
+        self._bucket = bucket
+        self._key = key
+        self._closed_put = False
+
+    def close(self) -> None:
+        if not self._closed_put:
+            self._closed_put = True
+            self._fs._request("PUT", self._bucket, self._key, body=self.getvalue())
+        super().close()
+
+
+class S3FS:
+    """Object-store filesystem implementing the vortex source's
+    handler protocol (open/glob/isdir/exists/remove) over the S3 REST
+    API with SigV4 auth. ``endpoint_url`` targets any S3-compatible
+    store (AWS, MinIO, the in-process test server); path-style
+    addressing so bucket DNS is not required."""
+
+    def __init__(self, endpoint_url: str, access_key: str | None = None,
+                 secret_key: str | None = None, region: str = "us-east-1"):
+        self.endpoint = endpoint_url.rstrip("/")
+        self.signer = SigV4Signer(
+            access_key or os.environ.get("AWS_ACCESS_KEY_ID", ""),
+            secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", ""),
+            region,
+        )
+
+    # -- HTTP plumbing -----------------------------------------------------
+
+    def _request(self, method: str, bucket: str, key: str,
+                 query: dict[str, str] | None = None,
+                 headers: dict[str, str] | None = None,
+                 body: bytes = b"") -> bytes:
+        query = query or {}
+        canonical_uri = "/" + urllib.parse.quote(f"{bucket}/{key}" if key else bucket,
+                                                 safe="/-_.~")
+        host = urllib.parse.urlparse(self.endpoint).netloc
+        payload_hash = hashlib.sha256(body).hexdigest() if body else _EMPTY_SHA256
+        hdrs = self.signer.sign(
+            method, host, canonical_uri, query, headers or {}, payload_hash
+        )
+        qs = ("?" + urllib.parse.urlencode(sorted(query.items()))) if query else ""
+        req = urllib.request.Request(
+            f"{self.endpoint}{canonical_uri}{qs}", data=body or None, method=method
+        )
+        for k, v in hdrs.items():
+            req.add_header(k, v)
+        with urllib.request.urlopen(req) as resp:
+            return resp.read()
+
+    def _head_size(self, bucket: str, key: str) -> int:
+        canonical_uri = "/" + urllib.parse.quote(f"{bucket}/{key}", safe="/-_.~")
+        host = urllib.parse.urlparse(self.endpoint).netloc
+        hdrs = self.signer.sign("HEAD", host, canonical_uri, {}, {}, _EMPTY_SHA256)
+        req = urllib.request.Request(f"{self.endpoint}{canonical_uri}", method="HEAD")
+        for k, v in hdrs.items():
+            req.add_header(k, v)
+        with urllib.request.urlopen(req) as resp:
+            return int(resp.headers["Content-Length"])
+
+    def _list(self, bucket: str, prefix: str) -> list[str]:
+        """All keys under prefix (ListObjectsV2, paginated)."""
+        keys: list[str] = []
+        token: str | None = None
+        while True:
+            q = {"list-type": "2", "prefix": prefix}
+            if token:
+                q["continuation-token"] = token
+            data = self._request("GET", bucket, "", query=q)
+            root = ET.fromstring(data)
+            ns = root.tag.split("}")[0] + "}" if root.tag.startswith("{") else ""
+            for c in root.findall(f"{ns}Contents"):
+                keys.append(c.find(f"{ns}Key").text)
+            trunc = root.find(f"{ns}IsTruncated")
+            if trunc is None or trunc.text != "true":
+                return keys
+            token = root.find(f"{ns}NextContinuationToken").text
+
+    # -- handler protocol --------------------------------------------------
+
+    def open(self, path: str, mode: str = "rb"):
+        bucket, key = parse_s3_uri(path)
+        if "r" in mode:
+            return _S3ReadableFile(self, bucket, key)
+        return _S3WritableFile(self, bucket, key)
+
+    def glob(self, pattern: str) -> list[str]:
+        bucket, keypat = parse_s3_uri(pattern)
+        # list from the literal prefix before the first wildcard, then
+        # fnmatch client-side ('**' and '*' both match across '/' here;
+        # object stores are flat namespaces)
+        cut = len(keypat)
+        for ch in "*?[":
+            i = keypat.find(ch)
+            if i != -1:
+                cut = min(cut, i)
+        scheme = urllib.parse.urlparse(pattern).scheme
+        pat = keypat.replace("**/", "*").replace("**", "*")
+        return sorted(
+            f"{scheme}://{bucket}/{k}"
+            for k in self._list(bucket, keypat[:cut])
+            if fnmatch.fnmatchcase(k, pat)
+        )
+
+    def isdir(self, path: str) -> bool:
+        bucket, key = parse_s3_uri(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        return bool(self._list(bucket, prefix))
+
+    def exists(self, path: str) -> bool:
+        bucket, key = parse_s3_uri(path)
+        try:
+            self._head_size(bucket, key)
+            return True
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return bool(key) and self.isdir(path)
+            raise
+
+    def remove(self, path: str) -> None:
+        bucket, key = parse_s3_uri(path)
+        self._request("DELETE", bucket, key)
+
+
+def register_s3(endpoint_url: str, access_key: str | None = None,
+                secret_key: str | None = None, region: str = "us-east-1",
+                schemes: tuple[str, ...] = ("s3", "s3a", "s3n")) -> S3FS:
+    """Build an S3FS and register it for the s3/s3a/s3n schemes in the
+    vortex source's scheme registry. Call once per process (driver AND
+    executors — in practice from a session-init hook)."""
+    from . import vortex_format
+
+    fs = S3FS(endpoint_url, access_key, secret_key, region)
+    for s in schemes:
+        vortex_format.register_filesystem(s, fs)
+    return fs

@@ -1,0 +1,308 @@
+"""Object-store (A3) tests: SigV4 signing pinned against AWS's
+published test vector, plus a full client round trip against an
+in-process S3-compatible server that INDEPENDENTLY recomputes the
+signature from the raw HTTP request (a second implementation of the
+spec, not an echo of the client's) and rejects mismatches.
+
+No external network: the server binds 127.0.0.1. Against a real
+store, `register_s3(endpoint_url=...)` speaks the same wire format.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import hmac
+import http.server
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pyarrow as pa
+import pytest
+
+from duckdb_vortex_spark.sources.object_store import S3FS, SigV4Signer, parse_s3_uri
+
+ACCESS, SECRET, REGION = "AKIDEXAMPLE", "sk-test-secret", "us-east-1"
+
+
+# --- the published AWS vector --------------------------------------------
+
+def test_sigv4_matches_aws_published_vector():
+    """AWS's sigv4 documentation example (IAM ListUsers, 2015-08-30):
+    a known (request, secret) -> signature constant published by the
+    service owner — an external oracle for the whole canonical-
+    request/string-to-sign/HMAC-chain pipeline."""
+    s = SigV4Signer(
+        "AKIDEXAMPLE",
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        "us-east-1",
+        service="iam",
+    )
+    hdrs = s.sign(
+        "GET",
+        "iam.amazonaws.com",
+        "/",
+        {"Action": "ListUsers", "Version": "2010-05-08"},
+        {"content-type": "application/x-www-form-urlencoded; charset=utf-8"},
+        hashlib.sha256(b"").hexdigest(),
+        now=datetime.datetime(2015, 8, 30, 12, 36, 0, tzinfo=datetime.timezone.utc),
+    )
+    assert hdrs["Authorization"].endswith(
+        "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7"
+    )
+    assert "SignedHeaders=content-type;host;x-amz-date" in hdrs["Authorization"]
+
+
+# --- in-process S3-compatible server --------------------------------------
+
+class _S3Handler(http.server.BaseHTTPRequestHandler):
+    """Minimal S3 REST subset with SERVER-SIDE SigV4 verification,
+    implemented from the HTTP request (independent of the client's
+    signer): rebuilds the canonical request from the wire, re-derives
+    the signing key, and 403s on mismatch."""
+
+    store: dict[tuple[str, str], bytes] = {}
+    protocol_version = "HTTP/1.1"
+    page_size = 2  # tiny, to force ListObjectsV2 pagination
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    # -- server-side signature check --------------------------------------
+
+    def _verify(self) -> bool:
+        auth = self.headers.get("Authorization", "")
+        if not auth.startswith("AWS4-HMAC-SHA256 "):
+            return False
+        parts = dict(
+            p.strip().split("=", 1) for p in auth[len("AWS4-HMAC-SHA256 "):].split(",")
+        )
+        cred = parts["Credential"].split("/")
+        access, datestamp, region, service = cred[0], cred[1], cred[2], cred[3]
+        if access != ACCESS:
+            return False
+        signed = parts["SignedHeaders"].split(";")
+        url = urllib.parse.urlsplit(self.path)
+        # canonical query from the raw query string
+        q = urllib.parse.parse_qsl(url.query, keep_blank_values=True)
+        cq = "&".join(
+            f"{urllib.parse.quote(k, safe='-_.~')}={urllib.parse.quote(v, safe='-_.~')}"
+            for k, v in sorted(q)
+        )
+        ch = "".join(f"{h}:{self.headers[h].strip()}\n" for h in signed)
+        payload_hash = self.headers.get("x-amz-content-sha256", "")
+        creq = "\n".join(
+            [self.command, url.path, cq, ch, ";".join(signed), payload_hash]
+        )
+        scope = f"{datestamp}/{region}/{service}/aws4_request"
+        sts = "\n".join(
+            [
+                "AWS4-HMAC-SHA256",
+                self.headers["x-amz-date"],
+                scope,
+                hashlib.sha256(creq.encode()).hexdigest(),
+            ]
+        )
+        k = ("AWS4" + SECRET).encode()
+        for step in (datestamp, region, service, "aws4_request"):
+            k = hmac.new(k, step.encode(), hashlib.sha256).digest()
+        want = hmac.new(k, sts.encode(), hashlib.sha256).hexdigest()
+        return hmac.compare_digest(want, parts["Signature"])
+
+    # -- request routing ----------------------------------------------------
+
+    def _bk(self) -> tuple[str, str]:
+        path = urllib.parse.urlsplit(self.path).path.lstrip("/")
+        path = urllib.parse.unquote(path)
+        bucket, _, key = path.partition("/")
+        return bucket, key
+
+    def _deny(self):
+        self.send_response(403)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_PUT(self):
+        if not self._verify():
+            return self._deny()
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n)
+        # verify the payload hash too: catches body/hash mismatch
+        if hashlib.sha256(body).hexdigest() != self.headers.get(
+            "x-amz-content-sha256"
+        ):
+            return self._deny()
+        self.store[self._bk()] = body
+        self.send_response(200)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_HEAD(self):
+        if not self._verify():
+            return self._deny()
+        obj = self.store.get(self._bk())
+        if obj is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(obj)))
+        self.end_headers()
+
+    def do_DELETE(self):
+        if not self._verify():
+            return self._deny()
+        self.store.pop(self._bk(), None)
+        self.send_response(204)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_GET(self):
+        if not self._verify():
+            return self._deny()
+        bucket, key = self._bk()
+        url = urllib.parse.urlsplit(self.path)
+        q = dict(urllib.parse.parse_qsl(url.query))
+        if not key and q.get("list-type") == "2":
+            return self._list(bucket, q)
+        obj = self.store.get((bucket, key))
+        if obj is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        rng = self.headers.get("Range")
+        status = 200
+        if rng and rng.startswith("bytes="):
+            a, _, b = rng[len("bytes="):].partition("-")
+            obj = obj[int(a): int(b) + 1]
+            status = 206
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(obj)))
+        self.end_headers()
+        self.wfile.write(obj)
+
+    def _list(self, bucket: str, q: dict):
+        prefix = q.get("prefix", "")
+        keys = sorted(
+            k for (b, k) in self.store if b == bucket and k.startswith(prefix)
+        )
+        start = 0
+        tok = q.get("continuation-token")
+        if tok:
+            start = int(tok)
+        page = keys[start: start + self.page_size]
+        truncated = start + self.page_size < len(keys)
+        items = "".join(f"<Contents><Key>{k}</Key></Contents>" for k in page)
+        nxt = (
+            f"<NextContinuationToken>{start + self.page_size}</NextContinuationToken>"
+            if truncated
+            else ""
+        )
+        body = (
+            '<?xml version="1.0"?><ListBucketResult>'
+            f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>"
+            f"{items}{nxt}</ListBucketResult>"
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def s3(monkeypatch):
+    _S3Handler.store = {}
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _S3Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    fs = S3FS(
+        f"http://127.0.0.1:{srv.server_address[1]}", ACCESS, SECRET, REGION
+    )
+    yield fs
+    srv.shutdown()
+    srv.server_close()
+
+
+# --- client round trips ----------------------------------------------------
+
+def test_parse_s3_uri():
+    assert parse_s3_uri("s3://b/k1/k2.vortex") == ("b", "k1/k2.vortex")
+    assert parse_s3_uri("s3a://b/x") == ("b", "x")
+    with pytest.raises(ValueError):
+        parse_s3_uri("/local/path")
+
+
+def test_put_get_head_delete(s3):
+    with s3.open("s3://bkt/dir/a.bin", "wb") as f:
+        f.write(b"hello object store")
+    assert s3.exists("s3://bkt/dir/a.bin")
+    with s3.open("s3://bkt/dir/a.bin", "rb") as f:
+        assert f.read() == b"hello object store"
+    s3.remove("s3://bkt/dir/a.bin")
+    assert not s3.exists("s3://bkt/dir/a.bin")
+
+
+def test_ranged_reads_and_seek_end(s3):
+    payload = bytes(range(256)) * 4
+    with s3.open("s3://bkt/r.bin", "wb") as f:
+        f.write(payload)
+    f = s3.open("s3://bkt/r.bin", "rb")
+    assert f.read(4) == payload[:4]  # ranged GET, not whole object
+    f.seek(-8, 2)
+    assert f.read(8) == payload[-8:]  # the vortex trailer pattern
+    f.seek(100)
+    assert f.read(10) == payload[100:110]
+
+
+def test_glob_and_isdir_with_pagination(s3):
+    for i in range(5):  # 5 keys > page_size 2 -> 3 list pages
+        with s3.open(f"s3://bkt/t/part-{i:05d}.vortex", "wb") as f:
+            f.write(b"x" * (i + 1))
+    with s3.open("s3://bkt/t/_SUCCESS", "wb") as f:
+        f.write(b"")
+    got = s3.glob("s3://bkt/t/part-*.vortex")
+    assert got == [f"s3://bkt/t/part-{i:05d}.vortex" for i in range(5)]
+    assert s3.isdir("s3://bkt/t")
+    assert not s3.isdir("s3://bkt/nope")
+    assert s3.exists("s3://bkt/t")  # prefix-exists fallback
+
+
+def test_bad_signature_rejected(s3):
+    with s3.open("s3://bkt/sec.bin", "wb") as f:
+        f.write(b"data")
+    evil = S3FS(s3.endpoint, ACCESS, "wrong-secret", REGION)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        evil.open("s3://bkt/sec.bin", "rb").read()
+    assert e.value.code == 403
+
+
+def test_vortex_file_roundtrip_over_s3(s3, monkeypatch):
+    """End-to-end A3: a real .vortex file written to and read back
+    from the object store through the scheme registry — footer via
+    SEEK_END ranged GET, chunk columns via offset ranged GETs."""
+    from duckdb_vortex_spark.sources import vortex_format as vf
+
+    monkeypatch.setitem(vf._FILESYSTEMS, "s3", s3)
+    table = pa.table(
+        {
+            "i": pa.array(list(range(1000)), pa.int64()),
+            "s": pa.array([f"row-{i % 7}" for i in range(1000)]),
+            "f": pa.array([i / 3.0 for i in range(1000)], pa.float64()),
+        }
+    )
+    w = vf.VortexFileWriter("s3://bkt/data/t.vortex", table.schema)
+    w.write_table(table, row_group_size=256)
+    w.close()
+
+    footer = vf.read_footer("s3://bkt/data/t.vortex")
+    assert footer.n_rows == 1000 and len(footer.chunks) == 4
+    cols = ["i", "s", "f"]
+    got = pa.concat_tables(
+        vf.read_chunk("s3://bkt/data/t.vortex", footer, ci, cols)
+        for ci in range(len(footer.chunks))
+    )
+    assert got.equals(table)
