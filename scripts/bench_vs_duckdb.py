@@ -5,9 +5,11 @@ SURVEY.md §0) executing each headline entry's own DuckDB oracle SQL on
 the SAME parquet tables at the same scale factor.
 
 Method notes (read before quoting numbers):
-- Per-query harness mirrors bench.py: one warm-up run, then best-of-2;
-  Spark side fully materializes via the noop sink, DuckDB side via
-  ``fetchall()`` (both consume every output row/column).
+- Per-query harness mirrors bench.py: one warm-up run, then the
+  MEDIAN of 3 timed runs (round 4 — best-of-2 on this box's 30-80%
+  noise manufactured phantom movers, CHANGES_r4.md); Spark side fully
+  materializes via the noop sink, DuckDB side via ``fetchall()``
+  (both consume every output row/column).
 - The oracle SQL is written for CROSS-ENGINE DETERMINISM (exact
   decimal/quantized intermediates), not minimal DuckDB cost, and a few
   entries' oracles use deliberately naive forms (exact quadratic
@@ -26,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -62,11 +65,11 @@ def main() -> None:
     out: dict[str, dict[str, float]] = {}
     for name in names:
         run_one(spark, qs[name], sf_dir)  # warm-up
-        s_t = min(run_one(spark, qs[name], sf_dir) for _ in range(2))
+        s_t = statistics.median(run_one(spark, qs[name], sf_dir) for _ in range(3))
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         duck_time(con, oracles[name])  # warm-up
-        d_t = min(duck_time(con, oracles[name]) for _ in range(2))
+        d_t = statistics.median(duck_time(con, oracles[name]) for _ in range(3))
         out[name] = {"spark": round(s_t, 4), "duckdb": round(d_t, 4)}
         print(
             f"{name:40s} spark={s_t:7.3f}s duckdb={d_t:7.3f}s "
