@@ -90,6 +90,40 @@ def _expand(path: str) -> list[str]:
     return [prefix + f for f in files]
 
 
+_STORE_REGISTERED: set[tuple] = set()
+
+
+def _store_options(options: dict) -> dict:
+    """Extract the object-store connection options (picklable subset
+    carried to executor workers alongside reader/writer state)."""
+    keys = ("s3_endpoint", "s3_access_key", "s3_secret_key", "s3_region")
+    return {k: options[k] for k in keys if k in options}
+
+
+def _apply_store_options(store: dict) -> None:
+    """Register the S3 filesystem for this PROCESS from DataSource
+    options (``.option("s3_endpoint", ...)`` — the Python-source
+    analogue of ``fs.s3a.endpoint``). Python data sources evaluate in
+    separate worker processes (driver-side workers for schema binding,
+    executor workers for read/write tasks), so driver-side registry
+    state never travels; each entry point re-applies from the options
+    it was pickled with. Idempotent and cached per option tuple."""
+    if not store or "s3_endpoint" not in store:
+        return
+    key = tuple(sorted(store.items()))
+    if key in _STORE_REGISTERED:
+        return
+    from .object_store import register_s3
+
+    register_s3(
+        store["s3_endpoint"],
+        store.get("s3_access_key"),
+        store.get("s3_secret_key"),
+        store.get("s3_region", "us-east-1"),
+    )
+    _STORE_REGISTERED.add(key)
+
+
 def _option_paths(options: dict) -> tuple[str, list[str]]:
     """Resolve the read target from options: a ``paths`` option holding
     a JSON list of paths (out-of-band multi-path form, used by
@@ -172,6 +206,8 @@ class VortexChunk(InputPartition):
 
 class VortexReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
+        self.store = _store_options(options)
+        _apply_store_options(self.store)
         self.path, self.files = _option_paths(options)
         if not self.files:
             raise FileNotFoundError(f"no vortex files match {self.path!r}")
@@ -350,6 +386,7 @@ class VortexReader(DataSourceReader):
         the file predates (additive schema evolution) come back as
         typed nulls — filled BEFORE the pushed predicate runs, so a
         filter on an evolved column is correct on old files too."""
+        _apply_store_options(self.store)  # executor-side worker process
         cols = [f.name for f in self.schema.fields]
         footer = vfmt.read_footer(partition.file)
         if partition.row_group < 0:
@@ -383,6 +420,8 @@ class VortexStreamReader(DataSourceStreamReader):
     Spark's file source makes with its file log."""
 
     def __init__(self, options: dict, schema: StructType):
+        self.store = _store_options(options)
+        _apply_store_options(self.store)
         self.path = options.get("path")
         if not self.path:
             raise ValueError("vortex stream read requires a path")
@@ -414,6 +453,7 @@ class VortexStreamReader(DataSourceStreamReader):
         return chunks
 
     def read(self, partition: VortexChunk):
+        _apply_store_options(self.store)  # executor-side worker process
         cols = [f.name for f in self.schema.fields]
         footer = vfmt.read_footer(partition.file)
         if partition.row_group < 0:
@@ -443,6 +483,8 @@ class VortexWriter(DataSourceArrowWriter):
     shape as the reference's copy function (SURVEY.md §3.3)."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.store = _store_options(options)
+        _apply_store_options(self.store)
         self.path = options.get("path")
         if not self.path:
             raise ValueError("vortex write requires a path")
@@ -454,6 +496,7 @@ class VortexWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
+        _apply_store_options(self.store)  # executor-side worker process
         if self.partition_by:
             return self._write_partitioned(iterator)
         return self._write_one(iterator, self.path)
@@ -566,6 +609,7 @@ class VortexDataSource(DataSource):
 
     def schema(self) -> StructType:
         """A1: bind schema from the file footer — no user input."""
+        _apply_store_options(_store_options(self.options))
         target, files = _option_paths(self.options)
         if not files:
             raise FileNotFoundError(
