@@ -233,7 +233,11 @@ class S3FS:
         hdrs = self.signer.sign(
             method, host, canonical_uri, query, headers or {}, payload_hash
         )
-        qs = ("?" + urllib.parse.urlencode(sorted(query.items()))) if query else ""
+        # send EXACTLY the canonical encoding that was signed (urlencode
+        # would emit '+' for spaces where sigv4 canonicalizes '%20' —
+        # real S3 recomputes the signature from the raw sent query, so
+        # the two encodings must byte-match)
+        qs = ("?" + self.signer._canonical_query(query)) if query else ""
         req = urllib.request.Request(
             f"{self.endpoint}{canonical_uri}{qs}", data=body or None, method=method
         )

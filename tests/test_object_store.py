@@ -347,3 +347,14 @@ def test_spark_datasource_reads_vortex_over_s3(s3, monkeypatch, spark):
     assert [r["k"] for r in got] == [0, 100, 200, 300, 400]
     # glob over the store, too
     assert rd("s3://bkt/warehouse/part-*.vortex").count() == 500
+
+
+def test_glob_with_space_in_prefix(s3):
+    """Query-string encoding edge: the sent ListObjectsV2 query must
+    byte-match the signed canonical form (sigv4 canonicalizes spaces
+    as %20; urlencode's '+' would make real S3 reject the request)."""
+    with s3.open("s3://bkt/my dir/part-00000.vortex", "wb") as f:
+        f.write(b"d")
+    assert s3.glob("s3://bkt/my dir/part-*.vortex") == [
+        "s3://bkt/my dir/part-00000.vortex"
+    ]
