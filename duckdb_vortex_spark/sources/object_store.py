@@ -3,7 +3,8 @@
 Upgrades SURVEY.md §2A row A3 from a local-FS routing shim to a REAL
 object-store client: AWS Signature Version 4 request signing, ranged
 GETs (the footer-first `.vortex` read pattern never downloads a whole
-file to read a trailer), buffered PUT on close, ListObjectsV2-backed
+file to read a trailer), STREAMING multipart uploads (only one part
+buffers in memory; single-PUT fast path for small files), ListObjectsV2-backed
 glob, HEAD-backed exists — implemented with stdlib only
 (urllib/hashlib/hmac/xml), no boto, no new dependencies.
 
@@ -184,22 +185,61 @@ class _S3ReadableFile(io.RawIOBase):
         return data
 
 
-class _S3WritableFile(io.BytesIO):
-    """Buffered writer: bytes accumulate locally, one PUT on close
-    (the vortex writer emits a file once, sequentially — multipart
-    upload is the production extension point for >5 GB parts)."""
+class _S3WritableFile(io.RawIOBase):
+    """Streaming writer with multipart upload: bytes buffer locally
+    only up to ``part_size``; each full part is shipped immediately
+    (UploadPart), so writing a multi-GB vortex file holds ONE part in
+    memory, not the file. Files smaller than one part take the single
+    PUT fast path on close. This is the memory contract a 100 TB
+    writer task actually needs — and the single-PUT 5 GB object cap on
+    real S3 makes multipart mandatory there anyway."""
 
-    def __init__(self, fs: "S3FS", bucket: str, key: str):
+    def __init__(self, fs: "S3FS", bucket: str, key: str,
+                 part_size: int = 64 * 1024 * 1024):
         super().__init__()
         self._fs = fs
         self._bucket = bucket
         self._key = key
-        self._closed_put = False
+        self._part_size = part_size
+        self._buf = bytearray()
+        self._upload_id: str | None = None
+        self._etags: list[str] = []
+        self._done = False
+
+    def writable(self) -> bool:
+        return True
+
+    def write(self, b) -> int:
+        self._buf.extend(b)
+        while len(self._buf) >= self._part_size:
+            self._ship(bytes(self._buf[: self._part_size]))
+            del self._buf[: self._part_size]
+        return len(b)
+
+    def _ship(self, part: bytes) -> None:
+        if self._upload_id is None:
+            self._upload_id = self._fs._initiate_multipart(self._bucket, self._key)
+        self._etags.append(
+            self._fs._upload_part(
+                self._bucket, self._key, self._upload_id, len(self._etags) + 1, part
+            )
+        )
 
     def close(self) -> None:
-        if not self._closed_put:
-            self._closed_put = True
-            self._fs._request("PUT", self._bucket, self._key, body=self.getvalue())
+        if not self._done:
+            self._done = True
+            if self._upload_id is None:
+                # small file: single PUT
+                self._fs._request(
+                    "PUT", self._bucket, self._key, body=bytes(self._buf)
+                )
+            else:
+                if self._buf:
+                    self._ship(bytes(self._buf))
+                    self._buf.clear()
+                self._fs._complete_multipart(
+                    self._bucket, self._key, self._upload_id, self._etags
+                )
         super().close()
 
 
@@ -211,8 +251,10 @@ class S3FS:
     addressing so bucket DNS is not required."""
 
     def __init__(self, endpoint_url: str, access_key: str | None = None,
-                 secret_key: str | None = None, region: str = "us-east-1"):
+                 secret_key: str | None = None, region: str = "us-east-1",
+                 part_size: int = 64 * 1024 * 1024):
         self.endpoint = endpoint_url.rstrip("/")
+        self.part_size = part_size
         self.signer = SigV4Signer(
             access_key or os.environ.get("AWS_ACCESS_KEY_ID", ""),
             secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", ""),
@@ -256,6 +298,39 @@ class S3FS:
         with urllib.request.urlopen(req) as resp:
             return int(resp.headers["Content-Length"])
 
+    # -- multipart upload (the streaming write path) ----------------------
+
+    def _initiate_multipart(self, bucket: str, key: str) -> str:
+        data = self._request("POST", bucket, key, query={"uploads": ""})
+        root = ET.fromstring(data)
+        ns = root.tag.split("}")[0] + "}" if root.tag.startswith("{") else ""
+        return root.find(f"{ns}UploadId").text
+
+    def _upload_part(self, bucket: str, key: str, upload_id: str,
+                     part_number: int, body: bytes) -> str:
+        canonical_uri = "/" + urllib.parse.quote(f"{bucket}/{key}", safe="/-_.~")
+        host = urllib.parse.urlparse(self.endpoint).netloc
+        query = {"partNumber": str(part_number), "uploadId": upload_id}
+        payload_hash = hashlib.sha256(body).hexdigest()
+        hdrs = self.signer.sign("PUT", host, canonical_uri, query, {}, payload_hash)
+        qs = "?" + self.signer._canonical_query(query)
+        req = urllib.request.Request(
+            f"{self.endpoint}{canonical_uri}{qs}", data=body, method="PUT"
+        )
+        for k, v in hdrs.items():
+            req.add_header(k, v)
+        with urllib.request.urlopen(req) as resp:
+            return resp.headers.get("ETag", "").strip('"')
+
+    def _complete_multipart(self, bucket: str, key: str, upload_id: str,
+                            etags: list[str]) -> None:
+        parts = "".join(
+            f"<Part><PartNumber>{i + 1}</PartNumber><ETag>{e}</ETag></Part>"
+            for i, e in enumerate(etags)
+        )
+        body = f"<CompleteMultipartUpload>{parts}</CompleteMultipartUpload>".encode()
+        self._request("POST", bucket, key, query={"uploadId": upload_id}, body=body)
+
     def _list(self, bucket: str, prefix: str) -> list[str]:
         """All keys under prefix (ListObjectsV2, paginated)."""
         keys: list[str] = []
@@ -280,7 +355,7 @@ class S3FS:
         bucket, key = parse_s3_uri(path)
         if "r" in mode:
             return _S3ReadableFile(self, bucket, key)
-        return _S3WritableFile(self, bucket, key)
+        return _S3WritableFile(self, bucket, key, self.part_size)
 
     def glob(self, pattern: str) -> list[str]:
         bucket, keypat = parse_s3_uri(pattern)

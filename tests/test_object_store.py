@@ -64,6 +64,7 @@ class _S3Handler(http.server.BaseHTTPRequestHandler):
     the signing key, and 403s on mismatch."""
 
     store: dict[tuple[str, str], bytes] = {}
+    uploads: dict[str, dict[int, bytes]] = {}  # upload_id -> part# -> bytes
     protocol_version = "HTTP/1.1"
     page_size = 2  # tiny, to force ListObjectsV2 pagination
 
@@ -134,10 +135,59 @@ class _S3Handler(http.server.BaseHTTPRequestHandler):
             "x-amz-content-sha256"
         ):
             return self._deny()
+        q = dict(urllib.parse.parse_qsl(urllib.parse.urlsplit(self.path).query))
+        if "uploadId" in q and "partNumber" in q:  # multipart part
+            self.uploads.setdefault(q["uploadId"], {})[int(q["partNumber"])] = body
+            self.send_response(200)
+            self.send_header("ETag", f'"{hashlib.md5(body).hexdigest()}"')
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         self.store[self._bk()] = body
         self.send_response(200)
         self.send_header("Content-Length", "0")
         self.end_headers()
+
+    def do_POST(self):
+        if not self._verify():
+            return self._deny()
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n)
+        q = dict(
+            urllib.parse.parse_qsl(
+                urllib.parse.urlsplit(self.path).query, keep_blank_values=True
+            )
+        )
+        if "uploads" in q:  # initiate
+            uid = f"up-{len(self.uploads)}"
+            self.uploads[uid] = {}
+            out = (
+                '<?xml version="1.0"?><InitiateMultipartUploadResult>'
+                f"<UploadId>{uid}</UploadId></InitiateMultipartUploadResult>"
+            ).encode()
+        elif "uploadId" in q:  # complete: verify client ETags, assemble
+            uid = q["uploadId"]
+            parts = self.uploads.pop(uid, {})
+            claimed = dict(
+                (int(m.group(1)), m.group(2))
+                for m in __import__("re").finditer(
+                    r"<Part><PartNumber>(\d+)</PartNumber><ETag>([0-9a-f]+)</ETag>",
+                    body.decode(),
+                )
+            )
+            for num, data in parts.items():
+                if claimed.get(num) != hashlib.md5(data).hexdigest():
+                    return self._deny()
+            self.store[self._bk()] = b"".join(
+                parts[i] for i in sorted(parts)
+            )
+            out = b'<?xml version="1.0"?><CompleteMultipartUploadResult/>'
+        else:
+            return self._deny()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(out)))
+        self.end_headers()
+        self.wfile.write(out)
 
     def do_HEAD(self):
         if not self._verify():
@@ -358,3 +408,35 @@ def test_glob_with_space_in_prefix(s3):
     assert s3.glob("s3://bkt/my dir/part-*.vortex") == [
         "s3://bkt/my dir/part-00000.vortex"
     ]
+
+
+def test_multipart_streaming_upload(s3):
+    """A file bigger than part_size streams as multipart: only one
+    part buffers in memory, parts ship as they fill, and the completed
+    object is byte-identical. The server verifies per-part ETags from
+    the completion manifest."""
+    s3.part_size = 1024
+    payload = bytes((i * 7) % 256 for i in range(5000))  # 4 full parts + tail
+    with s3.open("s3://bkt/big/stream.bin", "wb") as f:
+        for off in range(0, len(payload), 600):  # writes not aligned to parts
+            f.write(payload[off: off + 600])
+    with s3.open("s3://bkt/big/stream.bin", "rb") as f:
+        assert f.read() == payload
+
+    # a vortex file through the multipart path reads back identically
+    from duckdb_vortex_spark.sources import vortex_format as vf
+
+    table = pa.table({"x": pa.array(list(range(4000)), pa.int64())})
+    import unittest.mock as _m
+
+    with _m.patch.dict(vf._FILESYSTEMS, {"s3": s3}):
+        w = vf.VortexFileWriter("s3://bkt/big/t.vortex", table.schema)
+        w.write_table(table, row_group_size=1000)
+        w.close()
+        footer = vf.read_footer("s3://bkt/big/t.vortex")
+        assert footer.n_rows == 4000
+        got = pa.concat_tables(
+            vf.read_chunk("s3://bkt/big/t.vortex", footer, ci, ["x"])
+            for ci in range(len(footer.chunks))
+        )
+        assert got.equals(table)
