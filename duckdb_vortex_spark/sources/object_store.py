@@ -51,11 +51,17 @@ _EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
 
 
 def parse_s3_uri(path: str) -> tuple[str, str]:
-    """``s3://bucket/key/parts`` → (bucket, key). Accepts s3/s3a/s3n."""
-    u = urllib.parse.urlparse(path)
-    if u.scheme not in ("s3", "s3a", "s3n"):
+    """``s3://bucket/key/parts`` → (bucket, key). Accepts s3/s3a/s3n.
+
+    Split manually, NOT with urlparse: object keys are raw strings in
+    which '?' (also a glob wildcard the vortex source supports) and
+    '#' are legal characters, but urlparse would truncate them into
+    query/fragment and silently address the wrong object."""
+    scheme, sep, rest = path.partition("://")
+    if not sep or scheme not in ("s3", "s3a", "s3n"):
         raise ValueError(f"not an s3 URI: {path!r}")
-    return u.netloc, u.path.lstrip("/")
+    bucket, _, key = rest.partition("/")
+    return bucket, key
 
 
 class SigV4Signer:
@@ -174,6 +180,12 @@ class _S3ReadableFile(io.RawIOBase):
         return self._pos
 
     def read(self, n: int = -1) -> bytes:
+        if n == 0:
+            # zero-length slices are real (constant/RLE columns encode
+            # to 0-byte buffers): 'bytes=pos-(pos-1)' is an INVALID
+            # byte-range-spec that real S3 ignores per RFC 7233,
+            # returning the whole object — never send it
+            return b""
         if self._pos >= self._size:
             return b""
         end = self._size - 1 if n is None or n < 0 else min(self._pos + n, self._size) - 1
@@ -225,6 +237,18 @@ class _S3WritableFile(io.RawIOBase):
             )
         )
 
+    def abort(self) -> None:
+        """Discard the write: abort any initiated multipart upload
+        (real S3 retains un-aborted parts indefinitely — and bills
+        them) and never PUT the partial buffer. After abort, close()
+        is a no-op, so ``finally: f.close()`` cleanup stays safe."""
+        if not self._done:
+            self._done = True
+            self._buf.clear()
+            if self._upload_id is not None:
+                self._fs._abort_multipart(self._bucket, self._key, self._upload_id)
+        super().close()
+
     def close(self) -> None:
         if not self._done:
             self._done = True
@@ -250,11 +274,22 @@ class S3FS:
     store (AWS, MinIO, the in-process test server); path-style
     addressing so bucket DNS is not required."""
 
+    flat_namespace = True  # no directories: glob results are real objects
+
     def __init__(self, endpoint_url: str, access_key: str | None = None,
                  secret_key: str | None = None, region: str = "us-east-1",
-                 part_size: int = 64 * 1024 * 1024):
+                 part_size: int = 64 * 1024 * 1024,
+                 session_token: str | None = None):
         self.endpoint = endpoint_url.rstrip("/")
         self.part_size = part_size
+        # AWS_SESSION_TOKEN: temporary credentials (STS/instance roles/
+        # SSO) are the NORM on real clusters; without the signed
+        # x-amz-security-token header every such request 403s
+        self.session_token = (
+            session_token
+            if session_token is not None
+            else os.environ.get("AWS_SESSION_TOKEN") or None
+        )
         self.signer = SigV4Signer(
             access_key or os.environ.get("AWS_ACCESS_KEY_ID", ""),
             secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", ""),
@@ -263,18 +298,23 @@ class S3FS:
 
     # -- HTTP plumbing -----------------------------------------------------
 
-    def _request(self, method: str, bucket: str, key: str,
-                 query: dict[str, str] | None = None,
-                 headers: dict[str, str] | None = None,
-                 body: bytes = b"") -> bytes:
+    def _request_full(self, method: str, bucket: str, key: str,
+                      query: dict[str, str] | None = None,
+                      headers: dict[str, str] | None = None,
+                      body: bytes = b""):
+        """Sign and send one request; returns the open response (body
+        + headers). The SINGLE copy of the canonical-uri → sign →
+        Request → send sequence — every verb routes through here so a
+        signing change (e.g. session tokens) lands exactly once."""
         query = query or {}
         canonical_uri = "/" + urllib.parse.quote(f"{bucket}/{key}" if key else bucket,
                                                  safe="/-_.~")
         host = urllib.parse.urlparse(self.endpoint).netloc
         payload_hash = hashlib.sha256(body).hexdigest() if body else _EMPTY_SHA256
-        hdrs = self.signer.sign(
-            method, host, canonical_uri, query, headers or {}, payload_hash
-        )
+        extra = dict(headers or {})
+        if self.session_token:
+            extra["x-amz-security-token"] = self.session_token
+        hdrs = self.signer.sign(method, host, canonical_uri, query, extra, payload_hash)
         # send EXACTLY the canonical encoding that was signed (urlencode
         # would emit '+' for spaces where sigv4 canonicalizes '%20' —
         # real S3 recomputes the signature from the raw sent query, so
@@ -285,17 +325,17 @@ class S3FS:
         )
         for k, v in hdrs.items():
             req.add_header(k, v)
-        with urllib.request.urlopen(req) as resp:
+        return urllib.request.urlopen(req)
+
+    def _request(self, method: str, bucket: str, key: str,
+                 query: dict[str, str] | None = None,
+                 headers: dict[str, str] | None = None,
+                 body: bytes = b"") -> bytes:
+        with self._request_full(method, bucket, key, query, headers, body) as resp:
             return resp.read()
 
     def _head_size(self, bucket: str, key: str) -> int:
-        canonical_uri = "/" + urllib.parse.quote(f"{bucket}/{key}", safe="/-_.~")
-        host = urllib.parse.urlparse(self.endpoint).netloc
-        hdrs = self.signer.sign("HEAD", host, canonical_uri, {}, {}, _EMPTY_SHA256)
-        req = urllib.request.Request(f"{self.endpoint}{canonical_uri}", method="HEAD")
-        for k, v in hdrs.items():
-            req.add_header(k, v)
-        with urllib.request.urlopen(req) as resp:
+        with self._request_full("HEAD", bucket, key) as resp:
             return int(resp.headers["Content-Length"])
 
     # -- multipart upload (the streaming write path) ----------------------
@@ -308,18 +348,8 @@ class S3FS:
 
     def _upload_part(self, bucket: str, key: str, upload_id: str,
                      part_number: int, body: bytes) -> str:
-        canonical_uri = "/" + urllib.parse.quote(f"{bucket}/{key}", safe="/-_.~")
-        host = urllib.parse.urlparse(self.endpoint).netloc
         query = {"partNumber": str(part_number), "uploadId": upload_id}
-        payload_hash = hashlib.sha256(body).hexdigest()
-        hdrs = self.signer.sign("PUT", host, canonical_uri, query, {}, payload_hash)
-        qs = "?" + self.signer._canonical_query(query)
-        req = urllib.request.Request(
-            f"{self.endpoint}{canonical_uri}{qs}", data=body, method="PUT"
-        )
-        for k, v in hdrs.items():
-            req.add_header(k, v)
-        with urllib.request.urlopen(req) as resp:
+        with self._request_full("PUT", bucket, key, query, body=body) as resp:
             return resp.headers.get("ETag", "").strip('"')
 
     def _complete_multipart(self, bucket: str, key: str, upload_id: str,
@@ -331,12 +361,19 @@ class S3FS:
         body = f"<CompleteMultipartUpload>{parts}</CompleteMultipartUpload>".encode()
         self._request("POST", bucket, key, query={"uploadId": upload_id}, body=body)
 
-    def _list(self, bucket: str, prefix: str) -> list[str]:
-        """All keys under prefix (ListObjectsV2, paginated)."""
+    def _abort_multipart(self, bucket: str, key: str, upload_id: str) -> None:
+        self._request("DELETE", bucket, key, query={"uploadId": upload_id})
+
+    def _list(self, bucket: str, prefix: str, limit: int | None = None) -> list[str]:
+        """Keys under prefix (ListObjectsV2, paginated). ``limit``
+        caps the answer server-side (max-keys) — existence probes must
+        not page through a whole dataset's listing."""
         keys: list[str] = []
         token: str | None = None
         while True:
             q = {"list-type": "2", "prefix": prefix}
+            if limit is not None:
+                q["max-keys"] = str(limit)
             if token:
                 q["continuation-token"] = token
             data = self._request("GET", bucket, "", query=q)
@@ -344,6 +381,8 @@ class S3FS:
             ns = root.tag.split("}")[0] + "}" if root.tag.startswith("{") else ""
             for c in root.findall(f"{ns}Contents"):
                 keys.append(c.find(f"{ns}Key").text)
+            if limit is not None and len(keys) >= limit:
+                return keys[:limit]
             trunc = root.find(f"{ns}IsTruncated")
             if trunc is None or trunc.text != "true":
                 return keys
@@ -367,7 +406,7 @@ class S3FS:
             i = keypat.find(ch)
             if i != -1:
                 cut = min(cut, i)
-        scheme = urllib.parse.urlparse(pattern).scheme
+        scheme = pattern.partition("://")[0]
         pat = keypat.replace("**/", "*").replace("**", "*")
         return sorted(
             f"{scheme}://{bucket}/{k}"
@@ -378,7 +417,9 @@ class S3FS:
     def isdir(self, path: str) -> bool:
         bucket, key = parse_s3_uri(path)
         prefix = key.rstrip("/") + "/" if key else ""
-        return bool(self._list(bucket, prefix))
+        # existence probe, not an enumeration: max-keys=1 — paging a
+        # 10k-file dataset listing per probe is O(N) network at plan time
+        return bool(self._list(bucket, prefix, limit=1))
 
     def exists(self, path: str) -> bool:
         bucket, key = parse_s3_uri(path)
@@ -397,13 +438,16 @@ class S3FS:
 
 def register_s3(endpoint_url: str, access_key: str | None = None,
                 secret_key: str | None = None, region: str = "us-east-1",
-                schemes: tuple[str, ...] = ("s3", "s3a", "s3n")) -> S3FS:
+                schemes: tuple[str, ...] = ("s3", "s3a", "s3n"),
+                session_token: str | None = None) -> S3FS:
     """Build an S3FS and register it for the s3/s3a/s3n schemes in the
     vortex source's scheme registry. Call once per process (driver AND
-    executors — in practice from a session-init hook)."""
+    executors — in practice from a session-init hook). ``session_token``
+    (or AWS_SESSION_TOKEN in the env) enables temporary STS creds."""
     from . import vortex_format
 
-    fs = S3FS(endpoint_url, access_key, secret_key, region)
+    fs = S3FS(endpoint_url, access_key, secret_key, region,
+              session_token=session_token)
     for s in schemes:
         vortex_format.register_filesystem(s, fs)
     return fs

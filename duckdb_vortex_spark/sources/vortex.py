@@ -75,10 +75,19 @@ def _expand(path: str) -> list[str]:
     (s3a://…) resolve through the filesystem registry in
     vortex_format."""
     fs, p = vfmt.filesystem_for(path)
-    matches = fs.glob(p) if any(ch in p for ch in "*?[") else [p]
+    globbed = any(ch in p for ch in "*?[")
+    matches = fs.glob(p) if globbed else [p]
     files: list[str] = []
     for m in matches:
-        if fs.isdir(m):
+        if globbed and getattr(fs, "flat_namespace", False):
+            # object stores have no directories: every key a glob
+            # returns IS an existing object — re-probing each match
+            # with isdir (a listing) + exists (a HEAD) would be
+            # O(matches) network round trips at plan time. Local
+            # filesystems must keep the isdir branch: datasets are
+            # directories that may themselves be named *.vortex.
+            files.append(m)
+        elif fs.isdir(m):
             # flat dataset, then hive-partitioned subdirs (col=value/…)
             files.extend(
                 fs.glob(os.path.join(m, f"part-*{FILE_SUFFIX}"))
@@ -96,7 +105,8 @@ _STORE_REGISTERED: set[tuple] = set()
 def _store_options(options: dict) -> dict:
     """Extract the object-store connection options (picklable subset
     carried to executor workers alongside reader/writer state)."""
-    keys = ("s3_endpoint", "s3_access_key", "s3_secret_key", "s3_region")
+    keys = ("s3_endpoint", "s3_access_key", "s3_secret_key", "s3_region",
+            "s3_session_token")
     return {k: options[k] for k in keys if k in options}
 
 
@@ -120,6 +130,7 @@ def _apply_store_options(store: dict) -> None:
         store.get("s3_access_key"),
         store.get("s3_secret_key"),
         store.get("s3_region", "us-east-1"),
+        session_token=store.get("s3_session_token"),
     )
     _STORE_REGISTERED.add(key)
 
@@ -533,7 +544,15 @@ class VortexWriter(DataSourceArrowWriter):
                     flush(tail=False)
             if writer is not None and n_pending:
                 flush(tail=True)
-        finally:
+        except BaseException:
+            # never COMMIT a partial file: a close() here would write a
+            # valid footer over truncated chunks (or complete a
+            # multipart upload), and the part-* glob would then serve
+            # duplicate/partial rows after Spark retries the task
+            if writer is not None:
+                writer.abort()
+            raise
+        else:
             if writer is not None:
                 writer.close()
         return VortexCommit()
@@ -584,7 +603,11 @@ class VortexWriter(DataSourceArrowWriter):
                         merged = pa.concat_tables(entry[1]).combine_chunks()
                         entry[0].write_table(merged, row_group_size=self.chunk_rows)
                         entry[1], entry[2] = [], 0
-        finally:
+        except BaseException:
+            for w, _bufs, _n in writers.values():
+                w.abort()  # same no-partial-commit rule as _write_one
+            raise
+        else:
             for w, bufs, n in writers.values():
                 if n:
                     w.write_table(
@@ -654,6 +677,9 @@ class VortexDataSource(DataSource):
         if overwrite:
             path = self.options.get("path")
             if path:
+                # this runs in its own worker process too: register the
+                # object store from options BEFORE routing the path
+                _apply_store_options(_store_options(self.options))
                 fs, p = vfmt.filesystem_for(path)
                 if fs.isdir(p):
                     for f in fs.glob(os.path.join(p, f"part-*{FILE_SUFFIX}")):

@@ -793,6 +793,24 @@ class VortexFileWriter:
         self._f.write(_TRAILER.pack(len(payload), MAGIC))
         self._f.close()
 
+    def abort(self) -> None:
+        """Discard the file instead of committing it: a close() after a
+        mid-write failure would stamp a VALID footer over truncated
+        chunks and the dataset's part-* glob would serve the partial
+        file forever after. Object-store files abort their multipart
+        upload (no object materializes); local files are unlinked."""
+        f = self._f
+        if hasattr(f, "abort"):
+            f.abort()
+            return
+        try:
+            f.close()
+        finally:
+            try:
+                self._fs.remove(self._path)
+            except OSError:
+                pass  # already gone / never created: nothing to clean
+
 
 @dataclass
 class Footer:

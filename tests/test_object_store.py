@@ -205,6 +205,13 @@ class _S3Handler(http.server.BaseHTTPRequestHandler):
     def do_DELETE(self):
         if not self._verify():
             return self._deny()
+        q = dict(urllib.parse.parse_qsl(urllib.parse.urlsplit(self.path).query))
+        if "uploadId" in q:  # abort multipart
+            self.uploads.pop(q["uploadId"], None)
+            self.send_response(204)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         self.store.pop(self._bk(), None)
         self.send_response(204)
         self.send_header("Content-Length", "0")
@@ -228,8 +235,14 @@ class _S3Handler(http.server.BaseHTTPRequestHandler):
         status = 200
         if rng and rng.startswith("bytes="):
             a, _, b = rng[len("bytes="):].partition("-")
-            obj = obj[int(a): int(b) + 1]
-            status = 206
+            # real-S3 semantics (RFC 7233): an invalid byte-range-spec
+            # (first > last) is IGNORED and the FULL object returned —
+            # this is exactly what masks a read(0) bug on a lenient server
+            if a and b and int(a) > int(b):
+                pass
+            else:
+                obj = obj[int(a): int(b) + 1]
+                status = 206
         self.send_response(status)
         self.send_header("Content-Length", str(len(obj)))
         self.end_headers()
@@ -440,3 +453,111 @@ def test_multipart_streaming_upload(s3):
             for ci in range(len(footer.chunks))
         )
         assert got.equals(table)
+
+
+def test_constant_column_file_reads_over_s3(s3, monkeypatch):
+    """Constant/RLE columns encode to ZERO-length buffers; the reader
+    then issues read(0), and an invalid 'bytes=p-(p-1)' Range header
+    would make real S3 return the WHOLE object (RFC 7233 ignores
+    invalid specs) — corrupting the slice and failing CRC on every
+    valid file with a constant column. The server now mimics the
+    real-S3 ignore behavior, so this test fails without the read(0)
+    short-circuit."""
+    from duckdb_vortex_spark.sources import vortex_format as vf
+
+    monkeypatch.setitem(vf._FILESYSTEMS, "s3", s3)
+    table = pa.table(
+        {
+            "const": pa.array([7] * 2000, pa.int64()),  # 0-byte encoded buffer
+            "v": pa.array(list(range(2000)), pa.int64()),
+        }
+    )
+    w = vf.VortexFileWriter("s3://bkt/c/t.vortex", table.schema)
+    w.write_table(table, row_group_size=500)
+    w.close()
+    footer = vf.read_footer("s3://bkt/c/t.vortex")
+    got = pa.concat_tables(
+        vf.read_chunk("s3://bkt/c/t.vortex", footer, ci, ["const", "v"])
+        for ci in range(len(footer.chunks))
+    )
+    assert got.equals(table)
+
+
+def test_abort_discards_partial_write(s3):
+    """abort() after a mid-write failure: no object materializes, the
+    initiated multipart upload is aborted server-side (real S3 would
+    otherwise retain and bill the parts forever)."""
+    s3.part_size = 1024
+    f = s3.open("s3://bkt/fail/part.vortex", "wb")
+    f.write(b"z" * 3000)  # two parts shipped, upload initiated
+    assert _S3Handler.uploads  # parts pending server-side
+    f.abort()
+    assert not s3.exists("s3://bkt/fail/part.vortex")
+    assert not _S3Handler.uploads  # aborted: nothing pending
+    f.close()  # idempotent after abort: still no object
+    assert not s3.exists("s3://bkt/fail/part.vortex")
+
+
+def test_vortex_writer_abort_unlinks_local(tmp_path):
+    """VortexFileWriter.abort() on a LOCAL file unlinks the partial
+    instead of stamping a valid footer over truncated chunks."""
+    from duckdb_vortex_spark.sources import vortex_format as vf
+
+    table = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    out = str(tmp_path / "partial.vortex")
+    w = vf.VortexFileWriter(out, table.schema)
+    w.write_table(table)
+    w.abort()
+    import os as _os
+
+    assert not _os.path.exists(out)
+
+
+def test_session_token_signed_and_sent(s3):
+    """STS temporary credentials: x-amz-security-token is added to the
+    SIGNED headers (the server recomputes the signature over whatever
+    SignedHeaders lists, so a sent-but-unsigned token would 403)."""
+    tok_fs = S3FS(s3.endpoint, ACCESS, SECRET, REGION, session_token="tok123")
+    with tok_fs.open("s3://bkt/tok/a.bin", "wb") as f:
+        f.write(b"with token")
+    with tok_fs.open("s3://bkt/tok/a.bin", "rb") as f:
+        assert f.read() == b"with token"
+
+
+def test_question_mark_wildcard_key(s3):
+    """'?' is a glob wildcard the source supports — urlparse-based URI
+    splitting would truncate the key at it."""
+    with s3.open("s3://bkt/q/part-00001.vortex", "wb") as f:
+        f.write(b"x")
+    assert s3.glob("s3://bkt/q/part-0000?.vortex") == ["s3://bkt/q/part-00001.vortex"]
+
+
+def test_spark_datasource_writes_vortex_over_s3(s3, spark):
+    """Finding-2 regression: df.write.format('vortex')
+    .mode('overwrite').option('s3_endpoint', ...).save('s3://...') —
+    the writer() overwrite branch runs in its own worker process and
+    must register the store from options BEFORE routing the path."""
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+
+    def opts(w):
+        return (
+            w.option("s3_endpoint", s3.endpoint)
+            .option("s3_access_key", ACCESS)
+            .option("s3_secret_key", SECRET)
+        )
+
+    df = spark.range(300).selectExpr("id AS k", "CAST(id % 9 AS STRING) AS v")
+    opts(df.coalesce(1).write.format("vortex").mode("append")).save("s3://bkt/w/ds")
+    # overwrite: must route s3 in the planning worker to clear old parts
+    df2 = spark.range(100).selectExpr("id AS k", "'x' AS v")
+    opts(df2.coalesce(1).write.format("vortex").mode("overwrite")).save("s3://bkt/w/ds")
+    back = (
+        spark.read.format("vortex")
+        .option("s3_endpoint", s3.endpoint)
+        .option("s3_access_key", ACCESS)
+        .option("s3_secret_key", SECRET)
+        .load("s3://bkt/w/ds")
+    )
+    assert back.count() == 100  # old parts really were removed
