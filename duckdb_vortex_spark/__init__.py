@@ -66,6 +66,8 @@ _EXPORTS = {
         "duckdb_vortex_spark.operators.contamination",
         "cross_source_shared_shingles",
     ),
+    "register_s3": ("duckdb_vortex_spark.sources.object_store", "register_s3"),
+    "S3FS": ("duckdb_vortex_spark.sources.object_store", "S3FS"),
     # streaming
     "tumbling_counts": ("duckdb_vortex_spark.streaming.windows", "tumbling_counts"),
     "sliding_counts": ("duckdb_vortex_spark.streaming.windows", "sliding_counts"),
