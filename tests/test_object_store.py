@@ -561,3 +561,52 @@ def test_spark_datasource_writes_vortex_over_s3(s3, spark):
         .load("s3://bkt/w/ds")
     )
     assert back.count() == 100  # old parts really were removed
+
+
+def test_spark_streaming_reads_vortex_over_s3(s3, spark, tmp_path):
+    """readStream.format('vortex') over s3://: the stream reader's
+    offset discovery (glob), schema bind, and per-chunk reads all run
+    in worker processes and register the store from options. Appending
+    a new object between drains delivers only the new rows."""
+    from duckdb_vortex_spark.sources import vortex_format as vf
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+
+    def put(name, lo, hi):
+        import unittest.mock as _m
+
+        table = pa.table({"v": pa.array(list(range(lo, hi)), pa.int64())})
+        with _m.patch.dict(vf._FILESYSTEMS, {"s3": s3}):
+            w = vf.VortexFileWriter(f"s3://bkt/stream/{name}", table.schema)
+            w.write_table(table)
+            w.close()
+
+    put("part-00000.vortex", 0, 10)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("vortex")
+            .option("s3_endpoint", s3.endpoint)
+            .option("s3_access_key", ACCESS)
+            .option("s3_secret_key", SECRET)
+            .load("s3://bkt/stream/part-*.vortex")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    drain()
+    assert spark.read.parquet(out).count() == 10
+    put("part-00001.vortex", 10, 15)
+    drain()
+    back = spark.read.parquet(out)
+    assert back.count() == 15  # exactly-once: only the 5 new rows added
+    assert back.agg({"v": "sum"}).first()[0] == sum(range(15))
