@@ -480,22 +480,41 @@ def dedup_minhash_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over distinct tokens (xxhash64 fast path).
-    Near-dups have small Hamming distance between signatures."""
+    Near-dups have small Hamming distance between signatures.
+
+    Shape (round 4, same fix as ``_portable_simhash_frame``): explode
+    distinct tokens, hash each token ONCE, and take the 64 bit-sums as
+    integer SUM aggregates over one doc-key shuffle — whole-stage
+    codegen end to end. The previous column form ran 64 interpreted
+    ``F.aggregate`` passes per row, each re-running tokenization and
+    xxhash64 over every token. Zero-token documents rejoin with
+    signature 0 (every bit-sum empty ⇒ no bit set), matching the old
+    form's empty-aggregate result."""
     toks = F.array_distinct(tokens(text_col))
-
-    def _bit_acc(j: int):
-        return lambda acc, t: acc + (
-            F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1
+    t = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("tok")).withColumn(
+        "__h", F.xxhash64("tok")
+    )
+    aggs = [
+        F.expr(f"CAST(SUM(((__h >> {j}) & 1) * 2 - 1) AS BIGINT)").alias(f"__s{j}")
+        for j in range(64)
+    ]
+    assemble = " + ".join(
+        f"CAST(__s{j} > 0 AS BIGINT) * {2**j if j < 63 else -(2**63)}"
+        for j in range(64)
+    )
+    sigs = (
+        t.groupBy("__id")
+        .agg(*aggs)
+        .select("__id", F.expr(f"CAST({assemble} AS BIGINT)").alias("simhash"))
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return (
+        ids.join(sigs, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash"),
         )
-
-    bits = []
-    for j in range(64):
-        contrib = F.aggregate(toks, F.lit(0).cast("bigint"), _bit_acc(j))
-        bits.append((contrib > 0).cast("bigint") * F.lit(2**j if j < 63 else -(2**63)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    )
 
 
 def _portable_simhash_frame(
