@@ -116,6 +116,15 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 4)
     _delta_report(timings)
+    # Per-query spreads go to stderr + a side file, NOT the stdout
+    # machine line: inlining them in round 4 pushed the JSON line past
+    # the driver's ~2.2 KB tail-capture window and BENCH_r04.json came
+    # back `parsed: null` (VERDICT r4 #3). stdout carries exactly one
+    # compact line the driver can always parse.
+    print("spreads " + json.dumps(spreads, separators=(",", ":")), file=sys.stderr)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_SPREADS.json"), "w") as f:
+        json.dump({"spreads": spreads, "n_timed": N_TIMED, "estimator": "median"}, f)
     print(
         json.dumps(
             {
@@ -123,11 +132,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spreads": spreads,
                 "n_timed": N_TIMED,
                 "estimator": "median",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -187,22 +187,44 @@ def _ensure_loaded() -> None:
     from .streaming import windows as stream_windows  # noqa: F401
 
 
-def _driver_sampled_names() -> set[str]:
-    """Entry names that already earned a driver correctness row in ANY
-    past round (the driver writes CORRECTNESS_r{N}.json at the repo
-    root, one key per sampled entry). Used to rotate the sample so
-    every entry eventually gets a driver row."""
+def _driver_rows() -> tuple[set[str], set[str]]:
+    """(sampled, green) entry-name sets from past driver artifacts.
+
+    The driver writes CORRECTNESS_r{N}.json at the repo root, one key
+    per sampled entry. ``sampled`` = any past row at all; ``green`` =
+    at least one past row that actually PASSED: ``hash_match`` true,
+    or — only for entries that are oracle-less today — a completed
+    rows-only check (``err == 'no_oracle'`` with a row count). A
+    sampled-but-never-green entry (a failed run, or a weak no_oracle
+    row from before the entry gained its oracle) must re-enter the
+    rotation right behind the never-sampled group, otherwise it sits
+    in the seen-pool with no priority forever (VERDICT r4 #2:
+    ``similarity_pq_codes``, ``agg_approx_count_distinct``)."""
     import json
     from pathlib import Path
 
-    seen: set[str] = set()
+    sampled: set[str] = set()
+    green: set[str] = set()
+    oracle_less = {e.name for e in _REGISTRY.values() if e.oracle is None}
     root = Path(__file__).resolve().parents[1]
     for f in root.glob("CORRECTNESS_r*.json"):
         try:
-            seen.update(json.loads(f.read_text()).keys())
+            doc = json.loads(f.read_text())
         except Exception:  # unreadable artifact: ignore, worst case re-sample
             continue
-    return seen
+        for name, row in doc.items():
+            sampled.add(name)
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                green.add(name)
+            elif (
+                name in oracle_less
+                and row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                green.add(name)
+    return sampled, green
 
 
 def entries() -> dict[str, CatalogEntry]:
@@ -218,28 +240,35 @@ def entries() -> dict[str, CatalogEntry]:
        CORRECTNESS_r*.json artifacts) come first, so each round's head
        sample sweeps previously-unchecked entries until every entry
        has earned a driver row at least once;
-    2. within each group, round-robin one entry per family (defining
-       module) so no module monopolizes the head;
-    3. oracle-less entries (driver records a weaker ``no_oracle`` row)
+    2. then entries sampled but with NO green row yet (a past failure,
+       or only a weak ``no_oracle`` row from before the entry gained
+       its oracle) — these must re-enter the sample, not rot in the
+       seen-pool (VERDICT r4 #2);
+    3. then green entries; within each group, round-robin one entry
+       per family (defining module) so no module monopolizes the head;
+    4. oracle-less entries (driver records a weaker ``no_oracle`` row)
        go last so the sampled head is fully hash-checkable.
 
     Order is deterministic for a given set of artifacts: family order =
     first registration, intra-family order = registration order.
     """
     _ensure_loaded()
-    sampled = _driver_sampled_names()
+    sampled, green = _driver_rows()
     fresh_by_family: dict[str, list[CatalogEntry]] = {}
+    retry_by_family: dict[str, list[CatalogEntry]] = {}
     seen_by_family: dict[str, list[CatalogEntry]] = {}
     deferred: list[CatalogEntry] = []
     for e in _REGISTRY.values():
         if e.oracle is None:
             deferred.append(e)
-        elif e.name in sampled:
-            seen_by_family.setdefault(e.family, []).append(e)
-        else:
+        elif e.name not in sampled:
             fresh_by_family.setdefault(e.family, []).append(e)
+        elif e.name not in green:
+            retry_by_family.setdefault(e.family, []).append(e)
+        else:
+            seen_by_family.setdefault(e.family, []).append(e)
     ordered: dict[str, CatalogEntry] = {}
-    for group in (fresh_by_family, seen_by_family):
+    for group in (fresh_by_family, retry_by_family, seen_by_family):
         queues = [list(q) for q in group.values()]
         while queues:
             remaining = []

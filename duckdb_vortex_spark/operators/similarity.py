@@ -982,7 +982,10 @@ WITH cent AS (
 )
 SELECT
   vec_id,
-  list(CAST(cid AS INTEGER) ORDER BY s) AS codes,
+  CAST(max(CASE WHEN s = 0 THEN cid END) AS INTEGER) AS c0,
+  CAST(max(CASE WHEN s = 1 THEN cid END) AS INTEGER) AS c1,
+  CAST(max(CASE WHEN s = 2 THEN cid END) AS INTEGER) AS c2,
+  CAST(max(CASE WHEN s = 3 THEN cid END) AS INTEGER) AS c3,
   list_sum(list(d2 ORDER BY s)) AS qerr
 FROM best
 WHERE rn = 1
@@ -997,9 +1000,20 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes + its quantization error. Completes the ANN family —
     brute-force (exact), LSH (hash prefilter), IVF (bucketed), PQ
     (compressed storage); at scale PQ codes are what the IVF clusters
-    store. See :func:`pq_encode` for the scale/exactness design."""
+    store. See :func:`pq_encode` for the scale/exactness design.
+
+    Output is SCALAR columns ``c0..c3 INT`` (not the internal
+    ``codes`` array): the driver's canonicalizer sorts a pandas frame
+    by every column and dies on unhashable Python lists (the round-4
+    red row). Catalog contract: no entry emits Array/Map/Struct —
+    enforced for every entry in tests/test_catalog_oracle.py."""
     emb = load(spark, sf_dir, "embeddings")
-    return pq_encode(emb, pq_codebooks(emb, m=4, k=16))
+    enc = pq_encode(emb, pq_codebooks(emb, m=4, k=16))
+    return enc.select(
+        "vec_id",
+        *[enc["codes"][i].alias(f"c{i}") for i in range(4)],
+        "qerr",
+    )
 
 
 def pq_adc_topk(

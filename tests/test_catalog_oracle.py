@@ -13,10 +13,30 @@ from .conftest import SF_DIR, assert_matches_oracle
 ENTRIES = catalog.entries()
 
 
+def _assert_flat_schema(name, df):
+    """No catalog entry may output Array/Map/Struct columns: the DRIVER
+    canonicalizer (pandas sort_values over all columns) dies on
+    unhashable lists — `similarity_pq_codes` was the round-4 red row
+    for exactly this, masked locally because conftest stringifies
+    values before sorting. Flat output keeps local-green == driver-green."""
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"[{name}] outputs complex-typed columns {complex_cols}; the driver "
+        "canonicalizer cannot sort them — emit scalar columns instead"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ENTRIES))
 def test_catalog_entry(name, spark, oracle):
     e = ENTRIES[name]
     df = e.builder(spark, SF_DIR)
+    _assert_flat_schema(name, df)
     if e.oracle is None:
         assert df.count() >= 0  # rows-only check, mirrors driver's weak gate
     else:
