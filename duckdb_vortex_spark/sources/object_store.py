@@ -35,11 +35,12 @@ routes hang off the same scheme registry.
 from __future__ import annotations
 
 import datetime as _dt
-import fnmatch
 import hashlib
 import hmac
 import io
 import os
+import re
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -48,6 +49,42 @@ import xml.etree.ElementTree as ET
 __all__ = ["S3FS", "SigV4Signer", "register_s3", "parse_s3_uri"]
 
 _EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+def _glob_regex(pat: str) -> re.Pattern:
+    """Compile a glob to a regex with LOCAL-GLOB semantics: ``*`` and
+    ``?`` match within one path segment (never ``/``); ``**`` matches
+    across segments; ``[...]`` character classes pass through. fnmatch
+    is wrong here — its ``*`` crosses ``/``, so ``dir/*.vortex`` would
+    also match ``dir/sub/x.vortex`` (ADVICE r4)."""
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "*":
+            if pat[i : i + 2] == "**":
+                out.append(".*")
+                i += 2
+                if pat[i : i + 1] == "/":
+                    i += 1  # '**/' already covered by '.*'
+                continue
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c == "[":
+            j = pat.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                cls = pat[i + 1 : j]
+                if cls.startswith("!"):
+                    cls = "^" + cls[1:]
+                out.append("[" + cls + "]")
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("".join(out))
 
 
 def parse_s3_uri(path: str) -> tuple[str, str]:
@@ -266,6 +303,17 @@ class _S3WritableFile(io.RawIOBase):
                 )
         super().close()
 
+    def __exit__(self, exc_type, exc, tb) -> None:
+        # ``with s3.open(..., 'wb')`` must NOT publish a truncated
+        # object when the block raises: commit (close) only on clean
+        # exit, abort the multipart upload otherwise (ADVICE r4 —
+        # the vortex writer paths already call abort() explicitly;
+        # this extends the guarantee to direct S3FS users).
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
+
 
 class S3FS:
     """Object-store filesystem implementing the vortex source's
@@ -276,12 +324,32 @@ class S3FS:
 
     flat_namespace = True  # no directories: glob results are real objects
 
+    # real S3 rejects multipart parts under 5 MiB (except the last)
+    # with EntityTooSmall — at CompleteMultipartUpload, AFTER every
+    # part already uploaded. Validate up front instead (ADVICE r4);
+    # ``allow_small_parts=True`` is the escape hatch for test
+    # endpoints that accept any size.
+    MIN_PART_SIZE = 5 * 1024 * 1024
+
     def __init__(self, endpoint_url: str, access_key: str | None = None,
                  secret_key: str | None = None, region: str = "us-east-1",
                  part_size: int = 64 * 1024 * 1024,
-                 session_token: str | None = None):
+                 session_token: str | None = None,
+                 timeout: float = 60.0, max_retries: int = 3,
+                 retry_backoff: float = 0.5,
+                 allow_small_parts: bool = False):
+        if part_size < self.MIN_PART_SIZE and not allow_small_parts:
+            raise ValueError(
+                f"part_size {part_size} < S3's 5 MiB multipart minimum — real "
+                "S3 fails the upload with EntityTooSmall only at "
+                "CompleteMultipartUpload, after all parts are shipped; pass "
+                "allow_small_parts=True only for test endpoints"
+            )
         self.endpoint = endpoint_url.rstrip("/")
         self.part_size = part_size
+        self.timeout = timeout
+        self.max_retries = max_retries
+        self.retry_backoff = retry_backoff
         # AWS_SESSION_TOKEN: temporary credentials (STS/instance roles/
         # SSO) are the NORM on real clusters; without the signed
         # x-amz-security-token header every such request 403s
@@ -296,7 +364,29 @@ class S3FS:
             region,
         )
 
+    @property
+    def config(self) -> tuple:
+        """Identity tuple for conflict detection in register_s3: two
+        stores are "the same" iff every wire-affecting parameter is."""
+        return (
+            self.endpoint,
+            self.signer.access_key,
+            self.signer.secret_key,
+            self.signer.region,
+            self.session_token,
+        )
+
     # -- HTTP plumbing -----------------------------------------------------
+
+    # 5xx statuses real S3 emits for transient conditions (500
+    # InternalError, 503 SlowDown under request-rate throttling) plus
+    # the gateway pair a proxy in front of the store can add.
+    _RETRY_STATUSES = frozenset({500, 502, 503, 504})
+    # Verbs safe to resend: GET/HEAD are pure reads; DELETE and a
+    # partNumber'd PUT are idempotent (re-PUT of the same part just
+    # replaces it). POST (InitiateMultipart / CompleteMultipart) is NOT
+    # retried here — a blind re-POST of initiate leaks an upload id.
+    _RETRY_METHODS = frozenset({"GET", "HEAD", "PUT", "DELETE"})
 
     def _request_full(self, method: str, bucket: str, key: str,
                       query: dict[str, str] | None = None,
@@ -305,7 +395,14 @@ class S3FS:
         """Sign and send one request; returns the open response (body
         + headers). The SINGLE copy of the canonical-uri → sign →
         Request → send sequence — every verb routes through here so a
-        signing change (e.g. session tokens) lands exactly once."""
+        signing change (e.g. session tokens) lands exactly once.
+
+        Every send carries an explicit ``timeout`` (a stalled
+        connection must fail the Spark task, not hang the executor
+        slot forever), and idempotent verbs get a small bounded retry
+        with backoff: transient 500/503 (S3 ``SlowDown``) responses
+        are ROUTINE against a real store under load and must not fail
+        a whole task on first occurrence (ADVICE r4)."""
         query = query or {}
         canonical_uri = "/" + urllib.parse.quote(f"{bucket}/{key}" if key else bucket,
                                                  safe="/-_.~")
@@ -314,18 +411,35 @@ class S3FS:
         extra = dict(headers or {})
         if self.session_token:
             extra["x-amz-security-token"] = self.session_token
-        hdrs = self.signer.sign(method, host, canonical_uri, query, extra, payload_hash)
-        # send EXACTLY the canonical encoding that was signed (urlencode
-        # would emit '+' for spaces where sigv4 canonicalizes '%20' —
-        # real S3 recomputes the signature from the raw sent query, so
-        # the two encodings must byte-match)
         qs = ("?" + self.signer._canonical_query(query)) if query else ""
-        req = urllib.request.Request(
-            f"{self.endpoint}{canonical_uri}{qs}", data=body or None, method=method
-        )
-        for k, v in hdrs.items():
-            req.add_header(k, v)
-        return urllib.request.urlopen(req)
+        attempts = self.max_retries + 1 if method in self._RETRY_METHODS else 1
+        for attempt in range(attempts):
+            # re-sign per attempt: x-amz-date must be fresh (a retry
+            # after backoff with a stale signature can trip the
+            # server's request-skew window on long backoffs)
+            hdrs = self.signer.sign(
+                method, host, canonical_uri, query, extra, payload_hash
+            )
+            # send EXACTLY the canonical encoding that was signed
+            # (urlencode would emit '+' for spaces where sigv4
+            # canonicalizes '%20' — real S3 recomputes the signature
+            # from the raw sent query, so the encodings must byte-match)
+            req = urllib.request.Request(
+                f"{self.endpoint}{canonical_uri}{qs}", data=body or None, method=method
+            )
+            for k, v in hdrs.items():
+                req.add_header(k, v)
+            try:
+                return urllib.request.urlopen(req, timeout=self.timeout)
+            except urllib.error.HTTPError as e:
+                if attempt + 1 >= attempts or e.code not in self._RETRY_STATUSES:
+                    raise
+                e.close()
+            except (urllib.error.URLError, TimeoutError, ConnectionError):
+                # connection reset / DNS blip / socket timeout
+                if attempt + 1 >= attempts:
+                    raise
+            time.sleep(self.retry_backoff * (2 ** attempt))
 
     def _request(self, method: str, bucket: str, key: str,
                  query: dict[str, str] | None = None,
@@ -391,28 +505,63 @@ class S3FS:
     # -- handler protocol --------------------------------------------------
 
     def open(self, path: str, mode: str = "rb"):
+        """Open one object. Write mode streams multipart; NOTE the
+        commit contract: ``close()`` PUBLISHES the object (single PUT
+        or CompleteMultipartUpload) — a writer that may fail mid-write
+        must call ``abort()`` on the error path, and the ``with``
+        statement does this automatically (``__exit__`` aborts on
+        exception, commits only on clean exit)."""
         bucket, key = parse_s3_uri(path)
         if "r" in mode:
             return _S3ReadableFile(self, bucket, key)
         return _S3WritableFile(self, bucket, key, self.part_size)
 
     def glob(self, pattern: str) -> list[str]:
+        return [p for p, _ in self.glob_entries(pattern)]
+
+    def glob_entries(self, pattern: str) -> list[tuple[str, bool]]:
+        """Glob with LOCAL-GLOB segment semantics over the flat key
+        namespace: ``*``/``?``/``[...]`` never match ``/`` (so
+        ``dir/*.vortex`` cannot silently pull in ``dir/sub/x.vortex``)
+        while ``**`` crosses segments — matching the local-filesystem
+        handler, so a dataset URI means the same files on either store
+        (ADVICE r4).
+
+        Returns ``(uri, is_dir)`` pairs from ONE listing: a key that
+        fully matches is an object (``is_dir=False``); a *key prefix*
+        ending at a ``/`` boundary that matches is a dataset
+        "directory" (``is_dir=True`` — e.g. pattern ``ds-?.vortex``
+        with data at ``ds-1.vortex/part-0.vortex``), which the vortex
+        source expands to its part files exactly as it does locally.
+        No per-match network probes — object/directory classification
+        falls out of the same listing."""
         bucket, keypat = parse_s3_uri(pattern)
         # list from the literal prefix before the first wildcard, then
-        # fnmatch client-side ('**' and '*' both match across '/' here;
-        # object stores are flat namespaces)
+        # regex-match client-side
         cut = len(keypat)
         for ch in "*?[":
             i = keypat.find(ch)
             if i != -1:
                 cut = min(cut, i)
         scheme = pattern.partition("://")[0]
-        pat = keypat.replace("**/", "*").replace("**", "*")
-        return sorted(
-            f"{scheme}://{bucket}/{k}"
-            for k in self._list(bucket, keypat[:cut])
-            if fnmatch.fnmatchcase(k, pat)
-        )
+        rx = _glob_regex(keypat)
+        objects: set[str] = set()
+        dirs: set[str] = set()
+        for k in self._list(bucket, keypat[:cut]):
+            if rx.fullmatch(k):
+                objects.add(k)
+                continue
+            # probe each '/'-boundary prefix of the key as a directory
+            j = k.find("/")
+            while j != -1:
+                pre = k[:j]
+                if rx.fullmatch(pre):
+                    dirs.add(pre)
+                    break
+                j = k.find("/", j + 1)
+        entries = [(f"{scheme}://{bucket}/{k}", False) for k in objects]
+        entries += [(f"{scheme}://{bucket}/{d}", True) for d in dirs - objects]
+        return sorted(entries)
 
     def isdir(self, path: str) -> bool:
         bucket, key = parse_s3_uri(path)
@@ -439,15 +588,34 @@ class S3FS:
 def register_s3(endpoint_url: str, access_key: str | None = None,
                 secret_key: str | None = None, region: str = "us-east-1",
                 schemes: tuple[str, ...] = ("s3", "s3a", "s3n"),
-                session_token: str | None = None) -> S3FS:
+                session_token: str | None = None,
+                replace: bool = False, **s3fs_kwargs) -> S3FS:
     """Build an S3FS and register it for the s3/s3a/s3n schemes in the
     vortex source's scheme registry. Call once per process (driver AND
     executors — in practice from a session-init hook). ``session_token``
-    (or AWS_SESSION_TOKEN in the env) enables temporary STS creds."""
+    (or AWS_SESSION_TOKEN in the env) enables temporary STS creds.
+
+    A scheme can hold only ONE store per process, so registering a
+    *different* endpoint/credentials over an existing registration is
+    a conflict that silently reroutes the first dataset's later reads
+    (ADVICE r4): it now raises unless ``replace=True`` (the vortex
+    DataSource's per-task option re-application passes replace=True
+    deliberately — each task re-registers its OWN store immediately
+    before resolving paths, see vortex._apply_store_options)."""
     from . import vortex_format
 
     fs = S3FS(endpoint_url, access_key, secret_key, region,
-              session_token=session_token)
+              session_token=session_token, **s3fs_kwargs)
+    if not replace:
+        for s in schemes:
+            prev = vortex_format._FILESYSTEMS.get(s)
+            if isinstance(prev, S3FS) and prev.config != fs.config:
+                raise ValueError(
+                    f"scheme {s!r} already registered for endpoint "
+                    f"{prev.endpoint!r}; registering {fs.endpoint!r} would "
+                    "silently reroute its reads — pass replace=True if "
+                    "intentional"
+                )
     for s in schemes:
         vortex_format.register_filesystem(s, fs)
     return fs

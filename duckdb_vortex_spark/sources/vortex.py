@@ -76,18 +76,30 @@ def _expand(path: str) -> list[str]:
     vortex_format."""
     fs, p = vfmt.filesystem_for(path)
     globbed = any(ch in p for ch in "*?[")
+    if globbed and getattr(fs, "flat_namespace", False):
+        # object stores have no directories, so per-match isdir probes
+        # (a listing each) are O(matches) network at plan time. The
+        # store's glob_entries classifies object vs dataset-"directory"
+        # matches from its ONE listing: objects append directly;
+        # directory matches (a dataset named ds-1.vortex with data at
+        # ds-1.vortex/part-0.vortex) expand to their part files exactly
+        # as the local isdir branch does (ADVICE r4 — previously these
+        # silently expanded to nothing).
+        files: list[str] = []
+        for m, is_dir in fs.glob_entries(p):
+            if is_dir:
+                files.extend(
+                    fs.glob(m.rstrip("/") + f"/part-*{FILE_SUFFIX}")
+                    or fs.glob(m.rstrip("/") + f"/**/part-*{FILE_SUFFIX}")
+                )
+            else:
+                files.append(m)
+        prefix = path[: len(path) - len(p)]
+        return [prefix + f for f in files]
     matches = fs.glob(p) if globbed else [p]
-    files: list[str] = []
+    files = []
     for m in matches:
-        if globbed and getattr(fs, "flat_namespace", False):
-            # object stores have no directories: every key a glob
-            # returns IS an existing object — re-probing each match
-            # with isdir (a listing) + exists (a HEAD) would be
-            # O(matches) network round trips at plan time. Local
-            # filesystems must keep the isdir branch: datasets are
-            # directories that may themselves be named *.vortex.
-            files.append(m)
-        elif fs.isdir(m):
+        if fs.isdir(m):
             # flat dataset, then hive-partitioned subdirs (col=value/…)
             files.extend(
                 fs.glob(os.path.join(m, f"part-*{FILE_SUFFIX}"))
@@ -99,7 +111,7 @@ def _expand(path: str) -> list[str]:
     return [prefix + f for f in files]
 
 
-_STORE_REGISTERED: set[tuple] = set()
+_STORE_CURRENT: tuple | None = None
 
 
 def _store_options(options: dict) -> dict:
@@ -117,11 +129,22 @@ def _apply_store_options(store: dict) -> None:
     separate worker processes (driver-side workers for schema binding,
     executor workers for read/write tasks), so driver-side registry
     state never travels; each entry point re-applies from the options
-    it was pickled with. Idempotent and cached per option tuple."""
+    it was pickled with.
+
+    The cache tracks the CURRENTLY-registered option tuple, not every
+    tuple ever registered: with an ever-registered set, two datasets on
+    different stores in one worker process would leave the second
+    store's client registered while the first dataset's next task
+    skips re-registration and silently reads through the wrong store
+    (ADVICE r4). Each task re-applies its OWN options immediately
+    before resolving paths, so reads always route to their dataset's
+    store; ``replace=True`` marks that swap as deliberate to
+    register_s3's conflict guard."""
+    global _STORE_CURRENT
     if not store or "s3_endpoint" not in store:
         return
     key = tuple(sorted(store.items()))
-    if key in _STORE_REGISTERED:
+    if key == _STORE_CURRENT:
         return
     from .object_store import register_s3
 
@@ -131,8 +154,9 @@ def _apply_store_options(store: dict) -> None:
         store.get("s3_secret_key"),
         store.get("s3_region", "us-east-1"),
         session_token=store.get("s3_session_token"),
+        replace=True,
     )
-    _STORE_REGISTERED.add(key)
+    _STORE_CURRENT = key
 
 
 def _option_paths(options: dict) -> tuple[str, list[str]]:

@@ -610,3 +610,137 @@ def test_spark_streaming_reads_vortex_over_s3(s3, spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 15  # exactly-once: only the 5 new rows added
     assert back.agg({"v": "sum"}).first()[0] == sum(range(15))
+
+
+# --- round-5 hardening (ADVICE r4) -----------------------------------------
+
+def test_glob_does_not_cross_segments(s3):
+    """'*'/'?' stay within one key segment (local-glob semantics): a
+    dataset glob must not silently pull in nested keys."""
+    for k in ("dir/a.vortex", "dir/b.vortex", "dir/sub/x.vortex"):
+        with s3.open(f"s3://bkt/{k}", "wb") as f:
+            f.write(b"z")
+    assert s3.glob("s3://bkt/dir/*.vortex") == [
+        "s3://bkt/dir/a.vortex",
+        "s3://bkt/dir/b.vortex",
+    ]
+    # '**' is the explicit recursive form
+    assert "s3://bkt/dir/sub/x.vortex" in s3.glob("s3://bkt/dir/**.vortex")
+    assert s3.glob("s3://bkt/dir/?.vortex") == [
+        "s3://bkt/dir/a.vortex",
+        "s3://bkt/dir/b.vortex",
+    ]
+
+
+def test_glob_expands_dataset_directories(s3):
+    """A glob whose match is a dataset 'directory' name (data lives at
+    ds-1.vortex/part-*.vortex) classifies as a directory entry and the
+    vortex _expand path resolves it to part files, as locally."""
+    import unittest.mock as _m
+
+    from duckdb_vortex_spark.sources import vortex as vx
+    from duckdb_vortex_spark.sources import vortex_format as vf
+
+    for ds in ("ds-1.vortex", "ds-2.vortex"):
+        for p in ("part-00000.vortex", "part-00001.vortex"):
+            with s3.open(f"s3://bkt/{ds}/{p}", "wb") as f:
+                f.write(b"z")
+    ents = s3.glob_entries("s3://bkt/ds-?.vortex")
+    assert ents == [("s3://bkt/ds-1.vortex", True), ("s3://bkt/ds-2.vortex", True)]
+    with _m.patch.dict(vf._FILESYSTEMS, {"s3": s3}):
+        got = vx._expand("s3://bkt/ds-?.vortex")
+    assert got == [
+        "s3://bkt/ds-1.vortex/part-00000.vortex",
+        "s3://bkt/ds-1.vortex/part-00001.vortex",
+        "s3://bkt/ds-2.vortex/part-00000.vortex",
+        "s3://bkt/ds-2.vortex/part-00001.vortex",
+    ]
+
+
+def test_with_block_aborts_on_exception(s3):
+    """`with open(...,'wb')` must not publish a truncated object when
+    the block raises: multipart is aborted, nothing becomes visible."""
+    s3.part_size = 1024
+    with pytest.raises(RuntimeError, match="boom"):
+        with s3.open("s3://bkt/doomed.bin", "wb") as f:
+            f.write(b"x" * 4096)  # ships parts -> multipart initiated
+            raise RuntimeError("boom")
+    assert not s3.exists("s3://bkt/doomed.bin")
+    # clean exit still commits
+    with s3.open("s3://bkt/fine.bin", "wb") as f:
+        f.write(b"x" * 4096)
+    assert s3.exists("s3://bkt/fine.bin")
+
+
+def test_part_size_minimum_validated():
+    """part_size below S3's 5 MiB multipart floor fails fast at
+    construction (real S3 only fails at CompleteMultipartUpload)."""
+    with pytest.raises(ValueError, match="5 MiB"):
+        S3FS("http://127.0.0.1:1", ACCESS, SECRET, REGION, part_size=1024)
+    fs = S3FS("http://127.0.0.1:1", ACCESS, SECRET, REGION,
+              part_size=1024, allow_small_parts=True)
+    assert fs.part_size == 1024
+
+
+def test_register_s3_conflict_raises(s3):
+    """Registering a DIFFERENT endpoint over a live registration would
+    silently reroute the first store's reads: loud error unless the
+    caller owns the swap with replace=True."""
+    import unittest.mock as _m
+
+    from duckdb_vortex_spark.sources import vortex_format as vf
+    from duckdb_vortex_spark.sources.object_store import register_s3
+
+    with _m.patch.dict(vf._FILESYSTEMS, {}, clear=False):
+        register_s3(s3.endpoint, ACCESS, SECRET, REGION, replace=True)
+        register_s3(s3.endpoint, ACCESS, SECRET, REGION)  # same config: fine
+        with pytest.raises(ValueError, match="replace=True"):
+            register_s3("http://127.0.0.1:9", ACCESS, SECRET, REGION)
+        out = register_s3("http://127.0.0.1:9", ACCESS, SECRET, REGION,
+                          replace=True)
+        assert vf._FILESYSTEMS["s3"] is out
+
+
+def test_transient_503_retried(s3, monkeypatch):
+    """A SlowDown-style 503 on an idempotent verb is retried with
+    backoff instead of failing the task; POST is never blind-retried."""
+    import io as _io
+    import urllib.request as _ur
+
+    s3.retry_backoff = 0.0
+    with s3.open("s3://bkt/retry.bin", "wb") as f:
+        f.write(b"payload")
+    real = _ur.urlopen
+    fails = {"n": 2}
+
+    def flaky(req, timeout=None):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise urllib.error.HTTPError(
+                req.full_url, 503, "SlowDown", {}, _io.BytesIO(b"")
+            )
+        return real(req, timeout=timeout)
+
+    monkeypatch.setattr(_ur, "urlopen", flaky)
+    with s3.open("s3://bkt/retry.bin", "rb") as f:
+        assert f.read() == b"payload"
+    assert fails["n"] == 0
+
+
+def test_requests_carry_timeout(s3, monkeypatch):
+    """Every send passes an explicit socket timeout (a stalled
+    connection must fail the task, not hang the executor slot)."""
+    import urllib.request as _ur
+
+    seen: list[float | None] = []
+    real = _ur.urlopen
+
+    def spy(req, timeout=None):
+        seen.append(timeout)
+        return real(req, timeout=timeout)
+
+    monkeypatch.setattr(_ur, "urlopen", spy)
+    with s3.open("s3://bkt/t.bin", "wb") as f:
+        f.write(b"x")
+    s3.exists("s3://bkt/t.bin")
+    assert seen and all(t == s3.timeout for t in seen)
