@@ -284,7 +284,11 @@ class VortexReader(DataSourceReader):
         )
         rest = []
         for f in filters:
-            if isinstance(f, supported) and len(f.attribute) == 1:
+            # attribute may be a multi-segment path into a STRUCT
+            # column (("st", "a")): nested layouts carry per-leaf zone
+            # maps (vortex_format._encode_nested), so these prune
+            # chunks exactly like top-level columns.
+            if isinstance(f, supported) and len(f.attribute) >= 1:
                 self.pushed.append(f)
             else:
                 rest.append(f)
@@ -312,6 +316,8 @@ class VortexReader(DataSourceReader):
         if not pvals:
             return True
         for f in self.pushed:
+            if len(f.attribute) != 1:
+                continue  # nested-path filter can never name a partition dir
             name = f.attribute[0]
             if name not in pvals:
                 continue
@@ -325,17 +331,25 @@ class VortexReader(DataSourceReader):
     def _chunk_survives(self, footer, chunk_idx: int) -> bool:
         """A7: zone-map pruning — skip a chunk when its footer
         min/max/null-count stats refute a pushed filter."""
-        stats = {}
-        for name in footer.chunks[chunk_idx]["columns"]:
-            triple = vfmt.chunk_stats(footer, chunk_idx, name)
-            if triple is None or triple[0] is None:
-                continue
-            stats[name] = SimpleNamespace(
-                min=triple[0], max=triple[1], null_count=triple[2]
-            )
+        stats: dict[str, SimpleNamespace | None] = {}
+
+        def stat_for(name: str):
+            if name not in stats:
+                triple = vfmt.chunk_stats(footer, chunk_idx, name)
+                stats[name] = (
+                    None
+                    if triple is None or triple[0] is None
+                    else SimpleNamespace(
+                        min=triple[0], max=triple[1], null_count=triple[2]
+                    )
+                )
+            return stats[name]
+
         for f in self.pushed:
-            name = f.attribute[0]
-            s = stats.get(name)
+            # dotted path resolves nested struct leaves (st.a) in the
+            # footer's child descriptors — same pruning as flat columns
+            name = ".".join(f.attribute)
+            s = stat_for(name)
             if s is None:
                 continue
             try:
@@ -390,8 +404,9 @@ class VortexReader(DataSourceReader):
 
         expr = None
         for f in self.pushed:
-            name = f.attribute[0]
-            field = pc.field(name)
+            # tuple path → nested field reference (Acero resolves
+            # struct steps); single-segment stays a plain column ref
+            field = pc.field(*f.attribute)
             if isinstance(f, EqualTo):
                 e = field == f.value
             elif isinstance(f, GreaterThan):

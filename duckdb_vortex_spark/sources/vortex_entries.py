@@ -268,3 +268,71 @@ def vortex_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+VORTEX_NESTED_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_cust,
+  MIN(o_orderdate) AS min_date
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@query("vortex_nested_roundtrip_scan", oracle=VORTEX_NESTED_ORACLE, tags=("vortex", "io", "nested"))
+def vortex_nested_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested STRUCT/LIST/MAP through the vortex container (round 5 —
+    SURVEY §1.2 stretch parity with the format's struct layouts):
+    orders re-shaped into a struct column (priority + exact price
+    cents + order date), a list column and a map column, written
+    priority-clustered, then scanned back with a PUSHED predicate on
+    the struct leaf ``st.priority`` (nested-leaf zone maps prune
+    non-matching chunks — vortex_format._encode_nested) and flattened
+    into scalar aggregates. The oracle computes the identical numbers
+    straight from parquet, so child-encoder fidelity (int bitpack /
+    string dict under a struct), offset reassembly, and nested
+    pushdown are all hash-checked. Output is flat scalars per the
+    catalog contract (no complex types reach the driver canonicalizer)."""
+    register(spark)
+    path = _fresh_dir("ne")
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            # priority-clustered WITHOUT a global single-threaded sort:
+            # range partition on the future struct leaf, sort within —
+            # chunks stay priority-homogeneous (selective st.priority
+            # zone maps) while the sort+write runs on every core
+            .repartitionByRange(4, "o_orderpriority")
+            .sortWithinPartitions("o_orderpriority")
+            .select(
+                F.col("o_orderkey"),
+                F.struct(
+                    F.col("o_orderpriority").alias("priority"),
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("bigint")
+                    .alias("price_cents"),
+                    F.col("o_orderdate").alias("odate"),
+                ).alias("st"),
+                F.array(F.col("o_custkey").cast("bigint")).alias("custs"),
+                F.create_map(
+                    F.col("o_orderstatus"), (F.col("o_custkey") % 10).cast("bigint")
+                ).alias("mp"),
+            )
+            .write.format("vortex")
+            .mode("append")
+            .option("chunk_rows", 4096)
+            .save(path)
+        )
+        back = spark.read.format("vortex").load(path)
+        out = back.filter(F.col("st.priority") == "1-URGENT").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("st.price_cents")).alias("sum_cents"),
+            F.sum(F.element_at("custs", 1)).alias("sum_cust"),
+            F.min(F.col("st.odate")).alias("min_date"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)

@@ -595,8 +595,97 @@ def _encode_specialized(arr, mn, mx, nc) -> ColumnChunk | None:
             meta = {"validity": len(validity), "lens": lmeta, "lens_len": len(lbuf)}
             meta, out = _cascade(meta, validity + lbuf + payload)
             return ColumnChunk("binary", meta, out, mn, mx, nc)
+    elif pt.is_struct(typ) or pt.is_list(typ) or pt.is_large_list(typ) or pt.is_map(typ):
+        return _encode_nested(arr, mn, mx, nc)
 
     return None
+
+
+def _validity_bytes(arr) -> bytes:
+    """Packed validity bitmap, b"" when the array has no nulls."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if arr.null_count == 0:
+        return b""
+    mask = np.asarray(pc.is_valid(arr), dtype=bool)
+    return np.packbits(mask, bitorder="little").tobytes()
+
+
+def _encode_nested(arr, mn, mx, nc) -> ColumnChunk:
+    """STRUCT / LIST / MAP layouts (SURVEY §1.2 stretch parity with the
+    Vortex format's struct layouts — `vortex-layout`,
+    /root/reference/vortex-extension/Cargo.lock:4414-4456): the column
+    decomposes into independently-encoded CHILD columns, each going
+    through the full specialized-encoder cascade (ints bit-pack,
+    floats ALP, strings FSST/dict …) instead of one opaque Arrow-IPC
+    blob. Child descriptors — including each leaf's min/max/null-count
+    — live in the chunk meta, so zone maps exist per nested leaf and
+    the reader prunes chunks on `st.field` predicates exactly like on
+    top-level columns.
+
+    Layouts (all after the outer validity bitmap):
+    - struct: child buffers back to back, one per field (recursive).
+    - list/large_list: bit-packed rebased offsets, then the values
+      child sliced to the used range (offsets of a sliced array are
+      rebased to 0, so slicing never ships unreferenced values).
+    - map: offsets, then the key child and the value child (a map is
+      list<entries struct<key,value>> — children encode flat, so
+      string keys get dictionary/FSST like any string column).
+    """
+    import numpy as np
+    import pyarrow.types as pt
+
+    typ = arr.type
+    validity = _validity_bytes(arr)
+
+    def child(name: str, carr) -> tuple[dict, bytes]:
+        cc = encode_column(carr)
+        return (
+            {
+                "name": name,
+                "enc": cc.enc,
+                "meta": cc.meta,
+                "len": len(cc.buf),
+                "n": len(carr),
+                "min": cc.min,
+                "max": cc.max,
+                "null_count": cc.null_count,
+            },
+            cc.buf,
+        )
+
+    if pt.is_struct(typ):
+        descs, bufs = [], []
+        for i in range(typ.num_fields):
+            d, b = child(typ.field(i).name, arr.field(i))
+            descs.append(d)
+            bufs.append(b)
+        meta = {"validity": len(validity), "children": descs}
+        meta, out = _cascade(meta, validity + b"".join(bufs))
+        return ColumnChunk("struct", meta, out, mn, mx, nc)
+
+    offsets = np.asarray(arr.offsets.cast("int64"))
+    start, end = int(offsets[0]), int(offsets[-1])
+    ometa, obuf = _pack_ints(offsets - start)  # rebased: delta-packs to ~lens
+    if pt.is_map(typ):
+        pairs = [("key", arr.keys.slice(start, end - start)),
+                 ("value", arr.items.slice(start, end - start))]
+    else:
+        pairs = [("item", arr.values.slice(start, end - start))]
+    descs, bufs = [], []
+    for name, c in pairs:
+        d, b = child(name, c)
+        descs.append(d)
+        bufs.append(b)
+    meta = {
+        "validity": len(validity),
+        "offsets": ometa,
+        "offsets_len": len(obuf),
+        "children": descs,
+    }
+    meta, out = _cascade(meta, validity + obuf + b"".join(bufs))
+    return ColumnChunk("map" if pt.is_map(typ) else "list", meta, out, mn, mx, nc)
 
 
 def _encode_strings(filled, validity: bytes, mn, mx, nc) -> ColumnChunk:
@@ -713,12 +802,56 @@ def decode_column(enc: str, meta: dict, buf: bytes, n: int, typ):
         lens = _unpack_ints(meta["lens"], lbuf, n)
         arr = _strings_from(lens, payload, n, binary=True)
         return _apply_validity(arr, validity, n)
+    if enc in ("struct", "list", "map"):
+        return _decode_nested(enc, meta, validity, buf, n, typ)
     if enc == "arrow":
         with pa.ipc.open_stream(pa.BufferReader(validity + buf)) as r:
             t = r.read_all()
         col = t.column("c").combine_chunks()
         return col if col.type == typ else col.cast(typ)
     raise ValueError(f"unknown vortex encoding {enc!r}")
+
+
+def _decode_nested(enc: str, meta: dict, validity: bytes, buf: bytes, n: int, typ):
+    """Rebuild a struct/list/map array from its independently-encoded
+    children (see _encode_nested): decode each child recursively, then
+    reassemble zero-copy via Array.from_buffers."""
+    import numpy as np
+    import pyarrow as pa
+
+    vbuf = pa.py_buffer(validity) if validity else None
+
+    def decode_children(payload: bytes, descs: list[dict], types: list):
+        out, off = [], 0
+        for d, t in zip(descs, types):
+            out.append(decode_column(d["enc"], d["meta"], payload[off : off + d["len"]], d["n"], t))
+            off += d["len"]
+        return out
+
+    if enc == "struct":
+        types = [typ.field(i).type for i in range(typ.num_fields)]
+        children = decode_children(buf, meta["children"], types)
+        return pa.Array.from_buffers(typ, n, [vbuf], children=children)
+
+    obuf = buf[: meta["offsets_len"]]
+    payload = buf[meta["offsets_len"] :]
+    offsets = _unpack_ints(meta["offsets"], obuf, n + 1)
+    import pyarrow.types as pt
+
+    if enc == "map":
+        kv = decode_children(
+            payload, meta["children"], [typ.key_type, typ.item_type]
+        )
+        entries = pa.StructArray.from_arrays(
+            kv, fields=[typ.key_field, typ.item_field]
+        )
+        off_arr = pa.py_buffer(offsets.astype(np.int32).tobytes())
+        return pa.Array.from_buffers(typ, n, [vbuf, off_arr], children=[entries])
+
+    (values,) = decode_children(payload, meta["children"], [typ.value_type])
+    width = np.int64 if pt.is_large_list(typ) else np.int32
+    off_arr = pa.py_buffer(offsets.astype(width).tobytes())
+    return pa.Array.from_buffers(typ, n, [vbuf, off_arr], children=[values])
 
 
 def _strings_from(lens, payload: bytes, n: int, binary: bool = False):
@@ -872,8 +1005,23 @@ def read_chunk(path: str, footer: Footer, chunk_idx: int, columns: list[str]):
 
 def chunk_stats(footer: Footer, chunk_idx: int, name: str):
     """Zone-map triple (min, max, null_count) for pruning; values are
-    restored to comparable Python objects (datetimes, dates…)."""
-    cd = footer.chunks[chunk_idx]["columns"].get(name)
+    restored to comparable Python objects (datetimes, dates…).
+
+    Dotted names resolve into NESTED layouts: ``st.a`` walks the
+    struct chunk's child descriptors (each child carries its own
+    min/max/null-count — see _encode_nested), so a pushed predicate on
+    a struct field prunes chunks exactly like a top-level column.
+    Only struct steps are walked (list/map elements have no per-row
+    identity to prune on)."""
+    parts = name.split(".")
+    cd = footer.chunks[chunk_idx]["columns"].get(parts[0])
+    for p in parts[1:]:
+        if cd is None or cd.get("enc") != "struct":
+            return None
+        cd = next(
+            (c for c in cd.get("meta", {}).get("children", []) if c.get("name") == p),
+            None,
+        )
     if cd is None:
         return None
     return _unjson_stat(cd["min"]), _unjson_stat(cd["max"]), cd["null_count"]
