@@ -168,7 +168,7 @@ def _wrap_utc(fn: QueryFn) -> QueryFn:
 
 def _ensure_loaded() -> None:
     # Import side effect: module import registers entries.
-    from .queries import aggregates, joins, nested, relational, setops, stats, tpch, windows  # noqa: F401
+    from .queries import aggregates, ddl, joins, nested, relational, setops, stats, tpch, windows  # noqa: F401
     from .functions import geo, udafs, udtfs  # noqa: F401
     from .operators import (  # noqa: F401
         bucketing,

@@ -956,11 +956,14 @@ def text_duplicate_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: inverted-index shape end-to-end — explode 5-gram start
     positions (one row per token, same as any shingle pass), ONE
-    shuffle on the gram key for (count, canonical) then a join back,
-    a bounded 5x position expansion for covered tokens, anti-join on
-    (doc, pos), and one doc-key aggregate to rebuild text. No
-    pairwise work anywhere; cost is O(total tokens), independent of
-    duplication degree. The canonical pick is MIN(struct(doc, pos)) —
+    shuffle on the gram key computing (count, canonical) as window
+    functions over the gram partition (round 5: replaced groupBy +
+    join-back, whose broadcast→sort-merge plan shift past the AQE
+    threshold was the measured 5.0× slow-tier cause), a bounded 5x
+    position expansion for covered tokens, anti-join on (doc, pos),
+    and one doc-key aggregate to rebuild text. No pairwise work
+    anywhere; cost is O(total tokens), independent of duplication
+    degree. The canonical pick is MIN(struct(doc, pos)) —
     associative, partitioning-independent, identical in the oracle.
 
     The tokenized projection sits behind a round-robin exchange
@@ -995,12 +998,26 @@ def text_duplicate_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = t.select("doc_id", F.explode(start_structs).alias("s")).select(
         "doc_id", F.col("s.p").alias("p"), F.col("s.gram").alias("gram")
     )
-    gc = starts.groupBy("gram").agg(
-        F.count("*").alias("n"),
-        F.min(F.struct(F.col("doc_id").alias("d"), F.col("p").alias("p"))).alias("canon"),
-    )
+    # (count, canonical) per gram as WINDOW functions over the gram
+    # partition — NOT groupBy + join-back. The join-back shape is
+    # scale-treacherous: at small inputs AQE broadcasts the gram
+    # table and it looks free, past the broadcast threshold it falls
+    # to sort-merge (a second full shuffle + sort of starts) — the
+    # round-5 stage breakdown measured that plan shift as the whole
+    # 5.0× slow-tier factor (stage delta 0.21 s → 3.30 s at 10×).
+    # The window computes both values in ONE gram-key exchange + sort
+    # with no second scan: same rows (A/B-verified), 1.16 → 0.76 s at
+    # 1×, 5.20 → 1.74 s at 10× (scripts/breakdown_span_trim.py).
+    wgram = W.partitionBy("gram")
     dup_starts = (
-        starts.join(gc, "gram")
+        starts.select(
+            "doc_id",
+            "p",
+            F.count("*").over(wgram).alias("n"),
+            F.min(F.struct(F.col("doc_id").alias("d"), F.col("p").alias("p")))
+            .over(wgram)
+            .alias("canon"),
+        )
         .filter(
             (F.col("n") >= 2)
             & ~((F.col("doc_id") == F.col("canon.d")) & (F.col("p") == F.col("canon.p")))

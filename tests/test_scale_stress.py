@@ -351,14 +351,23 @@ def test_span_trim_10x(spark):
         starts = t.select("doc_id", F.explode(start_structs).alias("s")).select(
             "doc_id", F.col("s.p").alias("p"), F.col("s.gram").alias("gram")
         )
-        gc = starts.groupBy("gram").agg(
-            F.count("*").alias("n"),
-            F.min(F.struct(F.col("doc_id").alias("d"), F.col("p").alias("p"))).alias(
-                "canon"
-            ),
-        )
+        # window over the gram partition, matching the shipped plan
+        # (round 5: the groupBy + join-back shape plan-shifted from
+        # broadcast to sort-merge past the AQE threshold — the whole
+        # 5.0x factor; the window computes (count, canonical) in the
+        # one gram-key exchange with no second scan)
+        from pyspark.sql import Window as W
+
+        wgram = W.partitionBy("gram")
         dup = (
-            starts.join(gc, "gram")
+            starts.select(
+                "doc_id",
+                "p",
+                F.count("*").over(wgram).alias("n"),
+                F.min(F.struct(F.col("doc_id").alias("d"), F.col("p").alias("p")))
+                .over(wgram)
+                .alias("canon"),
+            )
             .filter(
                 (F.col("n") >= 2)
                 & ~(
