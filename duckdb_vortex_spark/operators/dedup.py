@@ -54,6 +54,20 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(full))
 
 
+def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) with tokenization BOUND behind a round-robin exchange
+    barrier before the per-index shingle lambda slices it — the
+    standard fix for the interpreted-HOF recompute trap (no CSE into
+    lambdas: ``shingles(text_col)`` inlines split+filter once per
+    shingle index). Measured at sf0.1: 3.07 s raw-expression select →
+    0.32 s via this shape (round 5), on top of the earlier 5× measured
+    in contamination/span-trim. Every shingle-consuming operator
+    routes through here."""
+    t = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    t = t.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return t.select("id", shingles_from_tokens(F.col("__toks"), n).alias("sh"))
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = (F.size(a) + F.size(b)).cast("double") - inter
@@ -142,8 +156,10 @@ def ngram_jaccard_pairs_bruteforce(
     The shingle table is persist()ed: the optimizer otherwise inlines
     the tokenize+shingle expression past the theta join and recomputes
     it once per PAIR instead of once per doc (interpreted HOFs, no
-    CSE) — measured 2× on the bounded fixture."""
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).persist()
+    CSE) — measured 2× on the bounded fixture. Built via
+    :func:`shingle_table` so the cache BUILD pays tokenize once per
+    row, not once per shingle index (round 5: 3.07 → 0.32 s/sf0.1)."""
+    sh = shingle_table(df, text_col, id_col, n).persist()
     a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return _with_jaccard(a.join(b, F.col("doc_a") < F.col("doc_b"))).filter(
@@ -284,7 +300,7 @@ def minhash_lsh_pairs(
     if engine == "arrow":
         sig = _signatures_arrow(df, text_col, id_col, num_hashes, n)
     else:
-        sh = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        sh = shingle_table(df, text_col, id_col, n)
         # All k minhashes in ONE aggregate pass that references `sh`
         # exactly once. The naive per-hash form (k × array_min(
         # transform(sh, …))) is 10× slower: CollapseProject inlines the
@@ -781,11 +797,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     m = max(1, math.ceil(d.count() / 320.0))
-    sh = (
-        d.filter(F.col("doc_id") % m == 0)
-        .select(F.col("doc_id").alias("id"), shingles("text", 3).alias("sh"))
-        .persist()
-    )
+    sh = shingle_table(d.filter(F.col("doc_id") % m == 0), "text", "doc_id", 3).persist()
     a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     sized = (

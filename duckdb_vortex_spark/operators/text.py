@@ -384,18 +384,24 @@ FROM g
 def text_distinct_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signal: 1 − (distinct trigrams / total
     trigrams) per document. High values flag boilerplate / template
-    spam — a standard pretraining-corpus filter. Pure higher-order
-    column functions; per-row, no shuffle, scales linearly."""
+    spam — a standard pretraining-corpus filter. Per-row column
+    functions over a token array BOUND behind a round-robin exchange
+    barrier: without it the per-index trigram lambda inlines
+    tokenization once per position (interpreted-HOF recompute trap) —
+    measured 5.68 → 0.32 s at sf0.1 (round 5). One barrier exchange,
+    then linear map-side work."""
     d = load(spark, sf_dir, "documents")
-    toks = tokens("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    t = d.select("doc_id", tokens("text").alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    tri = F.when(F.size(toks) >= 3, grams).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 3), " "),
+    )
+    tri = F.when(F.size("toks") >= 3, grams).otherwise(F.array().cast("array<string>"))
     n_tri = F.size(tri).cast("bigint")
     n_dis = F.size(F.array_distinct(tri)).cast("bigint")
-    return d.select(
+    return t.select(
         "doc_id",
         n_tri.alias("n_trigrams"),
         n_dis.alias("n_distinct"),
@@ -790,13 +796,19 @@ def text_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     array (:func:`_max_run_count`). The oracle computes the same
     multiplicities relationally (unnest + GROUP BY)."""
     d = load(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
+    # token array bound behind an exchange barrier: the per-index
+    # bigram lambda would otherwise inline tokenize+lower per position
+    # (interpreted-HOF recompute trap, round-5 audit)
+    t = d.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    toks = F.col("toks")
     bi_raw = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.array_join(F.slice(toks, i, 2), " "),
     )
     bi = F.when(F.size(toks) >= 2, bi_raw).otherwise(F.array().cast("array<string>"))
-    base = d.select(
+    base = t.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         _max_run_count(toks).alias("top_word_n"),
@@ -861,38 +873,51 @@ def text_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the complement of doc-level MinHash.
 
     Scale: explode distinct shingles → ONE shuffle on the shingle key
-    for document frequency → count back per doc on the doc key. Both
-    aggregates are map-side-partial; no pairwise anything — cost is
+    computing document frequency as a window over the gram partition
+    → count per doc on the doc key. No pairwise anything — cost is
     O(total distinct shingles), the same inverted-index shape as
     text_token_doc_frequency, independent of how duplicated the corpus
-    is (a shingle row carries a count, never a doc list)."""
+    is (a shingle row carries a count, never a doc list).
+
+    PERF (round 5, all A/B same-session at sf0.1, identical sums):
+    this operator was the most expensive slow-tier row (7.15 s at 1×,
+    19.4 s at 10×) for two fixable reasons. (1) It lacked the
+    tokenize-once exchange barrier every sibling has: CollapseProject
+    inlined ``tokens(text)`` into the per-index gram lambda — the
+    interpreted-HOF recompute trap, tokenizing once per 5-gram
+    position. Barrier alone: 17.9 → 6.6 s. (2) The groupBy+join-back
+    doc-frequency shape plan-shifts from broadcast to sort-merge past
+    the AQE threshold (the measured span-trim 5.0× cause); the window
+    form has no shift and measures 6.3 s. (3) ``n_grams`` is
+    ``size(grams)`` computed map-side, so the final join ships two
+    ints per doc, never the gram arrays."""
     d = load(spark, sf_dir, "documents")
-    toks = tokens("text")
-    grams5 = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 4),
-        lambda i: F.array_join(F.slice(toks, i, 5), " "),
+    t = d.select("doc_id", tokens("text").alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    grams = F.when(F.size(toks) >= 5, F.array_distinct(grams5)).otherwise(
+    grams5 = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 4),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 5), " "),
+    )
+    grams = F.when(F.size("toks") >= 5, F.array_distinct(grams5)).otherwise(
         F.array().cast("array<string>")
     )
-    base = d.select("doc_id", grams.alias("grams"))
+    base = t.select("doc_id", grams.alias("grams"))
     posting = base.select("doc_id", F.explode("grams").alias("gram"))
-    df_counts = posting.groupBy("gram").agg(F.count("*").alias("n_docs"))
-    per_doc = (
-        posting.join(df_counts, "gram")
+    wgram = W.partitionBy("gram")
+    shared = (
+        posting.select("doc_id", F.count("*").over(wgram).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_shared"),
-        )
+        .agg(F.count("*").alias("n_shared"))
     )
-    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    slim = base.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
     n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
-    return base.select("doc_id").join(per_doc, "doc_id", "left").select(
+    return slim.join(shared, "doc_id", "left").select(
         "doc_id",
-        n_grams.alias("n_grams"),
+        "n_grams",
         n_shared.alias("n_shared"),
-        F.when(n_grams > 0, n_shared.cast("double") / n_grams)
+        F.when(F.col("n_grams") > 0, n_shared.cast("double") / F.col("n_grams"))
         .otherwise(F.lit(0.0))
         .alias("shared_frac"),
     )

@@ -254,27 +254,33 @@ def test_pq_encode_10x(spark):
 
 def test_cross_doc_overlap_10x(spark):
     """Inverted-index shape: one shingle-key shuffle carrying counts,
-    never doc lists — cost tracks total distinct shingles."""
-    from duckdb_vortex_spark.operators.text import text_cross_doc_ngram_overlap  # noqa: F401
+    never doc lists — cost tracks total distinct shingles. Mirrors the
+    shipped round-5 plan: tokenize-once exchange barrier (the missing
+    barrier was 2.7x of the old 1x time) and window doc-frequency (no
+    broadcast->sort-merge shift past the AQE threshold)."""
+    from pyspark.sql import Window as W2
     from pyspark.sql import functions as F2
 
     def run(d):
         from duckdb_vortex_spark.operators.text import tokens
 
-        toks = tokens("text")
-        grams5 = F2.transform(
-            F2.sequence(F2.lit(1), F2.size(toks) - 4),
-            lambda i: F2.array_join(F2.slice(toks, i, 5), " "),
+        t = d.select("doc_id", tokens("text").alias("toks")).repartition(
+            spark.sparkContext.defaultParallelism
         )
-        grams = F2.when(F2.size(toks) >= 5, F2.array_distinct(grams5)).otherwise(
+        grams5 = F2.transform(
+            F2.sequence(F2.lit(1), F2.size("toks") - 4),
+            lambda i: F2.array_join(F2.slice(F2.col("toks"), i, 5), " "),
+        )
+        grams = F2.when(F2.size("toks") >= 5, F2.array_distinct(grams5)).otherwise(
             F2.array().cast("array<string>")
         )
-        posting = d.select("doc_id", F2.explode(grams).alias("gram"))
-        dfc = posting.groupBy("gram").agg(F2.count("*").alias("n_docs"))
+        posting = t.select("doc_id", F2.explode(grams).alias("gram"))
+        wg = W2.partitionBy("gram")
         return (
-            posting.join(dfc, "gram")
+            posting.select("doc_id", F2.count("*").over(wg).alias("n_docs"))
+            .filter(F2.col("n_docs") >= 2)
             .groupBy("doc_id")
-            .agg(F2.count(F2.when(F2.col("n_docs") >= 2, 1)).alias("n_shared"))
+            .agg(F2.count("*").alias("n_shared"))
             .count()
         )
 
