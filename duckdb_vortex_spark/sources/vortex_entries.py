@@ -336,3 +336,64 @@ def vortex_nested_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+VORTEX_S3_ORACLE = """
+SELECT
+  o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_orderkey % 4 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@query("vortex_s3_roundtrip_scan", oracle=VORTEX_S3_ORACLE, tags=("vortex", "io", "s3"))
+def vortex_s3_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 object-store driver row: the FULL Spark loop over ``s3://``
+    against the in-process SigV4-RECOMPUTING memory server
+    (sources/s3_memserver.py — an independent server-side
+    implementation of the signing spec that 403s any mismatch, not an
+    echo of the client). orders → ``.option("s3_endpoint", …)``
+    DataSource write (streaming multipart PUTs) → glob + footer-first
+    ranged-GET read back in separate Python worker processes (each
+    re-registers the store from its pickled options) → pushed-filter
+    aggregate, hash-checked against the parquet-direct DuckDB oracle.
+    Loopback only; the same wire format drives MinIO/AWS (COVERAGE.md
+    §A3 smoke)."""
+    from .s3_memserver import start_memserver
+
+    register(spark)
+    srv, endpoint = start_memserver("dvs-driver-access", "dvs-driver-secret")
+    opts = {
+        "s3_endpoint": endpoint,
+        "s3_access_key": "dvs-driver-access",
+        "s3_secret_key": "dvs-driver-secret",
+    }
+    try:
+        w = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 4 == 0)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.format("vortex")
+            .mode("append")
+            .option("chunk_rows", 4096)
+        )
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.save("s3://dvs/orders.vortex")
+        r = spark.read.format("vortex")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        back = r.load("s3://dvs/orders.vortex")
+        out = back.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_cents"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        srv.shutdown()
+        srv.server_close()

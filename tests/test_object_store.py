@@ -57,223 +57,19 @@ def test_sigv4_matches_aws_published_vector():
 
 # --- in-process S3-compatible server --------------------------------------
 
-class _S3Handler(http.server.BaseHTTPRequestHandler):
-    """Minimal S3 REST subset with SERVER-SIDE SigV4 verification,
-    implemented from the HTTP request (independent of the client's
-    signer): rebuilds the canonical request from the wire, re-derives
-    the signing key, and 403s on mismatch."""
+from duckdb_vortex_spark.sources.s3_memserver import S3MemHandler
 
-    store: dict[tuple[str, str], bytes] = {}
-    uploads: dict[str, dict[int, bytes]] = {}  # upload_id -> part# -> bytes
-    protocol_version = "HTTP/1.1"
-    page_size = 2  # tiny, to force ListObjectsV2 pagination
 
-    def log_message(self, *a):  # quiet
-        pass
+class _S3Handler(S3MemHandler):
+    """The package's SigV4-recomputing memory server (moved to
+    duckdb_vortex_spark/sources/s3_memserver.py in round 5 so the
+    driver entry vortex_s3_roundtrip_scan can run the same full Spark
+    loop inside the correctness gate), bound to this suite's creds."""
 
-    # -- server-side signature check --------------------------------------
-
-    def _verify(self) -> bool:
-        auth = self.headers.get("Authorization", "")
-        if not auth.startswith("AWS4-HMAC-SHA256 "):
-            return False
-        parts = dict(
-            p.strip().split("=", 1) for p in auth[len("AWS4-HMAC-SHA256 "):].split(",")
-        )
-        cred = parts["Credential"].split("/")
-        access, datestamp, region, service = cred[0], cred[1], cred[2], cred[3]
-        if access != ACCESS:
-            return False
-        signed = parts["SignedHeaders"].split(";")
-        url = urllib.parse.urlsplit(self.path)
-        # canonical query from the raw query string
-        q = urllib.parse.parse_qsl(url.query, keep_blank_values=True)
-        cq = "&".join(
-            f"{urllib.parse.quote(k, safe='-_.~')}={urllib.parse.quote(v, safe='-_.~')}"
-            for k, v in sorted(q)
-        )
-        ch = "".join(f"{h}:{self.headers[h].strip()}\n" for h in signed)
-        payload_hash = self.headers.get("x-amz-content-sha256", "")
-        creq = "\n".join(
-            [self.command, url.path, cq, ch, ";".join(signed), payload_hash]
-        )
-        scope = f"{datestamp}/{region}/{service}/aws4_request"
-        sts = "\n".join(
-            [
-                "AWS4-HMAC-SHA256",
-                self.headers["x-amz-date"],
-                scope,
-                hashlib.sha256(creq.encode()).hexdigest(),
-            ]
-        )
-        k = ("AWS4" + SECRET).encode()
-        for step in (datestamp, region, service, "aws4_request"):
-            k = hmac.new(k, step.encode(), hashlib.sha256).digest()
-        want = hmac.new(k, sts.encode(), hashlib.sha256).hexdigest()
-        return hmac.compare_digest(want, parts["Signature"])
-
-    # -- request routing ----------------------------------------------------
-
-    def _bk(self) -> tuple[str, str]:
-        path = urllib.parse.urlsplit(self.path).path.lstrip("/")
-        path = urllib.parse.unquote(path)
-        bucket, _, key = path.partition("/")
-        return bucket, key
-
-    def _deny(self):
-        self.send_response(403)
-        self.send_header("Content-Length", "0")
-        self.end_headers()
-
-    def do_PUT(self):
-        if not self._verify():
-            return self._deny()
-        n = int(self.headers.get("Content-Length", 0))
-        body = self.rfile.read(n)
-        # verify the payload hash too: catches body/hash mismatch
-        if hashlib.sha256(body).hexdigest() != self.headers.get(
-            "x-amz-content-sha256"
-        ):
-            return self._deny()
-        q = dict(urllib.parse.parse_qsl(urllib.parse.urlsplit(self.path).query))
-        if "uploadId" in q and "partNumber" in q:  # multipart part
-            self.uploads.setdefault(q["uploadId"], {})[int(q["partNumber"])] = body
-            self.send_response(200)
-            self.send_header("ETag", f'"{hashlib.md5(body).hexdigest()}"')
-            self.send_header("Content-Length", "0")
-            self.end_headers()
-            return
-        self.store[self._bk()] = body
-        self.send_response(200)
-        self.send_header("Content-Length", "0")
-        self.end_headers()
-
-    def do_POST(self):
-        if not self._verify():
-            return self._deny()
-        n = int(self.headers.get("Content-Length", 0))
-        body = self.rfile.read(n)
-        q = dict(
-            urllib.parse.parse_qsl(
-                urllib.parse.urlsplit(self.path).query, keep_blank_values=True
-            )
-        )
-        if "uploads" in q:  # initiate
-            uid = f"up-{len(self.uploads)}"
-            self.uploads[uid] = {}
-            out = (
-                '<?xml version="1.0"?><InitiateMultipartUploadResult>'
-                f"<UploadId>{uid}</UploadId></InitiateMultipartUploadResult>"
-            ).encode()
-        elif "uploadId" in q:  # complete: verify client ETags, assemble
-            uid = q["uploadId"]
-            parts = self.uploads.pop(uid, {})
-            claimed = dict(
-                (int(m.group(1)), m.group(2))
-                for m in __import__("re").finditer(
-                    r"<Part><PartNumber>(\d+)</PartNumber><ETag>([0-9a-f]+)</ETag>",
-                    body.decode(),
-                )
-            )
-            for num, data in parts.items():
-                if claimed.get(num) != hashlib.md5(data).hexdigest():
-                    return self._deny()
-            self.store[self._bk()] = b"".join(
-                parts[i] for i in sorted(parts)
-            )
-            out = b'<?xml version="1.0"?><CompleteMultipartUploadResult/>'
-        else:
-            return self._deny()
-        self.send_response(200)
-        self.send_header("Content-Length", str(len(out)))
-        self.end_headers()
-        self.wfile.write(out)
-
-    def do_HEAD(self):
-        if not self._verify():
-            return self._deny()
-        obj = self.store.get(self._bk())
-        if obj is None:
-            self.send_response(404)
-            self.send_header("Content-Length", "0")
-            self.end_headers()
-            return
-        self.send_response(200)
-        self.send_header("Content-Length", str(len(obj)))
-        self.end_headers()
-
-    def do_DELETE(self):
-        if not self._verify():
-            return self._deny()
-        q = dict(urllib.parse.parse_qsl(urllib.parse.urlsplit(self.path).query))
-        if "uploadId" in q:  # abort multipart
-            self.uploads.pop(q["uploadId"], None)
-            self.send_response(204)
-            self.send_header("Content-Length", "0")
-            self.end_headers()
-            return
-        self.store.pop(self._bk(), None)
-        self.send_response(204)
-        self.send_header("Content-Length", "0")
-        self.end_headers()
-
-    def do_GET(self):
-        if not self._verify():
-            return self._deny()
-        bucket, key = self._bk()
-        url = urllib.parse.urlsplit(self.path)
-        q = dict(urllib.parse.parse_qsl(url.query))
-        if not key and q.get("list-type") == "2":
-            return self._list(bucket, q)
-        obj = self.store.get((bucket, key))
-        if obj is None:
-            self.send_response(404)
-            self.send_header("Content-Length", "0")
-            self.end_headers()
-            return
-        rng = self.headers.get("Range")
-        status = 200
-        if rng and rng.startswith("bytes="):
-            a, _, b = rng[len("bytes="):].partition("-")
-            # real-S3 semantics (RFC 7233): an invalid byte-range-spec
-            # (first > last) is IGNORED and the FULL object returned —
-            # this is exactly what masks a read(0) bug on a lenient server
-            if a and b and int(a) > int(b):
-                pass
-            else:
-                obj = obj[int(a): int(b) + 1]
-                status = 206
-        self.send_response(status)
-        self.send_header("Content-Length", str(len(obj)))
-        self.end_headers()
-        self.wfile.write(obj)
-
-    def _list(self, bucket: str, q: dict):
-        prefix = q.get("prefix", "")
-        keys = sorted(
-            k for (b, k) in self.store if b == bucket and k.startswith(prefix)
-        )
-        start = 0
-        tok = q.get("continuation-token")
-        if tok:
-            start = int(tok)
-        page = keys[start: start + self.page_size]
-        truncated = start + self.page_size < len(keys)
-        items = "".join(f"<Contents><Key>{k}</Key></Contents>" for k in page)
-        nxt = (
-            f"<NextContinuationToken>{start + self.page_size}</NextContinuationToken>"
-            if truncated
-            else ""
-        )
-        body = (
-            '<?xml version="1.0"?><ListBucketResult>'
-            f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>"
-            f"{items}{nxt}</ListBucketResult>"
-        ).encode()
-        self.send_response(200)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+    access_key = ACCESS
+    secret_key = SECRET
+    store = {}
+    uploads = {}
 
 
 @pytest.fixture()
