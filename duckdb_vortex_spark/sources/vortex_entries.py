@@ -301,10 +301,14 @@ def vortex_nested_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             load(spark, sf_dir, "orders")
             # priority-clustered WITHOUT a global single-threaded sort:
-            # range partition on the future struct leaf, sort within —
+            # HASH partition on the future struct leaf + sort within —
             # chunks stay priority-homogeneous (selective st.priority
-            # zone maps) while the sort+write runs on every core
-            .repartitionByRange(4, "o_orderpriority")
+            # zone maps) while the sort+write runs on every core.
+            # Hash, not range: repartitionByRange adds a sampling job
+            # over the source just to pick bounds (~5 s of this
+            # entry's cold gate time), and per-chunk homogeneity only
+            # needs same-key co-location, not global order
+            .repartition(4, "o_orderpriority")
             .sortWithinPartitions("o_orderpriority")
             .select(
                 F.col("o_orderkey"),
