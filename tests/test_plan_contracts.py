@@ -184,3 +184,32 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_span_trim_no_gram_join(spark):
+    """Round-5 contract: text_duplicate_span_trim computes (count,
+    canonical) as WINDOW functions over the gram partition — the
+    groupBy+join-back shape it replaced silently plan-shifts from
+    broadcast to sort-merge past the AQE threshold (the measured 5.0x
+    slow-tier factor, scripts/breakdown_span_trim.py). The dup-start
+    derivation must stay join-free: the only joins allowed in the
+    whole plan are the (doc_id, pos) anti-join and the final doc_id
+    rebuild join; no join may have the gram/shingle key."""
+    plan = _plan(spark, "text_duplicate_span_trim")
+    assert "Window" in plan
+    # no equi-join keyed on the gram column, in either join strategy
+    for frag in plan.split("Join"):
+        assert "gram#" not in frag.split("\n")[0], "join keyed on gram"
+
+
+def test_cross_doc_overlap_window_df(spark):
+    """Round-5 contract: doc-frequency via window over the gram
+    partition (no join-back), and the final join ships only scalar
+    per-doc columns (n_grams computed map-side) — the grams array must
+    never be a join input."""
+    plan = _plan(spark, "text_cross_doc_ngram_overlap")
+    assert "Window" in plan
+    for frag in plan.split("Join"):
+        head = frag.split("\n")[0]
+        assert "gram#" not in head, "join keyed on gram"
+        assert "grams#" not in head, "gram array shipped through a join"
