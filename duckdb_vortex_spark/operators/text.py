@@ -879,31 +879,44 @@ def text_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_token_doc_frequency, independent of how duplicated the corpus
     is (a shingle row carries a count, never a doc list).
 
-    PERF (round 5, all A/B same-session at sf0.1, identical sums):
-    this operator was the most expensive slow-tier row (7.15 s at 1×,
-    19.4 s at 10×) for two fixable reasons. (1) It lacked the
-    tokenize-once exchange barrier every sibling has: CollapseProject
-    inlined ``tokens(text)`` into the per-index gram lambda — the
-    interpreted-HOF recompute trap, tokenizing once per 5-gram
-    position. Barrier alone: 17.9 → 6.6 s. (2) The groupBy+join-back
-    doc-frequency shape plan-shifts from broadcast to sort-merge past
-    the AQE threshold (the measured span-trim 5.0× cause); the window
-    form has no shift and measures 6.3 s. (3) ``n_grams`` is
-    ``size(grams)`` computed map-side, so the final join ships two
-    ints per doc, never the gram arrays."""
+    PERF (round 5, all A/B same-session at sf0.1, identical sums —
+    this operator went 17.9 → 1.2 s in three steps):
+    (1) tokenize-once exchange barrier (the interpreted-HOF recompute
+    trap: CollapseProject inlined ``tokens(text)`` into the per-index
+    gram lambda) — 17.9 → 6.6 s. (2) doc-frequency as a window over
+    the gram partition instead of groupBy+join-back (which
+    plan-shifts broadcast→sort-merge past the AQE threshold — the
+    span-trim 5.0× cause). (3) gram CONSTRUCTION via posexplode +
+    window ``lead`` (concat of the next four tokens over the doc
+    partition) instead of an interpreted per-index ``transform``
+    lambda: grams are built entirely inside whole-stage codegen —
+    6.8 → 1.2 s. The doc-key sort the lead window needs is the same
+    exchange the barrier already pays; per-doc DISTINCT becomes
+    dropDuplicates on (doc, gram)."""
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks")).repartition(
         spark.sparkContext.defaultParallelism
     )
-    grams5 = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 4),
-        lambda i: F.array_join(F.slice(F.col("toks"), i, 5), " "),
+    words = t.select("doc_id", F.posexplode("toks").alias("p", "tok"))
+    wdoc = W.partitionBy("doc_id").orderBy("p")
+    gram = F.concat_ws(
+        " ",
+        "tok",
+        F.lead("tok", 1).over(wdoc),
+        F.lead("tok", 2).over(wdoc),
+        F.lead("tok", 3).over(wdoc),
+        F.lead("tok", 4).over(wdoc),
     )
-    grams = F.when(F.size("toks") >= 5, F.array_distinct(grams5)).otherwise(
-        F.array().cast("array<string>")
+    posting = (
+        words.select(
+            "doc_id",
+            gram.alias("gram"),
+            F.lead("tok", 4).over(wdoc).alias("__l4"),
+        )
+        .filter(F.col("__l4").isNotNull())  # only full 5-grams
+        .drop("__l4")
+        .dropDuplicates(["doc_id", "gram"])
     )
-    base = t.select("doc_id", grams.alias("grams"))
-    posting = base.select("doc_id", F.explode("grams").alias("gram"))
     wgram = W.partitionBy("gram")
     shared = (
         posting.select("doc_id", F.count("*").over(wgram).alias("n_docs"))
@@ -911,15 +924,23 @@ def text_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
-    slim = base.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
+    slim = posting.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    base = t.select("doc_id")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint"))
     n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
-    return slim.join(shared, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        n_shared.alias("n_shared"),
-        F.when(F.col("n_grams") > 0, n_shared.cast("double") / F.col("n_grams"))
-        .otherwise(F.lit(0.0))
-        .alias("shared_frac"),
+    return (
+        base.join(slim, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_shared.alias("n_shared"),
+            F.when(n_grams > 0, n_shared.cast("double") / n_grams)
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
     )
 
 
@@ -1010,18 +1031,29 @@ def text_duplicate_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = t.select(
         "doc_id", F.posexplode("toks").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
-    start_structs = F.when(
-        F.size("toks") >= 5,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 4),
-            lambda i: F.struct(
-                i.cast("bigint").alias("p"),
-                F.array_join(F.slice(F.col("toks"), i, 5), " ").alias("gram"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<p:bigint,gram:string>>"))
-    starts = t.select("doc_id", F.explode(start_structs).alias("s")).select(
-        "doc_id", F.col("s.p").alias("p"), F.col("s.gram").alias("gram")
+    # 5-gram starts via window `lead` over the doc partition — pure
+    # whole-stage codegen (round 5: replaced the interpreted per-index
+    # `transform` lambda, same rows, measured faster; the doc-key sort
+    # is amortized against the exchange the barrier already pays and
+    # `words` is the shared source for both the gram starts and the
+    # anti-join token table)
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    starts = (
+        words.select(
+            "doc_id",
+            F.col("pos").alias("p"),
+            F.concat_ws(
+                " ",
+                "tok",
+                F.lead("tok", 1).over(wdoc),
+                F.lead("tok", 2).over(wdoc),
+                F.lead("tok", 3).over(wdoc),
+                F.lead("tok", 4).over(wdoc),
+            ).alias("gram"),
+            F.lead("tok", 4).over(wdoc).alias("__l4"),
+        )
+        .filter(F.col("__l4").isNotNull())  # only full 5-grams
+        .drop("__l4")
     )
     # (count, canonical) per gram as WINDOW functions over the gram
     # partition — NOT groupBy + join-back. The join-back shape is

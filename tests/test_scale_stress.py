@@ -267,14 +267,22 @@ def test_cross_doc_overlap_10x(spark):
         t = d.select("doc_id", tokens("text").alias("toks")).repartition(
             spark.sparkContext.defaultParallelism
         )
-        grams5 = F2.transform(
-            F2.sequence(F2.lit(1), F2.size("toks") - 4),
-            lambda i: F2.array_join(F2.slice(F2.col("toks"), i, 5), " "),
+        words = t.select("doc_id", F2.posexplode("toks").alias("p", "tok"))
+        wdoc = W2.partitionBy("doc_id").orderBy("p")
+        posting = (
+            words.select(
+                "doc_id",
+                F2.concat_ws(
+                    " ", "tok",
+                    F2.lead("tok", 1).over(wdoc), F2.lead("tok", 2).over(wdoc),
+                    F2.lead("tok", 3).over(wdoc), F2.lead("tok", 4).over(wdoc),
+                ).alias("gram"),
+                F2.lead("tok", 4).over(wdoc).alias("__l4"),
+            )
+            .filter(F2.col("__l4").isNotNull())
+            .drop("__l4")
+            .dropDuplicates(["doc_id", "gram"])
         )
-        grams = F2.when(F2.size("toks") >= 5, F2.array_distinct(grams5)).otherwise(
-            F2.array().cast("array<string>")
-        )
-        posting = t.select("doc_id", F2.explode(grams).alias("gram"))
         wg = W2.partitionBy("gram")
         return (
             posting.select("doc_id", F2.count("*").over(wg).alias("n_docs"))
@@ -340,22 +348,30 @@ def test_span_trim_10x(spark):
 
     def run(d):
         toks = tokens("text")
-        # tokenize-once exchange barrier, matching the shipped plan
+        # tokenize-once exchange barrier + lead-window gram
+        # construction, matching the shipped round-5 plan
         t = d.select("doc_id", toks.alias("toks")).repartition(
             spark.sparkContext.defaultParallelism
         )
-        start_structs = F.when(
-            F.size("toks") >= 5,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 4),
-                lambda i: F.struct(
-                    i.cast("bigint").alias("p"),
-                    F.array_join(F.slice(F.col("toks"), i, 5), " ").alias("gram"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<p:bigint,gram:string>>"))
-        starts = t.select("doc_id", F.explode(start_structs).alias("s")).select(
-            "doc_id", F.col("s.p").alias("p"), F.col("s.gram").alias("gram")
+        from pyspark.sql import Window as W
+
+        words = t.select("doc_id", F.posexplode("toks").alias("pos0", "tok")).select(
+            "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok"
+        )
+        wdoc = W.partitionBy("doc_id").orderBy("pos")
+        starts = (
+            words.select(
+                "doc_id",
+                F.col("pos").alias("p"),
+                F.concat_ws(
+                    " ", "tok",
+                    F.lead("tok", 1).over(wdoc), F.lead("tok", 2).over(wdoc),
+                    F.lead("tok", 3).over(wdoc), F.lead("tok", 4).over(wdoc),
+                ).alias("gram"),
+                F.lead("tok", 4).over(wdoc).alias("__l4"),
+            )
+            .filter(F.col("__l4").isNotNull())
+            .drop("__l4")
         )
         # window over the gram partition, matching the shipped plan
         # (round 5: the groupBy + join-back shape plan-shifted from
