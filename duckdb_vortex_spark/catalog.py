@@ -187,27 +187,34 @@ def _ensure_loaded() -> None:
     from .streaming import windows as stream_windows  # noqa: F401
 
 
-def _driver_rows() -> tuple[set[str], set[str]]:
-    """(sampled, green) entry-name sets from past driver artifacts.
+def _driver_rows() -> tuple[set[str], dict[str, int]]:
+    """(sampled, green-with-last-round) from past driver artifacts.
 
     The driver writes CORRECTNESS_r{N}.json at the repo root, one key
     per sampled entry. ``sampled`` = any past row at all; ``green`` =
     at least one past row that actually PASSED: ``hash_match`` true,
     or — only for entries that are oracle-less today — a completed
-    rows-only check (``err == 'no_oracle'`` with a row count). A
+    rows-only check (``err == 'no_oracle'`` with a row count) — mapped
+    to the MOST RECENT round that passed, so the seen-pool can rotate
+    oldest-green-first (VERDICT r5 #1: registration-order round-robin
+    re-sampled the same head-of-registration greens every round while
+    late-registered greens never re-validated as plans evolved). A
     sampled-but-never-green entry (a failed run, or a weak no_oracle
     row from before the entry gained its oracle) must re-enter the
     rotation right behind the never-sampled group, otherwise it sits
     in the seen-pool with no priority forever (VERDICT r4 #2:
     ``similarity_pq_codes``, ``agg_approx_count_distinct``)."""
     import json
+    import re
     from pathlib import Path
 
     sampled: set[str] = set()
-    green: set[str] = set()
+    green: dict[str, int] = {}
     oracle_less = {e.name for e in _REGISTRY.values() if e.oracle is None}
     root = Path(__file__).resolve().parents[1]
     for f in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             doc = json.loads(f.read_text())
         except Exception:  # unreadable artifact: ignore, worst case re-sample
@@ -216,14 +223,12 @@ def _driver_rows() -> tuple[set[str], set[str]]:
             sampled.add(name)
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                green.add(name)
-            elif (
+            if row.get("hash_match") is True or (
                 name in oracle_less
                 and row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
             ):
-                green.add(name)
+                green[name] = max(green.get(name, 0), rnd)
     return sampled, green
 
 
@@ -244,8 +249,14 @@ def entries() -> dict[str, CatalogEntry]:
        or only a weak ``no_oracle`` row from before the entry gained
        its oracle) — these must re-enter the sample, not rot in the
        seen-pool (VERDICT r4 #2);
-    3. then green entries; within each group, round-robin one entry
-       per family (defining module) so no module monopolizes the head;
+    3. then green entries, OLDEST last-green round first (VERDICT r5
+       #1: registration-order round-robin re-sampled the same
+       head-of-registration greens every round, so the driver rows of
+       late-registered greens went stale while their plans kept
+       evolving — last-green-ascending re-validates the full catalog
+       every ceil(n/50) rounds); within each round bucket, round-robin
+       one entry per family (defining module) so no module
+       monopolizes the head;
     4. oracle-less entries (driver records a weaker ``no_oracle`` row)
        go last so the sampled head is fully hash-checkable.
 
@@ -256,7 +267,7 @@ def entries() -> dict[str, CatalogEntry]:
     sampled, green = _driver_rows()
     fresh_by_family: dict[str, list[CatalogEntry]] = {}
     retry_by_family: dict[str, list[CatalogEntry]] = {}
-    seen_by_family: dict[str, list[CatalogEntry]] = {}
+    seen_by_round: dict[int, dict[str, list[CatalogEntry]]] = {}
     deferred: list[CatalogEntry] = []
     for e in _REGISTRY.values():
         if e.oracle is None:
@@ -266,9 +277,12 @@ def entries() -> dict[str, CatalogEntry]:
         elif e.name not in green:
             retry_by_family.setdefault(e.family, []).append(e)
         else:
-            seen_by_family.setdefault(e.family, []).append(e)
+            bucket = seen_by_round.setdefault(green[e.name], {})
+            bucket.setdefault(e.family, []).append(e)
+    groups = [fresh_by_family, retry_by_family]
+    groups += [seen_by_round[r] for r in sorted(seen_by_round)]
     ordered: dict[str, CatalogEntry] = {}
-    for group in (fresh_by_family, retry_by_family, seen_by_family):
+    for group in groups:
         queues = [list(q) for q in group.values()]
         while queues:
             remaining = []

@@ -77,10 +77,23 @@ def _glob_regex(pat: str) -> re.Pattern:
                 out.append(re.escape(c))
             else:
                 cls = pat[i + 1 : j]
-                if cls.startswith("!"):
-                    cls = "^" + cls[1:]
-                out.append("[" + cls + "]")
-                i = j
+                neg = cls.startswith("!")
+                if neg:
+                    cls = cls[1:]
+                # class bodies pass through to the regex engine: a raw
+                # backslash would escape the next member, and an empty
+                # or otherwise untranslatable body ('[]]') is invalid
+                # regex — escape backslashes, validate the snippet, and
+                # fall back to a literal '[' when it cannot be embedded
+                # safely (ADVICE r5)
+                candidate = "[" + ("^" if neg else "") + cls.replace("\\", "\\\\") + "]"
+                try:
+                    re.compile(candidate)
+                except re.error:
+                    out.append(re.escape(c))
+                else:
+                    out.append(candidate)
+                    i = j
         else:
             out.append(re.escape(c))
         i += 1
@@ -609,12 +622,24 @@ def register_s3(endpoint_url: str, access_key: str | None = None,
     if not replace:
         for s in schemes:
             prev = vortex_format._FILESYSTEMS.get(s)
-            if isinstance(prev, S3FS) and prev.config != fs.config:
+            if prev is None:
+                continue
+            if isinstance(prev, S3FS):
+                if prev.config != fs.config:
+                    raise ValueError(
+                        f"scheme {s!r} already registered for endpoint "
+                        f"{prev.endpoint!r}; registering {fs.endpoint!r} would "
+                        "silently reroute its reads — pass replace=True if "
+                        "intentional"
+                    )
+            else:
+                # a custom (non-S3FS) handler on the scheme is the same
+                # silent-reroute hazard the guard exists for (ADVICE r5)
                 raise ValueError(
-                    f"scheme {s!r} already registered for endpoint "
-                    f"{prev.endpoint!r}; registering {fs.endpoint!r} would "
-                    "silently reroute its reads — pass replace=True if "
-                    "intentional"
+                    f"scheme {s!r} already registered with a custom "
+                    f"filesystem ({type(prev).__name__}); registering an "
+                    "S3FS over it would silently reroute its reads — pass "
+                    "replace=True if intentional"
                 )
     for s in schemes:
         vortex_format.register_filesystem(s, fs)

@@ -213,9 +213,19 @@ class S3MemHandler(http.server.BaseHTTPRequestHandler):
         if rng and rng.startswith("bytes="):
             a, _, b = rng[len("bytes="):].partition("-")
             # real-S3 semantics (RFC 7233): an invalid byte-range-spec
-            # (first > last) is IGNORED and the FULL object returned —
-            # this is exactly what masks a read(0) bug on a lenient server
-            if a and b and int(a) > int(b):
+            # (first > last, or neither end given) is IGNORED and the
+            # FULL object returned — this is exactly what masks a
+            # read(0) bug on a lenient server. All three valid forms
+            # are served: 'a-b', open-ended 'a-', and suffix '-n'.
+            if not a and not b:
+                pass  # 'bytes=-' — no positions at all: full object
+            elif not a:
+                obj = obj[-int(b):] if int(b) else obj[len(obj):]
+                status = 206  # suffix form 'bytes=-n': last n bytes
+            elif not b:
+                obj = obj[int(a):]
+                status = 206  # open-ended 'bytes=a-': a through EOF
+            elif int(a) > int(b):
                 pass
             else:
                 obj = obj[int(a): int(b) + 1]

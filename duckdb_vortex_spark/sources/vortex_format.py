@@ -1012,19 +1012,34 @@ def chunk_stats(footer: Footer, chunk_idx: int, name: str):
     min/max/null-count — see _encode_nested), so a pushed predicate on
     a struct field prunes chunks exactly like a top-level column.
     Only struct steps are walked (list/map elements have no per-row
-    identity to prune on)."""
+    identity to prune on).
+
+    The returned null_count for a nested leaf INCLUDES every ancestor
+    struct's own null_count: Arrow permits valid child slots under a
+    null parent (the child array's null_count excludes them), yet
+    ``st.a IS NULL`` evaluates TRUE on parent-null rows — an IsNull
+    prune keyed on the bare leaf count would drop chunks that contain
+    matches. Summing ancestors can double-count overlapping nulls, but
+    pruning only ever tests ``== 0``, so over-counting is safe and
+    min/max are unaffected."""
     parts = name.split(".")
     cd = footer.chunks[chunk_idx]["columns"].get(parts[0])
+    ancestor_nulls = 0
     for p in parts[1:]:
         if cd is None or cd.get("enc") != "struct":
             return None
+        ancestor_nulls += cd.get("null_count") or 0
         cd = next(
             (c for c in cd.get("meta", {}).get("children", []) if c.get("name") == p),
             None,
         )
     if cd is None:
         return None
-    return _unjson_stat(cd["min"]), _unjson_stat(cd["max"]), cd["null_count"]
+    return (
+        _unjson_stat(cd["min"]),
+        _unjson_stat(cd["max"]),
+        cd["null_count"] + ancestor_nulls,
+    )
 
 
 # ---------------------------------------------------------------------------

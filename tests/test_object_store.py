@@ -117,6 +117,37 @@ def test_ranged_reads_and_seek_end(s3):
     assert f.read(10) == payload[100:110]
 
 
+def test_server_suffix_and_open_ended_ranges(s3):
+    """RFC 7233's other two valid byte-range forms — suffix
+    ('bytes=-n' → last n bytes) and open-ended ('bytes=n-' → n..EOF) —
+    must be served, not crash the handler with int('') (ADVICE r5:
+    the in-repo client never sends them, but the server's docstring
+    claims real-S3 semantics and a future reader change would hit a
+    confusing 500)."""
+    payload = bytes(range(200))
+    with s3.open("s3://bkt/rfc.bin", "wb") as f:
+        f.write(payload)
+    get = lambda rng: s3._request("GET", "bkt", "rfc.bin", headers={"Range": rng})
+    assert get("bytes=-10") == payload[-10:]  # suffix
+    assert get("bytes=150-") == payload[150:]  # open-ended
+    assert get("bytes=-") == payload  # no positions: invalid spec → full
+    assert get("bytes=5-4") == payload  # first>last: invalid → full
+
+
+def test_glob_regex_hostile_character_classes():
+    """A class body containing regex metacharacters ('\\', '[]]')
+    must not raise re.error at glob time — escape or fall back to a
+    literal '[' (ADVICE r5)."""
+    from duckdb_vortex_spark.sources.object_store import _glob_regex
+
+    r = _glob_regex("part-[0-9].vortex")
+    assert r.fullmatch("part-3.vortex") and not r.fullmatch("part-x.vortex")
+    assert _glob_regex("a[\\]b").fullmatch("a\\b")  # backslash member, literal
+    _glob_regex("x[]]y")  # empty-scan class: must not raise
+    assert _glob_regex("a[!0-9]b").fullmatch("axb")
+    assert not _glob_regex("a[!0-9]b").fullmatch("a5b")
+
+
 def test_glob_and_isdir_with_pagination(s3):
     for i in range(5):  # 5 keys > page_size 2 -> 3 list pages
         with s3.open(f"s3://bkt/t/part-{i:05d}.vortex", "wb") as f:
@@ -495,6 +526,14 @@ def test_register_s3_conflict_raises(s3):
         out = register_s3("http://127.0.0.1:9", ACCESS, SECRET, REGION,
                           replace=True)
         assert vf._FILESYSTEMS["s3"] is out
+
+    class _CustomFS:  # a non-S3FS handler on the scheme (ADVICE r5)
+        pass
+
+    with _m.patch.dict(vf._FILESYSTEMS, {"s3": _CustomFS()}, clear=False):
+        with pytest.raises(ValueError, match="replace=True"):
+            register_s3(s3.endpoint, ACCESS, SECRET, REGION)
+        register_s3(s3.endpoint, ACCESS, SECRET, REGION, replace=True)
 
 
 def test_transient_503_retried(s3, monkeypatch):

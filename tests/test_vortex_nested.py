@@ -178,6 +178,44 @@ def test_nested_struct_field_prunes_chunks(spark, tmp_path):
     assert pruned <= 2
 
 
+def test_nested_isnull_prune_counts_parent_nulls(spark, tmp_path):
+    """ADVICE r5 (medium): Arrow allows VALID child slots under a NULL
+    parent struct — the child array's own null_count is 0, yet
+    ``st.a IS NULL`` is TRUE on every parent-null row. IsNull pruning
+    keyed on the bare leaf count silently dropped those chunks;
+    chunk_stats must fold ancestor struct nulls into the leaf count."""
+    from pyspark.sql.datasource import IsNull
+
+    child = pa.array(list(range(100)), type=pa.int64())  # fully valid
+    mask = pa.array([i % 4 == 0 for i in range(100)])  # parent null 1-in-4
+    st = pa.StructArray.from_arrays([child], names=["a"], mask=mask)
+    assert st.field("a").null_count == 0 and st.null_count == 25
+    tbl = pa.table({"id": pa.array(range(100), type=pa.int64()), "st": st})
+    d = tmp_path / "parentnull.vortex"
+    d.mkdir()
+    w = vf.VortexFileWriter(str(d / "part-0.vortex"), tbl.schema)
+    w.write_table(tbl)
+    w.close()
+
+    footer = vf.read_footer(str(d / "part-0.vortex"))
+    _, _, nc = vf.chunk_stats(footer, 0, "st.a")
+    assert nc >= 25  # ancestor nulls folded in (leaf alone says 0)
+
+    schema = spark.read.format("vortex").load(str(d)).schema
+    r = VortexReader({"path": str(d)}, schema)
+    r.pushed = [IsNull(("st", "a"))]
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].row_group == 0  # NOT pruned
+
+    got = (
+        spark.read.format("vortex")
+        .load(str(d))
+        .filter(F.col("st.a").isNull())
+        .count()
+    )
+    assert got == 25
+
+
 def test_nested_schema_evolution_additive(spark, tmp_path):
     """A file written before a nested column existed reads it back as
     typed nulls alongside newer files."""
