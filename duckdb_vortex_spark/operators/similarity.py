@@ -487,6 +487,67 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_JOIN_ORACLE = f"""
+WITH h AS (
+  SELECT vec_id, embedding,
+         ((vec_id % 4294967296) * 1000003) % 4294967296 AS hk
+  FROM embeddings
+), c AS (
+  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cluster_id,
+         embedding AS centroid
+  FROM h
+  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= 16
+), asg AS (
+  SELECT v.vec_id, v.embedding, c.cluster_id,
+         {_sql_cos("v.embedding", "c.centroid")} AS csim
+  FROM embeddings v CROSS JOIN c
+), cand AS (
+  SELECT vec_id AS cand_id, embedding AS cv, cluster_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cluster_id) AS r FROM asg)
+  WHERE r = 1
+), qry AS (
+  SELECT vec_id AS query_id, embedding AS qv, cluster_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cluster_id) AS r FROM asg)
+  WHERE r <= 4
+), scored AS (
+  SELECT q.query_id, cand.cand_id,
+         {_sql_cos("q.qv", "cand.cv")} AS cos_sim
+  FROM qry q JOIN cand
+    ON q.cluster_id = cand.cluster_id AND cand.cand_id != q.query_id
+)
+SELECT query_id, cand_id
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+WHERE rnk <= 5
+"""
+
+
+@query(
+    "similarity_knn_join_cogrouped",
+    oracle=KNN_JOIN_ORACLE,
+    tags=("similarity", "llm", "approx"),
+)
+def similarity_knn_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN-JOIN: every corpus vector is a query (|Q| == corpus —
+    the self-join shape a SemDeDup-style pipeline runs, and the
+    documented intended tool once |Q| stops being a small probe set;
+    VERDICT r5 #6 promoted it to a driver entry). Each cogroup task
+    scores ONE cluster's queries against that cluster's candidates in
+    a single BLAS matmul, so resident memory per task is
+    (corpus/|clusters|)² at worst and clusters run in parallel —
+    nothing global is quadratic and nothing collects to the driver.
+
+    FULLY oracle-checked like similarity_ivf_ann: portable
+    multiplicative-hash centroids, deterministic 1-probe assignment /
+    4-probe fan-out / exact in-cluster cosine / global top-5, so
+    DuckDB replays the identical algorithm; output is the pair SET
+    (ulp contract as similarity_topk_vectorized)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk_vectorized(emb, emb, k=5).select("query_id", "cand_id")
+
+
 PAIRS_ORACLE = """
 WITH pairs AS (
   SELECT

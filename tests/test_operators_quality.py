@@ -200,3 +200,20 @@ def test_span_trim_invariants(spark):
         sub = out[out.doc_id.isin(grp.index)]
         full = (sub.n_removed == 0).sum()
         assert full == 1, f"dup group kept {full} full copies"
+
+
+def test_connected_components_long_path_converges(spark):
+    """Pointer jumping (r6): a 120-node PATH has diameter 119 — plain
+    1-hop min-propagation would need 119 rounds and silently return
+    WRONG labels under the 50-iteration cap; label-of-label halving
+    converges in O(log d). Every node must label to node 0, and a
+    disjoint 3-clique must keep its own minimum."""
+    from duckdb_vortex_spark.operators.dedup import connected_components
+
+    path = [(i, i + 1) for i in range(119)]  # 0-1-2-...-119
+    clique = [(1000, 1001), (1001, 1002), (1000, 1002)]
+    edges = spark.createDataFrame(path + clique, ["doc_a", "doc_b"])
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert all(got[i] == 0 for i in range(120))
+    assert all(got[i] == 1000 for i in (1000, 1001, 1002))
+    assert len(got) == 123
