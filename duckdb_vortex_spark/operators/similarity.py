@@ -18,10 +18,34 @@ Scale design:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
+
+# Storage levels for the PQ interpreted-HOF persist barriers (the
+# distance-table / codes subtrees that MUST cache — a repartition
+# barrier does not survive RepartitionByExpression projection
+# pushdown, see pq_adc_topk). Module-level so
+# scripts/retime_ivfpq_ab.py can A/B levels in ONE session.
+#
+# Split by what the barrier holds (VERDICT r5 #4): the CODES side
+# grows ∝ corpus — SCALE.md's standing rule is that pinning executor
+# heap ∝ corpus is a tax at 100 TB — so it caches DISK_ONLY
+# (serialized, off the GC heap); the A/B (2×7 interleaved runs,
+# sf0.1) measured DISK_ONLY median-identical to MEMORY_AND_DISK
+# (2.55/2.57 s and 2.66/2.75 s across two sessions), i.e. the scale-
+# safe level is locally free. The QUERY side is bounded
+# (|queries| × m·k doubles) and stays on the default level. The r5
+# 11 s GC-tail outlier did not reproduce in 28 runs across either
+# arm — recorded as box noise, not a plan property.
+PQ_CODES_STORAGE = StorageLevel.DISK_ONLY
+PQ_QUERY_STORAGE = StorageLevel.MEMORY_AND_DISK
+
+
+def _pq_barrier(df: DataFrame, corpus: bool = False) -> DataFrame:
+    return df.persist(PQ_CODES_STORAGE if corpus else PQ_QUERY_STORAGE)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1115,8 +1139,8 @@ def pq_adc_topk(
     # pre-materialized storage (4 bytes/vector — the point of PQ) and
     # the query-side table is |queries| × m·k doubles, both bounded.
     # Same persist-the-reused-subtree pattern as minhash signatures.
-    q = queries_df.select(F.col(id_col).alias("query_id"), *dtab_cols).persist()
-    c = codes_df.select(F.col(id_col).alias("cand_id"), "codes").persist()
+    q = _pq_barrier(queries_df.select(F.col(id_col).alias("query_id"), *dtab_cols))
+    c = _pq_barrier(codes_df.select(F.col(id_col).alias("cand_id"), "codes"), corpus=True)
     ad2 = None
     for s in range(m):
         term = F.element_at(f"__dtab{s}", F.col("codes")[s] + 1)
@@ -1220,24 +1244,22 @@ def ivfpq_topk(
         corpus_df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col,
         centroids=centroids if k_codes == n_clusters else None,
     )
-    cand = (
+    cand = _pq_barrier(  # same interpreted-HOF barrier as pq_adc_topk
         pq_encode(
             ivf_assign(corpus_df, centroids, 1, id_col, vec_col),
             books, id_col, vec_col, passthrough=("cluster_id",),
-        )
-        .select(F.col(id_col).alias("cand_id"), "cluster_id", "codes")
-        .persist()  # same interpreted-HOF barrier as pq_adc_topk
+        ).select(F.col(id_col).alias("cand_id"), "cluster_id", "codes"),
+        corpus=True,
     )
     dsub = len(books[0][0])
     dtab_cols = [
         F.expr(_d2_vec_sql(vec_col, books[s], s, dsub)).alias(f"__dtab{s}")
         for s in range(m)
     ]
-    qry = (
+    qry = _pq_barrier(
         ivf_assign(queries_df, centroids, n_probe, id_col, vec_col)
         .select(F.col(id_col).alias("query_id"), "cluster_id", F.col(vec_col))
         .select("query_id", "cluster_id", *dtab_cols)
-        .persist()
     )
     ad2 = None
     for s in range(m):
