@@ -33,13 +33,15 @@ from ..catalog import load, query
 # Split by what the barrier holds (VERDICT r5 #4): the CODES side
 # grows ∝ corpus — SCALE.md's standing rule is that pinning executor
 # heap ∝ corpus is a tax at 100 TB — so it caches DISK_ONLY
-# (serialized, off the GC heap); the A/B (2×7 interleaved runs,
-# sf0.1) measured DISK_ONLY median-identical to MEMORY_AND_DISK
-# (2.55/2.57 s and 2.66/2.75 s across two sessions), i.e. the scale-
-# safe level is locally free. The QUERY side is bounded
-# (|queries| × m·k doubles) and stays on the default level. The r5
-# 11 s GC-tail outlier did not reproduce in 28 runs across either
-# arm — recorded as box noise, not a plan property.
+# (serialized, off the GC heap). The r6 A/B run set a nonexistent
+# attribute and measured nothing (ADVICE r6); the FIXED script
+# (r7, 2×7 interleaved runs, sf0.1, each arm actually driving
+# PQ_CODES_STORAGE) measured DISK_ONLY median 2.649 s vs
+# MEMORY_AND_DISK 2.700 s — the scale-safe level is locally free,
+# now for real. The QUERY side is bounded (|queries| × m·k doubles)
+# and stays on the default level. The r5 11 s GC-tail outlier has
+# not reproduced in any A/B session — box noise, not a plan
+# property.
 PQ_CODES_STORAGE = StorageLevel.DISK_ONLY
 PQ_QUERY_STORAGE = StorageLevel.MEMORY_AND_DISK
 

@@ -220,8 +220,16 @@ class S3MemHandler(http.server.BaseHTTPRequestHandler):
             if not a and not b:
                 pass  # 'bytes=-' — no positions at all: full object
             elif not a:
-                obj = obj[-int(b):] if int(b) else obj[len(obj):]
-                status = 206  # suffix form 'bytes=-n': last n bytes
+                # suffix form 'bytes=-n': last n bytes.  A ZERO
+                # suffix-length is unsatisfiable under RFC 7233 §2.1
+                # ("a suffix-byte-range-spec with a non-zero
+                # suffix-length"); real S3 ignores the header and
+                # returns the full object — mirror that (status 200)
+                # rather than inventing a lenient empty-206.
+                if int(b):
+                    obj = obj[-int(b):]
+                    status = 206
+                # else: fall through — full object, status 200
             elif not b:
                 obj = obj[int(a):]
                 status = 206  # open-ended 'bytes=a-': a through EOF

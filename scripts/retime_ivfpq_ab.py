@@ -37,19 +37,26 @@ def main() -> None:
         "memory_and_disk": StorageLevel.MEMORY_AND_DISK,
         "disk_only": StorageLevel.DISK_ONLY,
     }
+    # The knob the plan actually reads is PQ_CODES_STORAGE (the
+    # corpus-side barrier; _pq_barrier(corpus=True)).  An earlier
+    # version of this script set a nonexistent PQ_BARRIER_STORAGE
+    # attribute, so both arms ran the shipped plan — that run's
+    # "median-identical" result was a measurement of nothing
+    # (ADVICE r6).  Restore the shipped default on exit.
+    shipped = similarity.PQ_CODES_STORAGE
     runs: dict[str, list[float]] = {k: [] for k in arms}
     for lvl in arms.values():  # warm both arms once
-        similarity.PQ_BARRIER_STORAGE = lvl
+        similarity.PQ_CODES_STORAGE = lvl
         _materialize(q(spark, sf_dir))
         spark.catalog.clearCache()
     for _ in range(n):
         for k, lvl in arms.items():
-            similarity.PQ_BARRIER_STORAGE = lvl
+            similarity.PQ_CODES_STORAGE = lvl
             spark.catalog.clearCache()  # each run rebuilds its barriers
             t0 = time.monotonic()
             _materialize(q(spark, sf_dir))
             runs[k].append(round(time.monotonic() - t0, 4))
-    similarity.PQ_BARRIER_STORAGE = StorageLevel.MEMORY_AND_DISK
+    similarity.PQ_CODES_STORAGE = shipped
     out = {
         k: {
             "runs": sorted(v),

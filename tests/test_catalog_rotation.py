@@ -43,13 +43,32 @@ def test_fresh_and_retry_precede_greens():
 
 
 def test_head_sample_revalidates_stale_rows():
-    """With 5 artifacts on disk the 50-head must be dominated by the
-    OLDEST driver rows (r1–r3), not the entries the driver just
-    checked — the r6 'done' criterion from VERDICT r5 #1."""
+    """The 50-head must re-validate the OLDEST driver rows first.
+    Derived from whatever artifacts are on disk (ADVICE r6: the
+    previous version hardcoded 'green round <= 3' and '>= 40', which
+    rots as rounds accumulate): every green entry inside the head
+    must be no NEWER than any green entry outside it — head greens
+    come from the oldest observed green rounds, whatever those are."""
     sampled, green = catalog._driver_rows()
-    head = list(catalog.entries())[:50]
-    stale = sum(1 for n in head if green.get(n, 99) <= 3)
-    fresh = sum(1 for n in head if n not in sampled)
-    # fresh entries legitimately take head slots; everything else in
-    # the head must be a stale green (or a re-queue, none expected now)
-    assert stale + fresh >= 40
+    ents = catalog.entries()
+    head = list(ents)[:50]
+    head_set = set(head)
+    greens_in = [green[n] for n in head if n in green]
+    greens_out = [
+        green[n]
+        for n, e in ents.items()
+        if n not in head_set and e.oracle is not None and n in green
+    ]
+    if greens_in and greens_out:
+        assert max(greens_in) <= min(greens_out), (
+            "a head green is newer than a non-head green — rotation broken"
+        )
+    # fresh and retry entries must not be displaced past the head by
+    # greens: any green in the head implies zero fresh/retry outside it
+    if greens_in:
+        for n, e in ents.items():
+            if n in head_set or e.oracle is None:
+                continue
+            assert n in green, (
+                f"non-green oracle entry {n!r} outside head while greens occupy it"
+            )

@@ -132,6 +132,9 @@ def test_server_suffix_and_open_ended_ranges(s3):
     assert get("bytes=150-") == payload[150:]  # open-ended
     assert get("bytes=-") == payload  # no positions: invalid spec → full
     assert get("bytes=5-4") == payload  # first>last: invalid → full
+    # zero suffix-length is unsatisfiable per RFC 7233 §2.1; real S3
+    # ignores the header — full object, NOT an empty 206 (ADVICE r6)
+    assert get("bytes=-0") == payload
 
 
 def test_glob_regex_hostile_character_classes():
