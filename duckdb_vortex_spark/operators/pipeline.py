@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load, query
-from .dedup import _DUCK_TOKS
+from .dedup import _DUCK_TOKS, _duck_shingles, shingles_from_tokens
 from .text import md5_fingerprint, quality_score, token_count, tokens
 
 
@@ -744,3 +744,199 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.alias("oov_tokens"),
         (oov.cast("double") / F.sum("n").cast("bigint").cast("double")).alias("oov_rate"),
     )
+
+
+# --- full corpus → training-shard manifest (r7 mega-entry) ----------------
+
+SHARDS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_DUCK_TOKS} AS toks, length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, source, toks,
+    CAST(
+      CAST(n_chars BETWEEN 100 AND 20000 AS INTEGER)
+      + CAST(CAST(len(list_filter(toks, x -> lower(x) IN
+              ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+          / greatest(len(toks), 1) > 0.05 AS INTEGER)
+      + CAST(CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / greatest(n_chars, 1) < 0.2 AS INTEGER)
+      + CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+          / greatest(len(toks), 1) BETWEEN 2.0 AND 12.0 AS INTEGER)
+    AS DOUBLE) / 4.0 AS quality
+  FROM t
+), q AS (
+  SELECT doc_id, source, toks,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS content_key
+  FROM m WHERE quality >= 0.75
+), dd AS (
+  SELECT doc_id, source, toks,
+         min(doc_id) OVER (PARTITION BY content_key) AS keep_id
+  FROM q
+), surv AS (
+  SELECT doc_id, source, toks FROM dd WHERE doc_id = keep_id
+), eval_sh AS (
+  SELECT DISTINCT unnest({_duck_shingles("toks")}) AS s FROM t WHERE source = 'src0'
+), tr_sh AS (
+  SELECT doc_id, unnest({_duck_shingles("toks")}) AS s
+  FROM surv WHERE source <> 'src0'
+), contaminated AS (
+  SELECT DISTINCT tr.doc_id FROM tr_sh tr JOIN eval_sh e ON e.s = tr.s
+), clean AS (
+  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+           AS pack_group
+  FROM surv
+  WHERE source <> 'src0'
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), c AS (
+  SELECT doc_id, source, n_tokens, pack_group,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source, pack_group ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM clean
+)
+SELECT doc_id, source, n_tokens,
+       CAST(pack_group AS BIGINT) AS pack_group,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+       CAST(CAST(('0x' || substr(md5(source || '#' || CAST(pack_group AS VARCHAR)
+                  || '#' || CAST((cum - n_tokens) // 2048 AS VARCHAR)), 1, 8))
+            AS BIGINT) % 16 AS BIGINT) AS shard
+FROM c
+"""
+
+
+def corpus_to_shards(
+    df: DataFrame,
+    eval_source: str = "src0",
+    min_quality: float = 0.75,
+    token_budget: int = 2048,
+    pack_groups: int = 8,
+    n_shards: int = 16,
+) -> DataFrame:
+    """documents → (doc_id, source, n_tokens, pack_group, bin, shard)
+    training-shard manifest: the full curation chain as ONE plan.
+
+    Stages and their shuffles (everything else stays in the scan
+    stage or reuses an exchange):
+
+    1. quality filter — pure column algebra, folds into the scan;
+       rejected rows are never shuffled.
+    2. exact dedup, keep-canonical — min(doc_id) window over the
+       content key: shuffle #1 (hash by content_key).
+    3. benchmark decontamination (GPT-3 appendix-C shape) — survivors'
+       3-gram shingles anti-joined against the eval set's shingle
+       set: shuffle #2 on the shingle key. Eval sets are small by
+       nature, so at scale the eval side broadcasts and the anti-join
+       is map-side; here it flows through AQE.
+    4. token packing — running token sum over (source, pack_group):
+       shuffle #3. pack_group = md5-bucket(doc_id) % 8 bounds the
+       per-partition sort: packing only needs locality within a
+       training shard, not a global order, so a source that is 10 TB
+       sorts as 8 independent 1.25 TB streams (and pack_groups scales
+       with corpus size — the knob is the manifest's parallelism).
+    5. shard assignment — per-row md5 hash of (source, pack_group,
+       bin): no shuffle, reproducible under any partitioning.
+
+    Tokenization happens ONCE behind a round-robin exchange barrier
+    before the shingle explosion ([[hof-recompute-and-aqe-cliff]]:
+    Catalyst inlines expression trees into per-index HOF lambdas, so
+    unbarriered shingles re-run split+filter per gram).
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    # quality gate + content key, then keep-canonical via window —
+    # same shapes as prepare_training_data (oracle-pinned there)
+    filtered = df.filter(quality_score("text") >= min_quality)
+    content_key = F.md5(
+        F.array_join(F.sort_array(F.array_distinct(tokens("text"))), " ")
+    )
+    keep = F.min("doc_id").over(Window.partitionBy("content_key"))
+    surv = (
+        filtered.withColumn("content_key", content_key)
+        .withColumn("keep_id", keep)
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "text")
+    )
+
+    # tokenize-once barriers (shingle HOFs explode ~|toks| rows/doc)
+    surv_tk = surv.select(
+        "doc_id", "source", tokens("text").alias("toks")
+    ).repartition(par)
+    eval_tk = (
+        df.filter(F.col("source") == eval_source)
+        .select(tokens("text").alias("toks"))
+        .repartition(par)
+    )
+
+    eval_sh = eval_tk.select(
+        F.explode(shingles_from_tokens(F.col("toks"), 3)).alias("s")
+    ).distinct()
+    train = surv_tk.filter(F.col("source") != eval_source)
+    tr_sh = train.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"), 3)).alias("s")
+    )
+    contaminated = tr_sh.join(eval_sh, "s").select("doc_id").distinct()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % pack_groups
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        bucket.alias("pack_group"),
+    )
+
+    w = (
+        Window.partitionBy("source", "pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    binned = clean.withColumn(
+        "bin", ((cum - F.col("n_tokens")) / token_budget).cast("bigint")
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("source"),
+                        F.col("pack_group").cast("string"),
+                        F.col("bin").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    )
+    return binned.select(
+        "doc_id", "source", "n_tokens", "pack_group", "bin", shard.alias("shard")
+    )
+
+
+@query(
+    "pipeline_corpus_to_shards",
+    oracle=SHARDS_ORACLE,
+    tags=("llm", "dedup", "flagship", "join", "window"),
+)
+def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end integration shape a real pretraining pipeline
+    runs (VERDICT r6 #7a): quality filter → exact dedup → benchmark
+    decontamination (vs the 'src0' eval set) → fixed-token-budget
+    packing → shard assignment, composed as a single Catalyst plan —
+    three shuffles total for the whole chain (see corpus_to_shards).
+    The unit-level entries (pipeline_training_data_prep,
+    contamination_eval_removal, pack_documents_token_bins) pin each
+    stage alone; this one pins their COMPOSITION, where stage
+    boundaries are where real pipelines silently break (a dedup that
+    reorders, a decontam that drops the wrong side, a packing window
+    that sees pre-dedup rows)."""
+    return corpus_to_shards(load(spark, sf_dir, "documents"))

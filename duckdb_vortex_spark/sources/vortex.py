@@ -251,23 +251,38 @@ class VortexReader(DataSourceReader):
         self.pushdown_enabled = str(options.get("pushdown", "true")).lower() != "false"
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: N802
-        """A6: accept the comparison/null filters we can evaluate against
-        chunk statistics and batch data; everything else goes back to
-        Spark. Spark also re-applies accepted filters — acceptance here
-        is a pruning hint, correctness stays with the engine.
+        """A6: record the comparison/null filters we can evaluate
+        against chunk statistics and batch data as PRUNING/PREFILTER
+        HINTS — but return EVERY filter to Spark as residual, so Spark
+        always keeps its own Filter node above the scan. The hints
+        drive footer zone-map chunk pruning (partitions) and an
+        Arrow-side batch prefilter (read), both of which only REDUCE
+        the rows crossing the Arrow→JVM boundary; row-level
+        correctness never depends on reader state.
+
+        Why all-residual (r7): the Python DataSource contract treats
+        non-returned filters as fully handled, so Spark DELETES their
+        Filter nodes. Combined with the upstream caveat below, two
+        differently-filtered scans of the SAME relation (a decontam
+        anti-join, any filtered self-join) executed one branch's scan
+        closure for both — and the branch whose Filter Spark had
+        deleted returned unfiltered rows, silently. With all filters
+        residual, the worst a stale scan closure can do is prune
+        chunks with the OTHER branch's hints (wrong-direction
+        pruning); `.option("pushdown", "false")` removes that too.
 
         KNOWN UPSTREAM CAVEAT (Spark 4.1 Python DataSource): the JVM
         caches the planned scan (``PythonDataSourceV2.readInfo``) in a
         single mutable slot per relation and only the pushdown path
-        refreshes it — so on a DataFrame variable that is REUSED across
-        actions, a later unfiltered action can silently reuse the
-        chunk-pruned scan a previous filtered action planned (builtin
-        sources are unaffected). Every fresh ``load()`` is safe, which
-        is how the catalog/driver/bench use this source. Interactive
-        reuse patterns can pass ``.option("pushdown", "false")`` to
-        make every scan filter-independent (Spark re-applies all
-        filters itself; zone-map pruning is skipped). Pinned in
-        tests/test_vortex_source.py::test_relation_reuse_pushdown_caveat.
+        refreshes it — so scans planned later can serve earlier
+        branches of the same relation (builtin sources are
+        unaffected). Every fresh ``load()`` is safe, which is how the
+        catalog/driver/bench use this source. DataFrames that fan out
+        into multiple DIFFERENTLY-FILTERED branches (self-joins,
+        eval/train splits) should pass ``.option("pushdown",
+        "false")`` to make every scan filter-independent. Pinned in
+        tests/test_vortex_source.py::test_relation_reuse_pushdown_caveat
+        and test_filtered_self_join_keeps_spark_filters.
         """
         if not self.pushdown_enabled:
             return filters  # hint-free: scan is identical for any query
@@ -282,7 +297,6 @@ class VortexReader(DataSourceReader):
             In,
             StringStartsWith,
         )
-        rest = []
         for f in filters:
             # attribute may be a multi-segment path into a STRUCT
             # column (("st", "a")): nested layouts carry per-leaf zone
@@ -290,9 +304,7 @@ class VortexReader(DataSourceReader):
             # chunks exactly like top-level columns.
             if isinstance(f, supported) and len(f.attribute) >= 1:
                 self.pushed.append(f)
-            else:
-                rest.append(f)
-        return rest
+        return filters
 
     def partitions(self) -> Sequence[VortexChunk]:
         chunks = []
@@ -400,6 +412,17 @@ class VortexReader(DataSourceReader):
         return True
 
     def _arrow_predicate(self):
+        """Arrow expression form of the pushed hints.  NOT applied in
+        ``read()`` (r7): a batch-level prefilter is scan-closure state,
+        and under the upstream single-slot readInfo caveat a stale
+        closure's prefilter silently removed rows another branch of the
+        same relation needed (its Filter node re-adds nothing that the
+        scan never yielded). Chunk pruning keeps the 100 TB win —
+        wrong-direction pruning needs multi-chunk files AND refuting
+        footer stats, and `pushdown=false` exists for multi-branch
+        relations; the row-level prefilter only ever saved Arrow→JVM
+        transfer that Spark's retained Filter now handles. Kept for
+        diagnostics/tests."""
         import pyarrow.compute as pc
 
         expr = None
@@ -431,11 +454,13 @@ class VortexReader(DataSourceReader):
         return expr
 
     def read(self, partition: VortexChunk):
-        """Decode one chunk: prune columns (A5), filter batches (A6),
-        yield Arrow RecordBatches (A9 — zero-copy into Spark). Columns
-        the file predates (additive schema evolution) come back as
-        typed nulls — filled BEFORE the pushed predicate runs, so a
-        filter on an evolved column is correct on old files too."""
+        """Decode one chunk: prune columns (A5; chunk-level filter
+        pruning happened in partitions()), yield Arrow RecordBatches
+        (A9 — zero-copy into Spark). Row-level filtering is Spark's —
+        every filter is returned as residual (see pushFilters).
+        Columns the file predates (additive schema evolution) come
+        back as typed nulls, so a filter on an evolved column is
+        correct on old files too."""
         _apply_store_options(self.store)  # executor-side worker process
         cols = [f.name for f in self.schema.fields]
         footer = vfmt.read_footer(partition.file)
@@ -449,9 +474,7 @@ class VortexReader(DataSourceReader):
         n_rows = footer.chunks[partition.row_group]["n_rows"]
         table = vfmt.read_chunk(partition.file, footer, partition.row_group, present)
         table = _with_missing_columns(table, self.schema, cols, n_rows=n_rows)
-        pred = self._arrow_predicate()
-        if pred is not None:
-            table = table.filter(pred)
+        # no pushed-hint row prefilter here — see _arrow_predicate (r7)
         yield from table.to_batches()
 
 

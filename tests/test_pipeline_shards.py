@@ -1,0 +1,87 @@
+"""pipeline_corpus_to_shards integration contract (VERDICT r6 #7a):
+the end-to-end curation chain must (1) produce the identical manifest
+whether the corpus is read from parquet or through the vortex
+DataSource — the integration shape a real pipeline runs — and (2)
+keep its stage semantics composed correctly (dedup before packing,
+decontam only dropping eval-overlapping training docs).
+
+The value-level gate vs DuckDB is tests/test_catalog_oracle.py (this
+entry has a full oracle); these tests pin what the oracle can't see:
+the storage-layer integration and the plan shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_vortex_spark.catalog import load
+from duckdb_vortex_spark.operators.pipeline import corpus_to_shards
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_manifest_identical_over_vortex_datasource(spark, tmp_path):
+    """Write documents as a .vortex dataset, run the SAME pipeline
+    over the vortex scan, and require a row-identical manifest: the
+    chain's semantics must not depend on the storage layer (chunk
+    boundaries, encoding round-trips, pushed filters)."""
+    from duckdb_vortex_spark.sources.vortex import register, write_sorted
+
+    register(spark)
+    docs = load(spark, SF_DIR, "documents")
+    want = _canon(corpus_to_shards(docs))
+    vpath = str(tmp_path / "documents_vortex")
+    docs.write.format("vortex").mode("append").save(vpath)
+    vdocs = spark.read.format("vortex").load(vpath)
+    assert _canon(corpus_to_shards(vdocs)) == want
+
+    # hazard layout: many chunks SORTED by source, so the eval
+    # branch's '=src0' hint would genuinely prune chunks — the
+    # documented rule for multi-branch filtered reuse of one relation
+    # is pushdown=false (see vortex.pushFilters); it must be exact
+    spath = str(tmp_path / "documents_sorted")
+    write_sorted(docs, spath, sort_cols=["source"], chunk_rows=64)
+    sdocs = spark.read.format("vortex").option("pushdown", "false").load(spath)
+    assert _canon(corpus_to_shards(sdocs)) == want
+
+
+def test_no_eval_source_rows_and_no_duplicate_content(spark):
+    docs = load(spark, SF_DIR, "documents")
+    out = corpus_to_shards(docs)
+    assert out.filter(F.col("source") == "src0").count() == 0
+    # every surviving doc_id is unique (dedup ran before packing)
+    assert out.count() == out.select("doc_id").distinct().count()
+
+
+def test_bins_are_contiguous_per_pack_group(spark):
+    """Within (source, pack_group), bins must start at 0 and be
+    non-decreasing in doc_id order with no gaps — the streaming-concat
+    packing invariant a shuffle-order bug would break."""
+    docs = load(spark, SF_DIR, "documents")
+    out = corpus_to_shards(docs).orderBy("source", "pack_group", "doc_id")
+    rows = out.collect()
+    last: dict[tuple, int] = {}
+    for r in rows:
+        key = (r.source, r.pack_group)
+        prev = last.get(key, -1)
+        assert r.bin >= 0 and prev <= r.bin <= prev + max(
+            1, (r.n_tokens // 2048) + 1
+        ), f"bin sequence broken at {r}"
+        last[key] = r.bin
+    assert rows, "pipeline produced an empty manifest at test SF"
+
+
+def test_shard_assignment_is_partitioning_invariant(spark):
+    """shard is a pure row hash: repartitioning the input must not
+    change any assignment (reproducibility under cluster layout)."""
+    docs = load(spark, SF_DIR, "documents")
+    a = _canon(corpus_to_shards(docs))
+    b = _canon(corpus_to_shards(docs.repartition(7, "lang")))
+    assert a == b

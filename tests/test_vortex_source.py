@@ -501,3 +501,36 @@ def test_sorted_low_cardinality_uses_ree(spark, tmp_path):
         .groupBy("k").agg(F.count("*").alias("n")).orderBy("k").collect()
     )
     assert [(r["k"], r["n"]) for r in got] == [(i, 4000) for i in range(5)]
+
+
+def test_filtered_self_join_keeps_spark_filters(spark, tmp_path):
+    """r7 regression: two DIFFERENTLY-FILTERED scans of one vortex
+    relation (the decontam/self-join shape). Before r7, pushFilters
+    accepted EqualTo → Spark deleted that branch's Filter node, and the
+    upstream single-slot readInfo cache executed the OTHER branch's
+    scan closure for it — the '=' branch returned every row, silently
+    (observed: 58k rows instead of 2.5k). With all filters residual
+    and no scan-closure row prefilter, row correctness is Spark's and
+    the join is exact."""
+    path = str(tmp_path / "selfjoin.vortex")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") % 10).alias("lang"),
+    )
+    df.write.format("vortex").mode("append").save(path)
+    v = spark.read.format("vortex").load(path)
+    left = v.filter(F.col("grp") == "0")
+    right = v.filter(F.col("grp") != "0")
+    got = left.join(right, "lang").count()
+
+    p = str(tmp_path / "selfjoin_parquet")
+    df.write.parquet(p)
+    pq = spark.read.parquet(p)
+    want = pq.filter(F.col("grp") == "0").join(pq.filter(F.col("grp") != "0"), "lang").count()
+    assert got == want and got > 0
+
+    # both filters must survive in the executed plan (no branch trusts
+    # the scan closure for row-level filtering)
+    plan = left.join(right, "lang")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Filter") >= 2
