@@ -1437,3 +1437,106 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
         F.col("__rm").isNull().alias("is_kept"),
     )
+
+
+# --- ADC search over a STORED codes artifact (VERDICT r6 #7c) -------------
+
+
+def adc_topk_over_codes(
+    queries_df: DataFrame,
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC search against a PRE-BUILT codes table — the decoupled
+    form of ivfpq_topk for when the index artifact already exists.
+    ``codes_df`` must carry (cand_id, cluster_id, codes): exactly what
+    ``pq_encode(ivf_assign(...), passthrough=("cluster_id",))``
+    produces and what a production deployment stores once and searches
+    many times (the 100 TB regime: the index build is one corpus pass,
+    amortized over every query batch that follows; codes are 4 bytes a
+    vector, so the stored artifact is the only corpus-sized thing a
+    query ever touches).
+
+    Same kernel as ivfpq_topk's tail: codebooks/centroids broadcast
+    as literals, queries build m×k distance tables row-local, the join
+    is hash-partitioned on cluster_id (probed clusters only), top-k is
+    a per-query window (WindowGroupLimit, no global sort)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dtab_cols = [
+        F.expr(_d2_vec_sql(vec_col, codebooks[s], s, dsub)).alias(f"__dtab{s}")
+        for s in range(m)
+    ]
+    qry = _pq_barrier(
+        ivf_assign(queries_df, centroids, n_probe, id_col, vec_col)
+        .select(F.col(id_col).alias("query_id"), "cluster_id", F.col(vec_col))
+        .select("query_id", "cluster_id", *dtab_cols)
+    )
+    cand = _pq_barrier(
+        codes_df.select("cand_id", "cluster_id", "codes"), corpus=True
+    )
+    ad2 = None
+    for s in range(m):
+        term = F.element_at(f"__dtab{s}", F.col("codes")[s] + 1)
+        ad2 = term if ad2 is None else ad2 + term
+    scored = (
+        qry.join(cand, "cluster_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", ad2.alias("approx_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "approx_d2")
+    )
+
+
+@query(
+    "similarity_adc_stored_codes",
+    oracle=IVFPQ_ORACLE,
+    tags=("similarity", "llm", "approx", "vortex"),
+)
+def similarity_adc_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC over a STORED codes artifact: build the PQ index once
+    (ivf_assign → pq_encode), COPY it to a vortex dataset, read it
+    back through the vortex DataSource, and search the stored copy —
+    the composition pq_adc_topk's docstring promises, now exercised
+    end-to-end through real storage. Results are bit-identical to
+    similarity_ivfpq_ann (same oracle): the store/load hop must be
+    value-neutral for bigint ids and int-list codes (A14 list
+    layouts), which is precisely what makes codes a durable index
+    artifact rather than a per-session computation."""
+    import os
+    import tempfile
+
+    from ..sources.vortex import register
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = sample_centroids(emb, 16)
+    books = pq_codebooks(emb, m=4, k=16, centroids=centroids)
+    codes = pq_encode(
+        ivf_assign(emb, centroids, 1), books, passthrough=("cluster_id",)
+    ).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "codes",
+    )
+    register(spark)
+    path = os.path.join(
+        tempfile.gettempdir(), f"dvs_adc_codes_{os.getpid()}.vortex"
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    codes.write.format("vortex").mode("append").save(path)
+    stored = spark.read.format("vortex").load(path)
+    return adc_topk_over_codes(
+        emb.filter(F.col("vec_id") % 20 == 0), stored, books, centroids,
+        k=10, n_probe=4,
+    )

@@ -39,17 +39,31 @@ def write_stream_vortex(
     dataset at ``path``. Returns the StreamingQuery (caller awaits)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Exactly-once protocol (r7): write the batch into a staging
+        # dir and COMMIT with one atomic rename. The rename is the
+        # only instant a reader's `batch-*` glob can start matching
+        # this batch, so concurrent readers never observe a
+        # half-written batch (part files land incrementally during
+        # save); and a batch that died mid-write leaves only a
+        # `.staging` dir the glob ignores. Retries are idempotent in
+        # both directions: a retry AFTER commit finds the final dir
+        # and returns (the checkpoint replayed an already-committed
+        # batch — writing again would duplicate rows); a retry after
+        # a mid-write crash clears the stale staging dir and rewrites.
         batch_dir = os.path.join(path, f"batch-{batch_id:08d}")
-        # retried batch: drop its partial output, then rewrite — the
-        # batch-id directory is the idempotency unit
         if os.path.isdir(batch_dir):
-            shutil.rmtree(batch_dir)
+            return  # committed by a previous attempt — replay is a no-op
+        # dot-prefixed so no `batch-*` reader glob can ever match it
+        staging = os.path.join(path, f".staging-batch-{batch_id:08d}")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)  # crashed attempt's partial output
         (
             batch_df.write.format("vortex")
             .mode("append")
             .option("chunk_rows", chunk_rows)
-            .save(batch_dir)
+            .save(staging)
         )
+        os.rename(staging, batch_dir)  # the commit point
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

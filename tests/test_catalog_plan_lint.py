@@ -86,6 +86,12 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "size build side at any corpus scale (same shape as ivf_ann); "
         "the candidate scan itself joins hash-wise on cluster_id",
     ),
+    "similarity_adc_stored_codes": (
+        ("nested-loop-join",),
+        "same 16-ROW centroid broadcast as similarity_ivfpq_ann (query "
+        "cluster assignment); the stored-codes scan joins hash-wise on "
+        "cluster_id",
+    ),
     "basket_brand_affinity": (
         ("nested-loop-join",),
         "1-ROW broadcast (order total for the lift denominator) — "

@@ -301,3 +301,56 @@ def test_stream_hll_registers_match_batch(spark, event_stream_dir):
     got = _rows(spark.table("hll_sink"))
     want = _rows(hll_registers(_batch_events(spark, event_stream_dir), "event_id"))
     assert got == want and len(got) > 0
+
+
+def test_sink_exactly_once_replay_and_staging_invisibility(spark, tmp_path):
+    """Exactly-once protocol of the vortex streaming sink (r7):
+    (1) replaying a COMMITTED batch id is a no-op — no duplicate rows;
+    (2) a crashed attempt's dot-prefixed staging dir is invisible to
+        readers and is cleaned up by the retry;
+    (3) the commit is one atomic rename, so a `batch-*` reader glob
+        never matches a half-written batch.
+    Drives the foreachBatch closure directly — its contract is
+    (batch_df, batch_id), exactly what a real micro-batch calls."""
+    from duckdb_vortex_spark.sources.vortex import register
+    from duckdb_vortex_spark.streaming import sinks as S
+
+    register(spark)
+    out = str(tmp_path / "eo.vortex")
+    os.makedirs(out)
+    df = spark.range(100).selectExpr("id AS k", "CAST(id % 7 AS DOUBLE) AS v")
+
+    sink_fn = None
+
+    class FakeWriter:
+        def foreachBatch(self, fn):
+            nonlocal sink_fn
+            sink_fn = fn
+            raise RuntimeError("captured")
+
+    class FakeStream:
+        writeStream = FakeWriter()
+
+    with pytest.raises(RuntimeError, match="captured"):
+        S.write_stream_vortex(FakeStream(), out, checkpoint=str(tmp_path / "ck"))
+    assert sink_fn is not None
+
+    # first attempt commits batch 0
+    sink_fn(df, 0)
+    assert os.path.isdir(os.path.join(out, "batch-00000000"))
+    assert S.read_vortex_dataset(spark, out).count() == 100
+
+    # checkpoint replay of the SAME batch id: must not duplicate
+    sink_fn(df, 0)
+    assert S.read_vortex_dataset(spark, out).count() == 100
+
+    # crashed attempt for batch 1: stale staging dir with junk inside,
+    # invisible to readers, cleaned and committed by the retry
+    staging = os.path.join(out, ".staging-batch-00000001")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-junk.vortex"), "wb") as f:
+        f.write(b"not a real vortex file")
+    assert S.read_vortex_dataset(spark, out).count() == 100
+    sink_fn(df.limit(10), 1)
+    assert not os.path.exists(staging)
+    assert S.read_vortex_dataset(spark, out).count() == 110
