@@ -1540,3 +1540,169 @@ def similarity_adc_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 20 == 0), stored, books, centroids,
         k=10, n_probe=4,
     )
+
+
+# --- two-level IVF assignment (r7: the semdedup assignment-wall fix) ------
+
+
+def ivf_assign_two_level(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_coarse: int | None = None,
+    n_probe_coarse: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hierarchical (coarse→fine) nearest-centroid assignment: the
+    designated fix for the flat-assignment wall the r7 slow-tier
+    breakdown named (scripts/breakdown_slow_tier.py): with cluster
+    count k ∝ corpus (SemDeDup's fixed-cluster-SIZE regime), flat
+    assignment does n·k cosines — the one super-linear term in the
+    whole recipe. Two levels make it n·(n_coarse +
+    n_probe_coarse·k/n_coarse); at n_coarse = √k that is n·√k·(1 +
+    n_probe_coarse) — for LAION-scale k = 50 000 that's ~220
+    cosines/vector of coarse work instead of 50 000.
+
+    Mechanics (all centroid-side work is driver/numpy on the
+    constant-size collected centroid set, re-broadcast — the same
+    budget sample_centroids already spends):
+
+    1. coarse representatives = the first ``n_coarse`` fine centroids
+       in cluster_id order (cluster_id is already hash-rank order, so
+       this is a deterministic subsample);
+    2. every fine centroid maps to its nearest coarse representative
+       (driver-side k·n_coarse cosines, exact);
+    3. phase 1: each vector scores the ``n_coarse`` broadcast reps and
+       keeps its ``n_probe_coarse`` best cells (map-side, no shuffle);
+    4. phase 2: an EQUI join on coarse_id against the broadcast fine
+       centroids (not a cross join — each vector only ever sees the
+       probed cells' fine members), then argmin via the same
+       map-side min-of-struct as ivf_assign.
+
+    Exactness: with ``n_probe_coarse = n_coarse`` the result is
+    IDENTICAL to ``ivf_assign(df, centroids, 1)`` (every fine centroid
+    is reachable); below that it is the standard IVF approximation —
+    a vector whose true nearest fine centroid lives in an unprobed
+    coarse cell gets its best probed-cell centroid instead. Output
+    schema matches ivf_assign(n_probe=1): (id, vec, vnorm,
+    cluster_id)."""
+    import math
+
+    crows = centroids.select("cluster_id", "centroid").orderBy("cluster_id").collect()
+    k = len(crows)
+    if n_coarse is None:
+        n_coarse = max(1, int(math.isqrt(k)))
+    n_probe_coarse = min(n_probe_coarse, n_coarse)
+    reps = crows[:n_coarse]
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return num / (na * nb)
+
+    # fine centroid -> nearest coarse rep (ties: lowest coarse id)
+    fine_rows = []
+    for cid, cvec in crows:
+        best = max(
+            range(n_coarse), key=lambda j: (_cos(cvec, reps[j][1]), -j)
+        )
+        fine_rows.append((int(cid), int(best), list(cvec)))
+    spark = df.sparkSession
+    elem = dict(df.dtypes)[vec_col].split("<")[1]
+    fine = spark.createDataFrame(
+        fine_rows, f"cluster_id int, coarse_id int, centroid array<{elem}"
+    )
+    coarse = spark.createDataFrame(
+        [(int(j), list(reps[j][1])) for j in range(n_coarse)],
+        f"cluster_id int, centroid array<{elem}",
+    )
+
+    probed = ivf_assign(df, coarse, n_probe_coarse, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("vnorm"),
+        F.col("cluster_id").alias("coarse_id"),
+    )
+    fc = fine.select(
+        "coarse_id", F.col("cluster_id").alias("fine_id"), "centroid",
+        _norm(F.col("centroid")).alias("cnorm"),
+    )
+    scored = probed.join(F.broadcast(fc), "coarse_id").select(
+        id_col, vec_col, "vnorm", "fine_id",
+        (
+            _dot(F.col(vec_col), F.col("centroid")) / (F.col("vnorm") * F.col("cnorm"))
+        ).alias("csim"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct((1 - F.col("csim")).alias("d"), F.col("fine_id"))).alias("b"),
+        F.first(vec_col).alias(vec_col),
+        F.first("vnorm").alias("vnorm"),
+    )
+    return best.select(id_col, vec_col, "vnorm", F.col("b.fine_id").alias("cluster_id"))
+
+
+TWO_LEVEL_ASSIGN_ORACLE = f"""
+WITH cent AS (
+  SELECT
+    row_number() OVER (
+      ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+    ) - 1 AS cid,
+    embedding
+  FROM embeddings
+  ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+  LIMIT 16
+), reps AS (
+  SELECT cid AS coarse_id, embedding FROM cent WHERE cid < 4
+), fmap AS (
+  SELECT cid, coarse_id FROM (
+    SELECT c.cid, r.coarse_id,
+           row_number() OVER (
+             PARTITION BY c.cid
+             ORDER BY {_sql_cos("c.embedding", "r.embedding")} DESC, r.coarse_id
+           ) AS rn
+    FROM cent c CROSS JOIN reps r
+  ) WHERE rn = 1
+), p1 AS (
+  SELECT vec_id, coarse_id FROM (
+    SELECT e.vec_id, r.coarse_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos("e.embedding", "r.embedding")} DESC, r.coarse_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN reps r
+  ) WHERE rn <= 2
+), p2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos("e.embedding", "c.embedding")} DESC, c.cid
+           ) AS rn
+    FROM embeddings e
+    JOIN p1 ON p1.vec_id = e.vec_id
+    JOIN fmap ON fmap.coarse_id = p1.coarse_id
+    JOIN cent c ON c.cid = fmap.cid
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM p2
+"""
+
+
+@query(
+    "similarity_assign_two_level",
+    oracle=TWO_LEVEL_ASSIGN_ORACLE,
+    tags=("similarity", "llm", "approx"),
+)
+def similarity_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (coarse→fine) IVF assignment as a driver entry:
+    k=16 fine centroids, 4 coarse cells (the first 4 in hash-rank
+    order), probe 2 — the n·√k assignment path the r7 slow-tier
+    breakdown designated as the SemDeDup assignment-wall fix. The
+    oracle replays both levels exactly (fine→coarse mapping, coarse
+    probe top-2, fine argmax within probed cells), so the whole
+    approximation is hash-checked, not just the degenerate
+    full-probe case pytest pins."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sample_centroids(emb, 16)
+    return ivf_assign_two_level(emb, cents, n_coarse=4, n_probe_coarse=2).select(
+        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )

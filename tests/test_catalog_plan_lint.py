@@ -92,6 +92,12 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "cluster assignment); the stored-codes scan joins hash-wise on "
         "cluster_id",
     ),
+    "similarity_assign_two_level": (
+        ("nested-loop-join",),
+        "4-ROW coarse-cell broadcast (the point: the n-x-k centroid "
+        "cross is REPLACED by n-x-sqrt(k)); the fine phase is an equi "
+        "broadcast join on coarse_id",
+    ),
     "basket_brand_affinity": (
         ("nested-loop-join",),
         "1-ROW broadcast (order total for the lift denominator) — "

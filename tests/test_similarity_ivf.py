@@ -92,3 +92,61 @@ def test_vectorized_topk_chunked_query_block(spark):
     whole = _pairs(topk_vectorized(q, emb, k=5))
     chunked = _pairs(topk_vectorized(q, emb, k=5, max_query_block=3))
     assert chunked == whole
+
+
+def test_two_level_assignment_exact_at_full_probe(spark):
+    """With n_probe_coarse = n_coarse every fine centroid is reachable,
+    so two-level assignment must EQUAL flat ivf_assign(n_probe=1) —
+    the degenerate case pins the machinery (coarse mapping, equi-join
+    fan-out, argmin tie-order) against the exact oracle-checked path."""
+    from duckdb_vortex_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        sample_centroids,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = sample_centroids(emb, 16)
+    flat = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(emb, cents, 1).select("vec_id", "cluster_id").collect()
+    }
+    two = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign_two_level(emb, cents, n_coarse=4, n_probe_coarse=4)
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    assert two == flat
+
+
+def test_two_level_assignment_probe2_recall_and_plan(spark):
+    """The production setting (n_probe_coarse=2 of 4 coarse cells):
+    (a) every vector gets exactly one assignment, (b) agreement with
+    flat assignment is high on the near-orthogonal synthetic
+    embeddings, (c) the fine phase is an EQUI broadcast join on
+    coarse_id — the whole point is that no vector ever cross-joins
+    the full centroid set."""
+    from duckdb_vortex_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        sample_centroids,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    cents = sample_centroids(emb, 16)
+    two = ivf_assign_two_level(emb, cents, n_coarse=4, n_probe_coarse=2)
+    rows = two.select("vec_id", "cluster_id").collect()
+    assert len(rows) == n and len({r["vec_id"] for r in rows}) == n
+    flat = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(emb, cents, 1).select("vec_id", "cluster_id").collect()
+    }
+    agree = sum(1 for r in rows if flat[r["vec_id"]] == r["cluster_id"]) / n
+    assert agree >= 0.5, f"probe-2 agreement collapsed: {agree:.2f}"
+
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [coarse_id" in plan or "coarse_id" in plan
+    # the fine phase must not be a nested-loop scan of all centroids
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # coarse phase only
