@@ -1533,8 +1533,14 @@ def similarity_adc_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import shutil
 
+    from ..sources.vortex import write_sorted
+
     shutil.rmtree(path, ignore_errors=True)
-    codes.write.format("vortex").mode("append").save(path)
+    # cluster-sorted layout — the IVF inverted-list form: codes of one
+    # cluster are contiguous, every chunk's cluster_id zone map is a
+    # tight interval, so a probed-cluster read prunes to O(n_probe)
+    # chunks (and the range-partitioned write keeps file count small)
+    write_sorted(codes, path, sort_cols=["cluster_id"])
     stored = spark.read.format("vortex").load(path)
     return adc_topk_over_codes(
         emb.filter(F.col("vec_id") % 20 == 0), stored, books, centroids,
