@@ -534,3 +534,24 @@ def test_filtered_self_join_keeps_spark_filters(spark, tmp_path):
     # the scan closure for row-level filtering)
     plan = left.join(right, "lang")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Filter") >= 2
+
+
+def test_all_residual_pushdown_still_prunes_end_to_end(spark, tmp_path):
+    """r7 contract: pushFilters returns EVERY filter (Spark keeps its
+    Filter nodes) yet the recorded hints must still reach partitions()
+    through the real planner — a point filter on a sorted 40-chunk
+    dataset prunes to one scan partition AND returns exact rows. This
+    guards against a regression where declining all filters stops the
+    pushdown path from running (which would silently disable zone-map
+    pruning everywhere)."""
+    from duckdb_vortex_spark.sources.vortex import register, write_sorted
+
+    register(spark)
+    p = str(tmp_path / "sorted_e2e.vortex")
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("a"), F.col("id").alias("payload")
+    )
+    write_sorted(df, p, sort_cols=["a"], chunk_rows=1000)
+    q = spark.read.format("vortex").load(p).filter(F.col("a") == 7)
+    assert q.count() == 200  # row-level exactness (Spark's Filter)
+    assert q.rdd.getNumPartitions() == 1  # chunk-level pruning (hints)
