@@ -1712,3 +1712,99 @@ def similarity_assign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign_two_level(emb, cents, n_coarse=4, n_probe_coarse=2).select(
         "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
     )
+
+
+SEMDEDUP_TWO_LEVEL_ORACLE = f"""
+WITH cent AS (
+  SELECT
+    row_number() OVER (
+      ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+    ) - 1 AS cid,
+    embedding
+  FROM embeddings
+  ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+  LIMIT 16
+), reps AS (
+  SELECT cid AS coarse_id, embedding FROM cent WHERE cid < 4
+), fmap AS (
+  SELECT cid, coarse_id FROM (
+    SELECT c.cid, r.coarse_id,
+           row_number() OVER (
+             PARTITION BY c.cid
+             ORDER BY {_sql_cos("c.embedding", "r.embedding")} DESC, r.coarse_id
+           ) AS rn
+    FROM cent c CROSS JOIN reps r
+  ) WHERE rn = 1
+), p1 AS (
+  SELECT vec_id, coarse_id FROM (
+    SELECT e.vec_id, r.coarse_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos("e.embedding", "r.embedding")} DESC, r.coarse_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN reps r
+  ) WHERE rn <= 2
+), cl AS (
+  SELECT vec_id, embedding, cid AS cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos("e.embedding", "c.embedding")} DESC, c.cid
+           ) AS rn
+    FROM embeddings e
+    JOIN p1 ON p1.vec_id = e.vec_id
+    JOIN fmap ON fmap.coarse_id = p1.coarse_id
+    JOIN cent c ON c.cid = fmap.cid
+  ) WHERE rn = 1
+), rm AS (
+  SELECT DISTINCT b.vec_id
+  FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.30
+)
+SELECT cl.vec_id, CAST(cl.cluster_id AS BIGINT) AS cluster_id,
+       rm.vec_id IS NULL AS is_kept
+FROM cl LEFT JOIN rm ON rm.vec_id = cl.vec_id
+"""
+
+
+@query(
+    "dedup_semantic_cluster_two_level",
+    oracle=SEMDEDUP_TWO_LEVEL_ORACLE,
+    tags=("dedup", "similarity", "llm"),
+)
+def dedup_semantic_cluster_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end in its 100 TB shape: greedy within-cluster
+    cosine pruning (same recipe as dedup_semantic_cluster) but with
+    cluster membership from the TWO-LEVEL assignment
+    (ivf_assign_two_level, n·√k·(1+probe) instead of n·k) — the exact
+    composition the r7 slow-tier breakdown prescribes once flat
+    assignment becomes the recipe's dominant super-linear term. The
+    oracle replays the full chain: coarse subsample, fine→coarse map,
+    probe-2 coarse assignment, fine argmax, pair prune, keep flags —
+    so the approximation is hash-checked, not just recall-tested."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = sample_centroids(emb, 16)
+    cl = ivf_assign_two_level(emb, cents, n_coarse=4, n_probe_coarse=2)
+    a = cl.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("vnorm").alias("na"), "cluster_id",
+    )
+    b = cl.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("vnorm").alias("nb"), "cluster_id",
+    )
+    rm = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) >= 0.30
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    return cl.join(rm, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("__rm").isNull().alias("is_kept"),
+    )

@@ -98,6 +98,11 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "cross is REPLACED by n-x-sqrt(k)); the fine phase is an equi "
         "broadcast join on coarse_id",
     ),
+    "dedup_semantic_cluster_two_level": (
+        ("nested-loop-join",),
+        "inherits similarity_assign_two_level's 4-ROW coarse broadcast; "
+        "the pair prune joins hash-wise on cluster_id",
+    ),
     "basket_brand_affinity": (
         ("nested-loop-join",),
         "1-ROW broadcast (order total for the lift denominator) — "
