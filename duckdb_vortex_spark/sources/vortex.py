@@ -297,6 +297,10 @@ class VortexReader(DataSourceReader):
             In,
             StringStartsWith,
         )
+        # each call carries the COMPLETE filter set for its scan —
+        # reset instead of append, so a reader instance that gets
+        # re-planned never prunes with the UNION of two scans' hints
+        self.pushed = []
         for f in filters:
             # attribute may be a multi-segment path into a STRUCT
             # column (("st", "a")): nested layouts carry per-leaf zone
