@@ -813,6 +813,7 @@ def corpus_to_shards(
     token_budget: int = 2048,
     pack_groups: int = 8,
     n_shards: int = 16,
+    decontam_ngram: int = 3,
 ) -> DataFrame:
     """documents → (doc_id, source, n_tokens, pack_group, bin, shard)
     training-shard manifest: the full curation chain as ONE plan.
@@ -871,11 +872,12 @@ def corpus_to_shards(
     )
 
     eval_sh = eval_tk.select(
-        F.explode(shingles_from_tokens(F.col("toks"), 3)).alias("s")
+        F.explode(shingles_from_tokens(F.col("toks"), decontam_ngram)).alias("s")
     ).distinct()
     train = surv_tk.filter(F.col("source") != eval_source)
     tr_sh = train.select(
-        "doc_id", F.explode(shingles_from_tokens(F.col("toks"), 3)).alias("s")
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("toks"), decontam_ngram)).alias("s"),
     )
     contaminated = tr_sh.join(eval_sh, "s").select("doc_id").distinct()
     bucket = (

@@ -515,3 +515,44 @@ def test_bm25_10x(spark):
     t1, _ = _timed(lambda: run(d1))
     t10, _ = _timed(lambda: run(d10))
     _report("bm25_topk", t1, t10)
+
+
+def test_corpus_to_shards_10x(spark):
+    """r7 flagship: the full curation chain (quality → dedup →
+    decontam → pack → shard) at 10×. The chain's shuffles are keyed on
+    content_key, shingle, and (source, pack_group) — none has a key
+    whose population grows faster than input, so the composition must
+    scale like its worst stage, not their product. Skew evidence: the
+    packing window's (source, pack_group) partition sizes — the only
+    per-key SORT in the plan — must stay balanced (pack_group is an
+    md5 bucket, so max/median ≈ 1)."""
+    from duckdb_vortex_spark.operators.pipeline import corpus_to_shards
+
+    d1, _ = _replicate_docs(spark, 1)
+    d10, _ = _replicate_docs(spark, REPLICAS)
+    # 8-gram decontamination (the realistic GPT-3/PaLM-style setting;
+    # the entry's 3-gram default is for oracle parity with
+    # contamination_eval_removal): at sf0.1 the synthetic corpus
+    # shares so many 3-grams that ANY-overlap removal empties the
+    # manifest to 2 rows, which would leave the packing/shard stages
+    # untested at 10x
+    run = lambda d: corpus_to_shards(d, decontam_ngram=8)
+    t1, n1 = _timed(lambda: run(d1).count())
+    t10, n10 = _timed(lambda: run(d10).count())
+    sizes = sorted(
+        r["n"]
+        for r in run(d10)
+        .groupBy("source", "pack_group")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    skew = sizes[-1] / max(sizes[len(sizes) // 2], 1)
+    _report(
+        "pipeline_corpus_to_shards", t1, t10,
+        f"manifest rows 1x={n1} 10x={n10}; pack partition max/median={skew:.2f}",
+    )
+    assert skew < 3.0, f"packing sort partition skewed: {sizes[-5:]}"
+    # replicas are distinct texts (alphabet-rotated), so survivorship
+    # must scale ~10x — a dedup that collapses replicas or a decontam
+    # that nukes them would silently hollow the test
+    assert n10 >= 5 * n1, (n1, n10)
