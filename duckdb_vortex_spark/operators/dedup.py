@@ -267,6 +267,62 @@ def _signatures_arrow(
     return df.select(id_col, text_col).mapInPandas(batches, schema)
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+    engine: str = "arrow",
+) -> DataFrame:
+    """(id, sh, mh): shingle set + k-minhash signature per document.
+
+    The per-row stage of MinHash — zero shuffle, so it composes into
+    both the batch pair-finder (`minhash_lsh_pairs`) and the
+    incremental/streaming index builder
+    (`streaming.incremental_neardup`). ``engine="arrow"`` vectorizes
+    in Python batches; ``engine="jvm"`` stays in column expressions
+    (one aggregate pass so shingling runs once, not k times)."""
+    if engine == "arrow":
+        return _signatures_arrow(df, text_col, id_col, num_hashes, n)
+    sh = shingle_table(df, text_col, id_col, n)
+    init = F.array(*[F.lit(2**63 - 1).cast("bigint") for _ in range(num_hashes)])
+    minhashes = F.aggregate(
+        "sh",
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    return sh.select("id", "sh", minhashes.alias("mh"))
+
+
+def band_buckets(
+    sig: DataFrame, num_hashes: int = 32, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, band, h): classic LSH banding — hash each run of
+    ``rows_per_band`` consecutive minhashes into one bucket key.
+    Candidate pairs are docs sharing any (band, h); per-row explode,
+    no shuffle until the consumer joins on the key."""
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    n_bands = num_hashes // rows_per_band
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.element_at("mh", b * rows_per_band + j + 1)
+                    for j in range(rows_per_band)
+                ]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("id", F.posexplode(band_keys).alias("band", "h"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -297,44 +353,18 @@ def minhash_lsh_pairs(
     """
     if num_hashes % rows_per_band:
         raise ValueError("num_hashes must be divisible by rows_per_band")
-    if engine == "arrow":
-        sig = _signatures_arrow(df, text_col, id_col, num_hashes, n)
-    else:
-        sh = shingle_table(df, text_col, id_col, n)
-        # All k minhashes in ONE aggregate pass that references `sh`
-        # exactly once. The naive per-hash form (k × array_min(
-        # transform(sh, …))) is 10× slower: CollapseProject inlines the
-        # whole shingling expression into each of the k minhash
-        # expressions, so tokenize+shingle work runs k times per row.
-        init = F.array(*[F.lit(2**63 - 1).cast("bigint") for _ in range(num_hashes)])
-        minhashes = F.aggregate(
-            "sh",
-            init,
-            lambda acc, s: F.zip_with(
-                acc,
-                F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
-                lambda x, y: F.least(x, y),
-            ),
-        )
-        sig = sh.select("id", "sh", minhashes.alias("mh"))
+    # All k minhashes in ONE pass that references the shingle array
+    # exactly once (jvm engine). The naive per-hash form (k ×
+    # array_min(transform(sh, …))) is 10× slower: CollapseProject
+    # inlines the whole shingling expression into each of the k
+    # minhash expressions, so tokenize+shingle work runs k times/row.
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, engine)
     # The signature table feeds three consumers (bucketing, and both
     # sides of the verify join); persist it so shingling+hashing runs
     # once — at 100 TB this is the classic two-phase layout where the
     # signature table would be written out before the join phase.
     sig = sig.persist()
-    # band key = hash of r consecutive minhashes (classic banding)
-    n_bands = num_hashes // rows_per_band
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                *[F.element_at("mh", b * rows_per_band + j + 1) for j in range(rows_per_band)]
-            )
-            for b in range(n_bands)
-        ]
-    )
-    buckets = sig.select(
-        "id", F.posexplode(band_keys).alias("band", "h")
-    )
+    buckets = band_buckets(sig, num_hashes, rows_per_band)
     bucket_sizes = buckets.groupBy("band", "h").agg(F.count("*").alias("bn"))
     buckets = buckets.join(
         bucket_sizes.filter(F.col("bn") <= max_bucket), ["band", "h"]

@@ -1,0 +1,280 @@
+"""Incremental NEAR-dup: new stream data against a persistent LSH index.
+
+`incremental_dedup.py` answers "have we EVER seen this exact
+document?"; a real training-data ingest also needs the fuzzy version —
+"is this a near-duplicate of anything already landed?" — continuously,
+without re-running MinHash over the whole corpus per batch. The
+standard shape at 100 TB/day:
+
+1. per batch, compute MinHash signatures + LSH band buckets for the
+   NEW documents only (per-row work, zero shuffle —
+   `operators.dedup.minhash_signatures` / `band_buckets`);
+2. candidate pairs = batch buckets ⋈ the persistent bucket index on
+   (band, h) — the index holds (band, h, id) for every document ever
+   landed (~16 rows × 24 B/doc), so the join touches only colliding
+   buckets, never the corpus;
+3. exact shingle-Jaccard verification: the NEW side's shingles are
+   in-plan; the OLD side re-shingles only the candidate documents,
+   fetched from the landed raw batches by a doc-id semi join (the
+   raw store is written id-sorted per batch → zone-map point reads,
+   O(candidates) chunks, not a corpus scan);
+4. emit a keep/drop manifest row per new document and append the
+   batch's bucket rows to the index — ALL documents are indexed
+   (dropped ones too), so the drop rule is a pure function of
+   arrival order: a document is dropped iff some EARLIER document
+   (earlier batch, or same batch with smaller id) is a verified
+   near-duplicate. That makes the whole-history result equal to the
+   batch-mode answer, independent of how the stream was chopped into
+   micro-batches — which is what the DuckDB oracle checks.
+
+State: the index grows ~384 B/doc (16 bands × 24 B); hot buckets are
+capped like the batch path (a bucket over ``max_bucket`` docs is a
+stop-shingle artifact, not a dup cluster). Per-batch bucket counts
+are recomputed from the index scan the candidate join already pays
+for; a production deployment would maintain a running (band, h) →
+count table instead — same semantics, one fewer aggregate.
+
+Exactly-once: every write lands under the micro-batch's batch-id
+directory; a retry reads only strictly-earlier batch dirs and
+overwrites its own, so replay is idempotent (same contract as
+`incremental_dedup.process_batch`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+from ..operators.dedup import (
+    _DUCK_TOKS,
+    _duck_shingles,
+    _with_jaccard,
+    band_buckets,
+    minhash_signatures,
+    shingle_table,
+)
+
+
+def _batch_dirs(base: str, before: int) -> list[str]:
+    """Committed batch dirs with id strictly below ``before`` —
+    a retried batch must never read its own half-written state."""
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if d.startswith("batch-") and int(d.split("-", 1)[1]) < before
+    )
+
+
+def _overwrite_batch(df: DataFrame, base: str, batch_id: int) -> None:
+    bdir = os.path.join(base, f"batch-{batch_id:08d}")
+    if os.path.isdir(bdir):
+        shutil.rmtree(bdir)  # retried batch: idempotent rewrite
+    df.write.format("vortex").mode("append").save(bdir)
+
+
+def neardup_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    raw_dir: str,
+    index_dir: str,
+    manifest_dir: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> None:
+    """One micro-batch of the near-dup ingest. Writes three batch-id
+    scoped artifacts: the landed raw rows (id, text — the corpus),
+    the LSH index rows (band, h, id — all docs), and the manifest
+    (doc_id, keep)."""
+    spark_ = batch_df.sparkSession
+    raw = batch_df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).sort("id")
+    _overwrite_batch(raw, raw_dir, batch_id)
+
+    sig = minhash_signatures(
+        batch_df, text_col, id_col, num_hashes, n, engine="arrow"
+    ).persist()
+    buckets = band_buckets(sig, num_hashes, rows_per_band).persist()
+
+    prior_index = _batch_dirs(index_dir, batch_id)
+    if prior_index:
+        idx = (
+            spark_.read.format("vortex")
+            .option("paths", json.dumps(prior_index))
+            .load()
+        )
+        # hot-bucket guard across history + this batch
+        sizes = (
+            idx.select("band", "h")
+            .unionByName(buckets.select("band", "h"))
+            .groupBy("band", "h")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") <= max_bucket)
+            .select("band", "h")
+        )
+        cross = (
+            buckets.join(sizes, ["band", "h"])
+            .join(idx.withColumnRenamed("id", "doc_a"), ["band", "h"])
+            .select("doc_a", F.col("id").alias("doc_b"))
+            .distinct()
+        )
+    else:
+        cross = None
+
+    # in-batch candidates (smaller id is the earlier side)
+    a = buckets.select("band", "h", F.col("id").alias("doc_a"))
+    b = buckets.select("band", "h", F.col("id").alias("doc_b"))
+    within = (
+        a.join(b, ["band", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand = within.unionByName(cross).distinct() if cross is not None else within
+
+    # exact verification — old-side shingles come from the landed raw
+    # batches, pruned to candidate ids BEFORE re-shingling (semi join
+    # on the sort key → zone-map point reads at scale)
+    new_sh = sig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    old_in_batch = sig.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    prior_raw = _batch_dirs(raw_dir, batch_id)
+    if prior_raw:
+        old_docs = (
+            spark_.read.format("vortex")
+            .option("paths", json.dumps(prior_raw))
+            .load()
+            .join(cand.select(F.col("doc_a").alias("id")).distinct(), "id", "left_semi")
+        )
+        old_sh = (
+            shingle_table(old_docs, "text", "id", n)
+            .select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+            .unionByName(old_in_batch)
+        )
+    else:
+        old_sh = old_in_batch
+    dup_ids = (
+        _with_jaccard(cand.join(old_sh, "doc_a").join(new_sh, "doc_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_b").alias("id"))
+        .distinct()
+    )
+    manifest = (
+        sig.select("id")
+        .join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )
+    _overwrite_batch(manifest, manifest_dir, batch_id)
+    _overwrite_batch(buckets.select("band", "h", "id"), index_dir, batch_id)
+    sig.unpersist()
+    buckets.unpersist()
+
+
+def incremental_neardup_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    raw_dir: str,
+    index_dir: str,
+    manifest_dir: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Start the near-dup ingest on a streaming DataFrame; returns the
+    StreamingQuery (caller awaits). Manifest across all batches =
+    batch-mode MinHash dedup of the whole history, first-wins."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_process_batch(
+            batch_df, batch_id, raw_dir, index_dir, manifest_dir, **kwargs
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog entry: the whole-history manifest equals the batch-mode answer
+# ---------------------------------------------------------------------------
+
+NEARDUP_STREAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_duck_shingles(_DUCK_TOKS)} AS sh
+  FROM documents
+),
+dropped AS (
+  SELECT DISTINCT b.id AS doc_id
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+)
+SELECT d.doc_id, dr.doc_id IS NULL AS keep
+FROM documents d LEFT JOIN dropped dr USING (doc_id)
+"""
+
+
+@query(
+    "stream_incremental_neardup",
+    oracle=NEARDUP_STREAM_ORACLE,
+    tags=("streaming", "dedup", "llm"),
+)
+def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents ingested in three id-ordered micro-batches through the
+    persistent-LSH near-dup pipeline (land raw → index buckets →
+    candidate join vs the index → exact verify vs candidate docs only
+    → per-batch keep/drop manifest), then the manifests unioned.
+
+    Because every document is indexed and "earlier" follows id order,
+    the streamed whole-history manifest must equal batch-mode MinHash
+    dedup: keep iff no doc with a smaller id has Jaccard ≥ 0.8 — which
+    is exactly the brute-force oracle, independent of batch chopping
+    (the oracle assumes LSH misses nothing; miss probability ≤
+    (1-0.8²)¹⁶ ≈ 7e-8 per true pair, as in dedup_minhash_lsh_pairs)."""
+    from ..sources.vortex import register
+
+    register(spark)
+    docs = load(spark, sf_dir, "documents")
+    batched = docs.withColumn(
+        "__b", F.ntile(3).over(Window.orderBy("doc_id"))
+    ).persist()
+    root = tempfile.mkdtemp(prefix="dvs_neardup_")
+    raw_d, idx_d, man_d = (os.path.join(root, d) for d in ("raw", "idx", "man"))
+    try:
+        for i in (1, 2, 3):
+            neardup_process_batch(
+                batched.filter(F.col("__b") == i).drop("__b"),
+                i,
+                raw_d,
+                idx_d,
+                man_d,
+            )
+        out = (
+            spark.read.format("vortex")
+            .option("paths", json.dumps(_batch_dirs(man_d, 10**9)))
+            .load()
+            .select("doc_id", "keep")
+        )
+        # Materialize before the scratch dir disappears: the driver
+        # may collect lazily after this function returns.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        batched.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
