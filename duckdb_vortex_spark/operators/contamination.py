@@ -23,7 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
-from .dedup import _DUCK_TOKS, _duck_shingles, shingles_from_tokens
+from .dedup import (
+    _DUCK_TOKS,
+    _duck_shingles,
+    _with_jaccard,
+    band_buckets,
+    minhash_signatures,
+    shingle_table,
+    shingles_from_tokens,
+)
 from .text import tokens
 
 
@@ -174,4 +182,120 @@ def contamination_eval_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared_shingles"),
         F.col("hit_id").isNull().alias("is_kept"),
+    )
+
+
+# --- fuzzy (near-dup) decontamination -------------------------------------
+
+
+def neardup_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag every training document
+    whose shingle-Jaccard similarity to ANY eval document reaches
+    ``threshold``. Exact n-gram removal (`contamination_eval_removal`)
+    misses lightly-edited eval leakage — paraphrased prompts, reflowed
+    whitespace, a swapped sentence; MinHash-LSH against the eval set
+    catches those (the Llama/GPT-4-report style "near-dedup vs the
+    benchmark" pass). Returns (id, max_jaccard, is_kept) — one row per
+    training document, ``max_jaccard`` = 0.0 when nothing matched.
+
+    100 TB shape: eval sets are tiny and the corpus is not, so NOTHING
+    corpus-sized is ever shuffled or persisted —
+      * eval signatures + band buckets are computed once and BROADCAST;
+      * training signatures stream per-row (zero shuffle) into the
+        broadcast bucket join, so candidate generation is map-side;
+      * exact verification re-shingles ONLY candidate training docs
+        (semi-join prune before the shingle explode), joined against
+        the broadcast eval shingle arrays;
+    the only shuffles are the candidate-pair distinct and the final
+    per-doc max — both bounded by the (rare) collision count, not the
+    corpus. LSH miss probability per true pair at J >= 0.8 is
+    (1 - 0.8^2)^16 ~ 8e-8, same banding regime as
+    `dedup_minhash_lsh_pairs`."""
+    esig = minhash_signatures(
+        eval_df, text_col, id_col, num_hashes, n, engine="jvm"
+    )
+    ebuck = band_buckets(esig, num_hashes, rows_per_band).withColumnRenamed(
+        "id", "doc_b"
+    )
+    tsig = minhash_signatures(train, text_col, id_col, num_hashes, n, engine="jvm")
+    tbuck = band_buckets(tsig.select("id", "mh"), num_hashes, rows_per_band)
+    cand = (
+        tbuck.join(F.broadcast(ebuck.select("band", "h", "doc_b")), ["band", "h"])
+        .select(F.col("id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    cand_train = train.join(
+        cand.select(F.col("doc_a").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    tsh = shingle_table(cand_train, text_col, id_col, n).select(
+        F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    esh = esig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    hits = (
+        _with_jaccard(cand.join(tsh, "doc_a").join(F.broadcast(esh), "doc_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_a")
+        .agg(F.max("jaccard").alias("max_jaccard"))
+    )
+    return train.select(F.col(id_col).alias("id")).join(
+        hits, F.col("id") == F.col("doc_a"), "left"
+    ).select(
+        "id",
+        F.coalesce(F.col("max_jaccard"), F.lit(0.0)).alias("max_jaccard"),
+        F.col("doc_a").isNull().alias("is_kept"),
+    )
+
+
+NEARDUP_DECONTAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {_duck_shingles(_DUCK_TOKS)} AS sh FROM documents
+), hits AS (
+  SELECT a.doc_id, MAX(
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         ) AS mj
+  FROM t a JOIN t b ON b.source = 'src0' AND a.source <> 'src0'
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+  GROUP BY a.doc_id
+)
+SELECT t.doc_id, t.source,
+       COALESCE(h.mj, 0.0) AS max_jaccard,
+       h.doc_id IS NULL AS is_kept
+FROM t LEFT JOIN hits h USING (doc_id)
+WHERE t.source <> 'src0'
+"""
+
+
+@query(
+    "contamination_neardup_eval",
+    oracle=NEARDUP_DECONTAM_ORACLE,
+    tags=("llm", "dedup", "join"),
+)
+def contamination_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination of the training corpus against the
+    designated eval source 'src0': MinHash-LSH candidates vs the
+    broadcast eval index, exact Jaccard >= 0.8 verification on
+    candidates only (see `neardup_decontaminate` for the 100 TB
+    analysis). Oracle is the brute-force train x eval Jaccard join.
+    Complements `contamination_eval_removal` (exact shingle overlap):
+    the two flags differ exactly on lightly-edited leakage."""
+    d = load(spark, sf_dir, "documents")
+    out = neardup_decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        threshold=0.8,
+    )
+    src = d.select("doc_id", "source")
+    return out.join(src, out.id == src.doc_id).select(
+        "doc_id", "source", "max_jaccard", "is_kept"
     )

@@ -942,3 +942,129 @@ def pipeline_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     reorders, a decontam that drops the wrong side, a packing window
     that sees pre-dedup rows)."""
     return corpus_to_shards(load(spark, sf_dir, "documents"))
+
+
+# --- fuzzy curation manifest (the FineWeb/RefinedWeb shape) ----------------
+
+FUZZY_MANIFEST_ORACLE = f"""
+WITH RECURSIVE
+q AS (
+  SELECT doc_id, source, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens, text
+  FROM documents
+  WHERE source <> 'src0' AND len({_DUCK_TOKS}) >= 30
+),
+sh AS (
+  SELECT doc_id AS id, {_duck_shingles(_DUCK_TOKS)} AS sh FROM q
+),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT id AS node, id AS r FROM sh
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON edges.a = reach.r
+),
+cc AS (
+  SELECT node AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY node
+),
+esh AS (
+  SELECT doc_id AS id, {_duck_shingles(_DUCK_TOKS)} AS sh
+  FROM documents WHERE source = 'src0'
+),
+dec AS (
+  SELECT s.id AS doc_id, MAX(
+           CAST(len(list_intersect(s.sh, e.sh)) AS DOUBLE)
+             / (len(s.sh) + len(e.sh) - len(list_intersect(s.sh, e.sh)))
+         ) AS mj
+  FROM sh s
+  JOIN cc ON cc.doc_id = s.id AND cc.canonical_id = s.id
+  JOIN esh e
+    ON CAST(len(list_intersect(s.sh, e.sh)) AS DOUBLE)
+         / (len(s.sh) + len(e.sh) - len(list_intersect(s.sh, e.sh))) >= 0.8
+  GROUP BY s.id
+)
+SELECT q.doc_id, q.source, q.n_tokens, cc.canonical_id,
+       (cc.canonical_id = q.doc_id) AS keep_dedup,
+       CASE WHEN cc.canonical_id = q.doc_id
+            THEN COALESCE(dec.mj, 0.0) END AS max_eval_jaccard,
+       (cc.canonical_id = q.doc_id AND dec.doc_id IS NULL) AS is_kept
+FROM q JOIN cc USING (doc_id) LEFT JOIN dec USING (doc_id)
+"""
+
+
+@query(
+    "pipeline_fuzzy_curation_manifest",
+    oracle=FUZZY_MANIFEST_ORACLE,
+    tags=("llm", "dedup", "join"),
+)
+def pipeline_fuzzy_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUZZY curation chain modern pretraining corpora go through
+    (RefinedWeb / FineWeb recipe): token-count quality floor → MinHash
+    near-dup dedup with keep-canonical cluster resolution → fuzzy
+    decontamination of the survivors against the designated eval
+    source 'src0' — emitted as a per-document audit MANIFEST with
+    per-stage attribution (canonical_id, keep_dedup, max_eval_jaccard,
+    final is_kept), the artifact a real pipeline publishes alongside
+    the cleaned corpus. Complements `pipeline_corpus_to_shards`, whose
+    dedup/decontamination stages are EXACT; here both are near-dup.
+
+    Scale: the quality floor folds into the scan; near-dup dedup is the
+    banded-LSH + pointer-jumping-components path (`minhash_dedup_keep`
+    — never all-pairs); decontamination runs only on dedup SURVIVORS
+    against a broadcast eval index (`neardup_decontaminate` — nothing
+    corpus-sized shuffles). The oracle replays the whole chain with a
+    recursive transitive closure over brute-force Jaccard pairs."""
+    from .contamination import neardup_decontaminate
+    from .dedup import minhash_dedup_keep
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0")
+    q = (
+        docs.filter(F.col("source") != "src0")
+        .withColumn("n_tokens", F.size(tokens("text")).cast("bigint"))
+        .filter(F.col("n_tokens") >= 30)
+    )
+    kd = minhash_dedup_keep(q, threshold=0.8)
+    surv = q.join(
+        kd.filter(F.col("is_kept")).select("doc_id"), "doc_id", "left_semi"
+    )
+    dc = neardup_decontaminate(surv, ev, threshold=0.8)
+    return (
+        q.select("doc_id", "source", "n_tokens")
+        .join(
+            kd.select(
+                "doc_id", "canonical_id", F.col("is_kept").alias("keep_dedup")
+            ),
+            "doc_id",
+        )
+        .join(
+            dc.select(
+                F.col("id").alias("doc_id"),
+                "max_jaccard",
+                F.col("is_kept").alias("__dk"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "canonical_id",
+            "keep_dedup",
+            F.when(
+                F.col("keep_dedup"), F.coalesce("max_jaccard", F.lit(0.0))
+            ).alias("max_eval_jaccard"),
+            (F.col("keep_dedup") & F.coalesce(F.col("__dk"), F.lit(False))).alias(
+                "is_kept"
+            ),
+        )
+    )

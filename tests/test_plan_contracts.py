@@ -216,3 +216,17 @@ def test_cross_doc_overlap_window_df(spark):
         head = frag.split("\n")[0]
         assert "gram#" not in head, "join keyed on gram"
         assert "grams#" not in head, "gram array shipped through a join"
+
+
+def test_neardup_decontam_eval_side_broadcasts(spark):
+    """Fuzzy decontamination's 100 TB contract: the eval index (band
+    buckets) and eval shingle arrays are BROADCAST — the corpus-sized
+    training side is never sort-merge-joined on a bucket key."""
+    import re
+
+    plan = _plan(spark, "contamination_neardup_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket join + shingle-verify join both broadcast the eval side
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert not re.search(r"SortMergeJoin \[band", plan)
