@@ -66,6 +66,9 @@ HEADLINE = [
     # round-5: the recompute-trap + AQE-cliff rewrite made this
     # affordable for the headline set (17.9 -> 6.3 s at sf0.1)
     "text_cross_doc_ngram_overlap",
+    # round-7 fuzzy decontamination: broadcast-eval-index MinHash
+    # candidates + pruned exact verify; ~1.0 s at sf0.1
+    "contamination_neardup_eval",
     # round-7 flagship: the full curation chain (quality -> dedup ->
     # decontam -> pack -> shard) as one plan; ~1.9 s at sf0.1
     "pipeline_corpus_to_shards",

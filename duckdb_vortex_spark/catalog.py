@@ -177,6 +177,7 @@ def _ensure_loaded() -> None:
         dedup,
         multimodal,
         pipeline,
+        retrieval,
         similarity,
         text,
         timeseries,

@@ -1151,6 +1151,52 @@ LIMIT 10
 """
 
 
+def bm25_doc_scores(d: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, bm25_q): µ-quantized BM25 score sum per document
+    matching any query term — the scoring core of `text_bm25_topk`,
+    shared with hybrid retrieval (`operators/retrieval.py`). See the
+    entry docstring for the libm-free integer-ratio derivation; the
+    expressions here are byte-for-byte the ones the entry's oracle
+    mirrors, so any consumer inherits cross-engine bit-identity."""
+    t = d.select("doc_id", tokens("text").alias("t"))
+    lens = t.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    stats = lens.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("tot_len"),
+    )
+    base = t.select(
+        "doc_id", F.size("t").cast("bigint").alias("dl"), F.explode("t").alias("tok")
+    )
+    tf = (
+        base.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    sat = F.lit(22) * F.col("tf") * F.col("tot_len")
+    satden = (
+        F.lit(10) * F.col("tf") * F.col("tot_len")
+        + F.lit(3) * F.col("tot_len")
+        + F.lit(9) * F.col("dl") * F.col("n_docs")
+    )
+    idfn = F.lit(2) * (F.col("n_docs") - F.col("df")) + F.lit(1)
+    idfd = F.lit(2) * F.col("df") + F.lit(1)
+    tsq = F.floor(
+        (sat.cast("double") / satden.cast("double"))
+        * (idfn.cast("double") / idfd.cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", tsq.alias("tsq"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tsq").cast("bigint").alias("bm25_q")
+    )
+
+
 @query("text_bm25_topk", oracle=BM25_ORACLE, tags=("text", "similarity", "llm"))
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval: top-10 documents for a fixed 4-term query —
@@ -1177,43 +1223,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-bounded df broadcast; the top-10 is a rank-limit
     pushdown (TakeOrderedAndProject), never a global sort."""
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens("text").alias("t"))
-    lens = t.select("doc_id", F.size("t").cast("bigint").alias("dl"))
-    stats = lens.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("tot_len"),
-    )
-    base = t.select(
-        "doc_id", F.size("t").cast("bigint").alias("dl"), F.explode("t").alias("tok")
-    )
-    tf = (
-        base.filter(F.col("tok").isin("join", "hash", "scan", "filter"))
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
-    dft = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
-    sat = F.lit(22) * F.col("tf") * F.col("tot_len")
-    satden = (
-        F.lit(10) * F.col("tf") * F.col("tot_len")
-        + F.lit(3) * F.col("tot_len")
-        + F.lit(9) * F.col("dl") * F.col("n_docs")
-    )
-    idfn = F.lit(2) * (F.col("n_docs") - F.col("df")) + F.lit(1)
-    idfd = F.lit(2) * F.col("df") + F.lit(1)
-    tsq = F.floor(
-        (sat.cast("double") / satden.cast("double"))
-        * (idfn.cast("double") / idfd.cast("double"))
-        * F.lit(1000000.0)
-        + F.lit(0.5)
-    ).cast("bigint")
-    scored = (
-        tf.join(F.broadcast(dft), "tok")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", tsq.alias("tsq"))
-    )
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("tsq").cast("bigint").alias("bm25_q"))
+        bm25_doc_scores(d, ("join", "hash", "scan", "filter"))
         .select(
             "doc_id",
             "bm25_q",

@@ -29,6 +29,19 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "the exact quadratic BASELINE kept for oracle duty; production "
         "twins are topk_vectorized / ivf_ann (bucketed)",
     ),
+    "retrieval_knn_eval": (
+        ("nested-loop-join",),
+        "metrics decorate the exact-kNN BASELINE's top-k list (the "
+        "|Q|-row query broadcast); production swaps in ivf/ivfpq — "
+        "the metric computation consumes only (query_id, cand_id, rnk)",
+    ),
+    "retrieval_hybrid_rrf": (
+        ("nested-loop-join",),
+        "two bounded BNLJs: the dense leg's 1-ROW query-vector "
+        "broadcast (constant at any corpus size; swap in ivf_ann for "
+        "the corpus-scale leg — fusion only consumes (id, rank)) and "
+        "the full outer fuse of two top-20 lists (40 rows total)",
+    ),
     "dedup_ngram_jaccard_pairs": (
         ("nested-loop-join",),
         "exact Jaccard verify confined to oracle scale; the scale path "

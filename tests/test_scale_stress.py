@@ -556,3 +556,27 @@ def test_corpus_to_shards_10x(spark):
     # must scale ~10x — a dedup that collapses replicas or a decontam
     # that nukes them would silently hollow the test
     assert n10 >= 5 * n1, (n1, n10)
+
+
+def test_neardup_decontam_10x(spark):
+    """Fuzzy decontamination with the eval side FIXED (the real
+    regime: benchmarks don't grow with the corpus) and the training
+    side 10x. The broadcast-eval-index design must scale linearly in
+    the train side — candidate count is linear because the eval bucket
+    table is constant."""
+    from duckdb_vortex_spark.operators.contamination import neardup_decontaminate
+
+    d1, _ = _replicate_docs(spark, 1)
+    d10, _ = _replicate_docs(spark, REPLICAS)
+    ev = load(spark, SF_DIR, "documents").filter(F.col("source") == "src0")
+    t1, n1 = _timed(
+        lambda: neardup_decontaminate(
+            d1.filter(F.col("source") != "src0"), ev
+        ).count()
+    )
+    t10, n10 = _timed(
+        lambda: neardup_decontaminate(
+            d10.filter(F.col("source") != "src0"), ev
+        ).count()
+    )
+    _report("neardup_decontam", t1, t10, f"rows 1x={n1} 10x={n10}")
