@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -122,7 +121,6 @@ def process_batch(
         (out_dir, fresh.drop("__fp")),
         (store_dir, fresh.select("__fp")),
     ):
-        bdir = os.path.join(base, f"batch-{batch_id:08d}")
-        if os.path.isdir(bdir):
-            shutil.rmtree(bdir)  # retried batch: idempotent rewrite
-        df_out.write.format("vortex").mode("append").save(bdir)
+        from .sinks import overwrite_batch_atomic
+
+        overwrite_batch_atomic(df_out, base, batch_id)

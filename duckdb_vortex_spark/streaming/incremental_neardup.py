@@ -74,10 +74,9 @@ def _batch_dirs(base: str, before: int) -> list[str]:
 
 
 def _overwrite_batch(df: DataFrame, base: str, batch_id: int) -> None:
-    bdir = os.path.join(base, f"batch-{batch_id:08d}")
-    if os.path.isdir(bdir):
-        shutil.rmtree(bdir)  # retried batch: idempotent rewrite
-    df.write.format("vortex").mode("append").save(bdir)
+    from .sinks import overwrite_batch_atomic
+
+    overwrite_batch_atomic(df, base, batch_id)
 
 
 def neardup_process_batch(

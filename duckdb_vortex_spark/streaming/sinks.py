@@ -121,3 +121,21 @@ def read_vortex_as_of(spark, path: str, batch_id: int) -> DataFrame:
     if not keep:
         raise FileNotFoundError(f"no batches <= {batch_id} under {path!r}")
     return spark.read.format("vortex").option("paths", json.dumps(keep)).load()
+
+
+def overwrite_batch_atomic(df: DataFrame, base: str, batch_id: int) -> None:
+    """Write ``df`` as ``base/batch-<id>`` with REWRITE-on-retry
+    semantics (the incremental dedup/near-dup contract: a retried
+    batch recomputes from strictly-earlier state and must replace its
+    previous attempt, not no-op like the append-only sink above) —
+    but commit through a dot-prefixed staging dir + one atomic
+    rename, so a `batch-*` reader can never glob a half-written
+    batch and a crash at any point leaves only invisible staging."""
+    bdir = os.path.join(base, f"batch-{batch_id:08d}")
+    staging = os.path.join(base, f".staging-batch-{batch_id:08d}")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # crashed attempt's partial output
+    df.write.format("vortex").mode("append").save(staging)
+    if os.path.isdir(bdir):
+        shutil.rmtree(bdir)  # retried batch: replace previous attempt
+    os.rename(staging, bdir)  # the commit point

@@ -126,3 +126,45 @@ def test_retried_batch_is_idempotent(spark, tmp_path):
     )
     assert idx.select("id").distinct().count() == 3
     assert idx.count() == 3 * 16
+
+
+def test_crash_mid_write_leaves_no_visible_batch(spark, tmp_path):
+    """A batch that dies mid-write must leave nothing a `batch-*`
+    reader can see: artifacts stage under a dot-prefixed dir and
+    commit via one atomic rename."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+
+    register(spark)
+    dirs = [str(tmp_path / d) for d in ("raw", "idx", "man")]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    doc = "atomic commit test document with enough words to shingle properly"
+    orig = sinks.os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die at the second artifact's commit point
+            raise RuntimeError("simulated crash")
+        orig(src, dst)
+
+    sinks.os.rename = crashing_rename
+    try:
+        try:
+            neardup_process_batch(mk([(1, doc)]), 0, *dirs)
+        except RuntimeError:
+            pass
+    finally:
+        sinks.os.rename = orig
+    # the crashed artifact's dir shows no committed batch, only staging
+    crashed = [d for d in dirs if not glob.glob(os.path.join(d, "batch-*"))]
+    assert crashed, "crash did not prevent a visible batch anywhere"
+    # the artifact that died AT its commit point left only staging;
+    # later artifacts were never started — nothing visible either way
+    assert any(
+        glob.glob(os.path.join(d, ".staging-batch-*")) for d in crashed
+    )
+    # retry completes cleanly and clears the stale staging
+    neardup_process_batch(mk([(1, doc)]), 0, *dirs)
+    for d in dirs:
+        assert glob.glob(os.path.join(d, "batch-*"))
+        assert not glob.glob(os.path.join(d, ".staging-batch-*"))

@@ -129,6 +129,8 @@ _NESTED_LOOP_OK = {
     "stats_drift_ks",  # 1-row cohort-totals broadcast over the distinct-value ECDF
     "text_bm25_topk",  # 1-row corpus-stats broadcast (n_docs, tot_len in-plan)
     "sketch_hll_set_intersection",  # 1-row audit x 1-row pivoted-estimates cross
+    "retrieval_hybrid_rrf",  # 1-row query-vector broadcast + 40-row full-outer fuse; dense leg pluggable (IVF at scale)
+    "retrieval_knn_eval",  # metrics decorate the exact-kNN baseline's |Q|-row broadcast; ranker pluggable
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design
