@@ -1,0 +1,261 @@
+"""Incremental SEMANTIC dedup: new embeddings vs a persistent IVF index.
+
+Completes the incremental-ingest trio — exact fingerprints
+(`incremental_dedup`), MinHash-LSH text near-dups
+(`incremental_neardup`), and now embedding-space near-dups (the
+SemDeDup signal, Abbas et al. 2023) — continuously, without re-running
+the n·k assignment or any pairwise pass over the landed corpus.
+
+Shape at 100 TB/day:
+
+1. the centroid CODEBOOK is trained offline and static during ingest
+   (standard IVF practice — FAISS trains on a sample, then serves);
+   here it is the deterministic hash-order sample
+   (`similarity.sample_centroids`) so an external oracle can replay
+   the pick exactly;
+2. per batch, 1-probe assignment of the NEW vectors against the
+   broadcast codebook — map-side only, no shuffle of the corpus;
+3. candidates = landed index rows in the batch's probed clusters
+   ONLY: the index is written cluster-SORTED, so the candidate scan
+   zone-map-prunes to O(batch clusters) chunks — the IVF
+   inverted-list layout as batch-dir storage, never a corpus scan;
+4. exact cosine vs candidates (+ earlier same-batch, same-cluster
+   rows); a new vector is dropped iff some EARLIER vector (earlier
+   batch, or same batch with smaller id) in the SAME cluster reaches
+   the threshold. ALL vectors are indexed — dropped ones too — so the
+   whole-history manifest is a pure function of (codebook, arrival
+   order): it equals the batch-mode same-cluster answer regardless of
+   micro-batch chopping, which is what the DuckDB oracle checks.
+
+State: (cluster_id, vec_id, embedding, vnorm) per landed vector — the
+vectors themselves ARE the verification state (SemDeDup needs real
+cosines), which is why the cluster-sorted layout matters: reads are
+bounded by probed clusters, not corpus size. Exactly-once: every
+artifact commits through the staged atomic rename
+(`sinks.overwrite_batch_atomic`); a retry reads only strictly-earlier
+batch dirs.
+
+Threshold note: the synthetic embeddings are diffuse (max pair cosine
+~0.51 at sf0.01), so the entry uses 0.40 — the production-style 0.95
+would test nothing, same reasoning as `dedup_semantic_cluster`'s 0.30.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+from ..operators.similarity import (
+    _dot,
+    _sql_cos,
+    ivf_assign,
+    sample_centroids,
+)
+from .incremental_neardup import _batch_dirs
+from .sinks import overwrite_batch_atomic
+
+
+def semdedup_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    centroids: DataFrame,
+    index_dir: str,
+    manifest_dir: str,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the semantic-dedup ingest. Writes two
+    batch-id scoped artifacts: the cluster-sorted index rows
+    (cluster_id, id, vec, vnorm — ALL vectors) and the manifest
+    (vec_id, keep)."""
+    spark_ = batch_df.sparkSession
+    asg = ivf_assign(batch_df, centroids, 1, id_col, vec_col).select(
+        "cluster_id",
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        "vnorm",
+    ).persist()
+
+    # bounded collect: <= n_clusters ints, reused as a LITERAL filter so
+    # the prior-index scan zone-map-prunes to the probed clusters' chunks
+    probed = sorted(r["cluster_id"] for r in asg.select("cluster_id").distinct().collect())
+
+    new_side = asg.select(
+        F.col("cluster_id"),
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("vnorm").alias("n_b"),
+    )
+    old_in_batch = asg.select(
+        F.col("cluster_id"),
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("vnorm").alias("n_a"),
+    )
+    prior = _batch_dirs(index_dir, batch_id)
+    if prior:
+        landed = (
+            spark_.read.format("vortex")
+            .option("paths", json.dumps(prior))
+            .load()
+            .filter(F.col("cluster_id").isin(probed))
+            .select(
+                "cluster_id",
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("vec_a"),
+                F.col("vnorm").alias("n_a"),
+            )
+        )
+        old_side = landed.unionByName(old_in_batch)
+    else:
+        old_side = old_in_batch
+    # earlier = strictly smaller id for same-batch rows; landed rows are
+    # always earlier, and their ids are < every new id only under global
+    # id-ordered ingest — the general guard (id_a < id_b) is correct for
+    # BOTH cases because ids are unique across the stream.
+    pairs = (
+        old_side.join(new_side, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            (
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("cos"),
+        )
+    )
+    dup_ids = (
+        pairs.filter(F.col("cos") >= threshold).select(F.col("id_b").alias("id")).distinct()
+    )
+    manifest = (
+        asg.select("id")
+        .join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )
+    overwrite_batch_atomic(manifest, manifest_dir, batch_id)
+    # cluster-sorted append: range partition + in-file sort => tight
+    # cluster_id zone maps, so future batches' candidate scans prune
+    overwrite_batch_atomic(asg.sort("cluster_id", "id"), index_dir, batch_id)
+    asg.unpersist()
+
+
+def incremental_semdedup_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    manifest_dir: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Start the semantic-dedup ingest on a streaming DataFrame with a
+    static (offline-trained) centroid codebook; returns the
+    StreamingQuery. Manifest across all batches = batch-mode
+    same-cluster SemDeDup of the whole history, first-wins."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        semdedup_process_batch(
+            batch_df, batch_id, centroids, index_dir, manifest_dir, **kwargs
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog entry: whole-history manifest equals the batch-mode answer
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_STREAM_ORACLE = f"""
+WITH h AS (
+  SELECT vec_id, embedding,
+         ((vec_id % 4294967296) * 1000003) % 4294967296 AS hk
+  FROM embeddings
+), c AS (
+  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cluster_id,
+         embedding AS centroid
+  FROM h
+  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= 16
+), asg AS (
+  SELECT v.vec_id, v.embedding, c.cluster_id,
+         {_sql_cos("v.embedding", "c.centroid")} AS csim
+  FROM embeddings v CROSS JOIN c
+), a1 AS (
+  SELECT vec_id, embedding, cluster_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cluster_id) AS r FROM asg)
+  WHERE r = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM a1 a JOIN a1 b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.4
+)
+SELECT e.vec_id, d.vec_id IS NULL AS keep
+FROM embeddings e LEFT JOIN dropped d USING (vec_id)
+"""
+
+
+@query(
+    "stream_incremental_semdedup",
+    oracle=SEMDEDUP_STREAM_ORACLE,
+    tags=("streaming", "dedup", "similarity", "llm"),
+)
+def stream_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ingested in three id-ordered micro-batches through
+    the persistent-IVF semantic-dedup pipeline (offline codebook →
+    1-probe assign → candidate scan of probed clusters only → cosine
+    >= 0.4 vs earlier vectors → per-batch keep/drop manifest), then
+    the manifests unioned.
+
+    Because every vector is indexed and "earlier" follows id order,
+    the streamed whole-history manifest must equal batch-mode
+    same-cluster SemDeDup: keep iff no same-cluster vector with a
+    smaller id reaches the threshold — exactly what the oracle
+    replays (codebook pick, 1-probe assignment with the same
+    tie-break, pairwise cosine), independent of batch chopping."""
+    from ..sources.vortex import register
+
+    register(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = sample_centroids(emb, 16)
+    batched = emb.withColumn(
+        "__b", F.ntile(3).over(Window.orderBy("vec_id"))
+    ).persist()
+    root = tempfile.mkdtemp(prefix="dvs_semdedup_")
+    idx_d, man_d = (os.path.join(root, d) for d in ("idx", "man"))
+    try:
+        for i in (1, 2, 3):
+            semdedup_process_batch(
+                batched.filter(F.col("__b") == i).drop("__b"),
+                i,
+                centroids,
+                idx_d,
+                man_d,
+            )
+        out = (
+            spark.read.format("vortex")
+            .option("paths", json.dumps(_batch_dirs(man_d, 10**9)))
+            .load()
+            .select("vec_id", "keep")
+        )
+        # Materialize before the scratch dir disappears: the driver
+        # may collect lazily after this function returns.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        batched.unpersist()
+        shutil.rmtree(root, ignore_errors=True)

@@ -41,3 +41,33 @@ def test_entry_deterministic_and_query_excluded(spark):
     assert keys == sorted(keys)
     # at least one doc was retrieved by both legs at this corpus size
     assert any(r["lex_rank"] > 0 and r["dense_rank"] > 0 for r in a) or True
+
+
+def test_rrf_matches_python_referee_on_random_lists(spark):
+    """Property: for random pairs of rank lists, hybrid_rrf equals an
+    independent pure-Python RRF implementation (same quantization)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(5):
+        ids = list(range(1, 30))
+        rng.shuffle(ids)
+        lex_ids = ids[: rng.randint(0, 12)]
+        rng.shuffle(ids)
+        den_ids = ids[: rng.randint(0, 12)]
+        lex = [(i, r + 1) for r, i in enumerate(lex_ids)]
+        den = [(i, r + 1) for r, i in enumerate(den_ids)]
+        mu = lambda r: int(1_000_000 / (60 + r) + 0.5)
+        want = {}
+        for i, r in lex:
+            want[i] = want.get(i, 0) + mu(r)
+        for i, r in den:
+            want[i] = want.get(i, 0) + mu(r)
+        top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        schema = "doc_id bigint, rank bigint"
+        got = hybrid_rrf(
+            spark.createDataFrame(lex or [(0, 0)], schema).filter(F.col("rank") > 0),
+            spark.createDataFrame(den or [(0, 0)], schema).filter(F.col("rank") > 0),
+            k_final=10,
+        ).collect()
+        assert [(r["doc_id"], r["rrf_mu"]) for r in got] == top, f"trial {trial}"
