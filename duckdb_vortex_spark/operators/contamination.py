@@ -207,17 +207,20 @@ def neardup_decontaminate(
     benchmark" pass). Returns (id, max_jaccard, is_kept) — one row per
     training document, ``max_jaccard`` = 0.0 when nothing matched.
 
-    100 TB shape: eval sets are tiny and the corpus is not, so NOTHING
-    corpus-sized is ever shuffled or persisted —
+    100 TB shape: eval sets are tiny and the corpus is not, so nothing
+    corpus-sized is persisted or joined pairwise —
       * eval signatures + band buckets are computed once and BROADCAST;
-      * training signatures stream per-row (zero shuffle) into the
-        broadcast bucket join, so candidate generation is map-side;
+      * training signatures feed the broadcast bucket join without a
+        key shuffle — the one corpus-sized exchange is shingle_table's
+        round-robin tokenize-once barrier (streamed shuffle files, not
+        a keyed repartition; see its docstring for why the barrier
+        beats recompute), after which candidate generation is map-side;
       * exact verification re-shingles ONLY candidate training docs
         (semi-join prune before the shingle explode), joined against
         the broadcast eval shingle arrays;
-    the only shuffles are the candidate-pair distinct and the final
-    per-doc max — both bounded by the (rare) collision count, not the
-    corpus. LSH miss probability per true pair at J >= 0.8 is
+    the only KEYED shuffles are the candidate-pair distinct and the
+    final per-doc max — both bounded by the (rare) collision count,
+    not the corpus. LSH miss probability per true pair at J >= 0.8 is
     (1 - 0.8^2)^16 ~ 8e-8, same banding regime as
     `dedup_minhash_lsh_pairs`."""
     esig = minhash_signatures(

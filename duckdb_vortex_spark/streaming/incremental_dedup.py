@@ -98,15 +98,9 @@ def process_batch(
     # both dirs EMPTY — permanently dropping the documents. Listing
     # ids < batch_id makes the replay read exactly what the first
     # attempt read.
-    prior = (
-        sorted(
-            os.path.join(store_dir, d)
-            for d in os.listdir(store_dir)
-            if d.startswith("batch-") and int(d.split("-", 1)[1]) < batch_id
-        )
-        if os.path.isdir(store_dir)
-        else []
-    )
+    from .sinks import batch_dirs
+
+    prior = batch_dirs(store_dir, batch_id)
     if prior:
         seen = (
             spark_.read.format("vortex")
@@ -117,10 +111,10 @@ def process_batch(
         fresh = fp.join(seen, "__fp", "left_anti")
     else:  # first batch: store empty — dedup is in-batch only
         fresh = fp
+    from .sinks import overwrite_batch_atomic
+
     for base, df_out in (
         (out_dir, fresh.drop("__fp")),
         (store_dir, fresh.select("__fp")),
     ):
-        from .sinks import overwrite_batch_atomic
-
         overwrite_batch_atomic(df_out, base, batch_id)

@@ -29,10 +29,19 @@ standard shape at 100 TB/day:
 
 State: the index grows ~384 B/doc (16 bands × 24 B); hot buckets are
 capped like the batch path (a bucket over ``max_bucket`` docs is a
-stop-shingle artifact, not a dup cluster). Per-batch bucket counts
-are recomputed from the index scan the candidate join already pays
-for; a production deployment would maintain a running (band, h) →
-count table instead — same semantics, one fewer aggregate.
+stop-shingle artifact, not a dup cluster), and the cap applies
+UNIFORMLY to the in-batch and history joins from the same
+point-in-time (history + batch) counts. The batch-equality contract
+above therefore holds exactly for corpora whose buckets stay under
+the cap — the same precondition the batch entry's brute-force oracle
+rests on (max observed bucket 15 ≪ cap 1000) — while a bucket that
+does cross the cap degrades to bounded-work mode: pairs stop being
+emitted from it at the point it crossed, which is chopping-DEPENDENT
+by nature (a stream cannot know a bucket's final size). Per-batch
+bucket counts are recomputed from the index scan the candidate join
+already pays for; a production deployment would maintain a running
+(band, h) → count table instead — same semantics, one fewer
+aggregate.
 
 Exactly-once: every write lands under the micro-batch's batch-id
 directory; a retry reads only strictly-earlier batch dirs and
@@ -59,24 +68,8 @@ from ..operators.dedup import (
     minhash_signatures,
     shingle_table,
 )
-
-
-def _batch_dirs(base: str, before: int) -> list[str]:
-    """Committed batch dirs with id strictly below ``before`` —
-    a retried batch must never read its own half-written state."""
-    if not os.path.isdir(base):
-        return []
-    return sorted(
-        os.path.join(base, d)
-        for d in os.listdir(base)
-        if d.startswith("batch-") and int(d.split("-", 1)[1]) < before
-    )
-
-
-def _overwrite_batch(df: DataFrame, base: str, batch_id: int) -> None:
-    from .sinks import overwrite_batch_atomic
-
-    overwrite_batch_atomic(df, base, batch_id)
+from .sinks import batch_dirs as _batch_dirs
+from .sinks import overwrite_batch_atomic as _overwrite_batch
 
 
 def neardup_process_batch(
@@ -109,24 +102,37 @@ def neardup_process_batch(
     buckets = band_buckets(sig, num_hashes, rows_per_band).persist()
 
     prior_index = _batch_dirs(index_dir, batch_id)
-    if prior_index:
-        idx = (
-            spark_.read.format("vortex")
-            .option("paths", json.dumps(prior_index))
-            .load()
-        )
-        # hot-bucket guard across history + this batch
-        sizes = (
-            idx.select("band", "h")
-            .unionByName(buckets.select("band", "h"))
-            .groupBy("band", "h")
-            .agg(F.count("*").alias("bn"))
-            .filter(F.col("bn") <= max_bucket)
-            .select("band", "h")
-        )
+    idx = (
+        spark_.read.format("vortex")
+        .option("paths", json.dumps(prior_index))
+        .load()
+        if prior_index
+        else None
+    )
+    # Hot-bucket guard over history + this batch, applied UNIFORMLY to
+    # both the in-batch self-join and the history join (an asymmetric
+    # cap would make in-batch pair work unbounded AND make the answer
+    # depend on which join a pair happened to arrive through). The
+    # count is point-in-time by necessity — a stream cannot know a
+    # bucket's final size — so above the cap the guarantee degrades
+    # from "equals batch mode" to "bounded work" (see module
+    # docstring); below it (the designed regime: a bucket past
+    # max_bucket is a stop-shingle artifact) invariance is exact.
+    hist = (
+        idx.select("band", "h").unionByName(buckets.select("band", "h"))
+        if idx is not None
+        else buckets.select("band", "h")
+    )
+    ok = (
+        hist.groupBy("band", "h")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= max_bucket)
+        .select("band", "h")
+    )
+    buck_ok = buckets.join(ok, ["band", "h"])
+    if idx is not None:
         cross = (
-            buckets.join(sizes, ["band", "h"])
-            .join(idx.withColumnRenamed("id", "doc_a"), ["band", "h"])
+            buck_ok.join(idx.withColumnRenamed("id", "doc_a"), ["band", "h"])
             .select("doc_a", F.col("id").alias("doc_b"))
             .distinct()
         )
@@ -134,8 +140,8 @@ def neardup_process_batch(
         cross = None
 
     # in-batch candidates (smaller id is the earlier side)
-    a = buckets.select("band", "h", F.col("id").alias("doc_a"))
-    b = buckets.select("band", "h", F.col("id").alias("doc_b"))
+    a = buck_ok.select("band", "h", F.col("id").alias("doc_a"))
+    b = buck_ok.select("band", "h", F.col("id").alias("doc_b"))
     within = (
         a.join(b, ["band", "h"])
         .filter(F.col("doc_a") < F.col("doc_b"))

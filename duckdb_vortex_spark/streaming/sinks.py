@@ -123,6 +123,21 @@ def read_vortex_as_of(spark, path: str, batch_id: int) -> DataFrame:
     return spark.read.format("vortex").option("paths", json.dumps(keep)).load()
 
 
+def batch_dirs(base: str, before: int) -> list[str]:
+    """Committed batch dirs with id strictly below ``before`` — the
+    single definition of the incremental-state listing contract
+    (``batch-`` prefix, numeric sort, strictly-earlier: a retried
+    batch must never read its own half-written state; staging dirs
+    are dot-prefixed and invisible here by construction)."""
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if d.startswith("batch-") and int(d.split("-", 1)[1]) < before
+    )
+
+
 def overwrite_batch_atomic(df: DataFrame, base: str, batch_id: int) -> None:
     """Write ``df`` as ``base/batch-<id>`` with REWRITE-on-retry
     semantics (the incremental dedup/near-dup contract: a retried

@@ -68,7 +68,12 @@ def test_real_stream_drive(spark, tmp_path):
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text").limit(80)
     a = docs.filter(F.col("doc_id") <= 40)
     # file 2: fresh docs + exact near-dups of file 1 under new ids
-    redup = a.limit(10).select((F.col("doc_id") + 50000).alias("doc_id"), "text")
+    # deterministic pick: limit() without order has no stable row set
+    redup = (
+        a.orderBy("doc_id")
+        .limit(10)
+        .select((F.col("doc_id") + 50000).alias("doc_id"), "text")
+    )
     b = docs.filter(F.col("doc_id") > 40).union(redup)
     src = str(tmp_path / "replay")
     a.coalesce(1).write.parquet(os.path.join(src, "f1"))
@@ -168,3 +173,26 @@ def test_crash_mid_write_leaves_no_visible_batch(spark, tmp_path):
     for d in dirs:
         assert glob.glob(os.path.join(d, "batch-*"))
         assert not glob.glob(os.path.join(d, ".staging-batch-*"))
+
+
+def test_hot_bucket_cap_applies_uniformly(spark, tmp_path):
+    """max_bucket must gate BOTH candidate joins: with the cap at 1
+    every 2+-doc bucket is excluded, so an exact duplicate is kept
+    whether it arrives in the same batch or a later one (before the
+    fix the in-batch self-join ignored the cap entirely)."""
+    register(spark)
+    dirs = [str(tmp_path / d) for d in ("raw", "idx", "man")]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    # same-batch duplicate pair
+    neardup_process_batch(mk([(1, t), (2, t)]), 0, *dirs, max_bucket=1)
+    # cross-batch duplicate of doc 1
+    neardup_process_batch(mk([(3, t)]), 1, *dirs, max_bucket=1)
+    got = {r["doc_id"]: r["keep"] for r in _manifest(spark, dirs[2]).collect()}
+    assert got == {1: True, 2: True, 3: True}
+    # sanity: with the default cap the same corpus drops the dups
+    dirs2 = [str(tmp_path / f"d2_{d}") for d in ("raw", "idx", "man")]
+    neardup_process_batch(mk([(1, t), (2, t)]), 0, *dirs2)
+    neardup_process_batch(mk([(3, t)]), 1, *dirs2)
+    got2 = {r["doc_id"]: r["keep"] for r in _manifest(spark, dirs2[2]).collect()}
+    assert got2 == {1: True, 2: False, 3: False}
