@@ -1068,3 +1068,170 @@ def pipeline_fuzzy_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFr
             ),
         )
     )
+
+
+# --- data-quality audit (ingest gate checks) --------------------------------
+
+QUALITY_AUDIT_ORACLE = """
+SELECT 'orders_orphan_custkey' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS violation_count
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       CAST(COUNT(*) FILTER (l_quantity <= 0 OR l_quantity > 50) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_duplicate_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'customer_null_name',
+       CAST(COUNT(*) FILTER (c_name IS NULL) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+FROM lineitem
+"""
+
+
+@query(
+    "pipeline_data_quality_audit",
+    oracle=QUALITY_AUDIT_ORACLE,
+    tags=("llm", "agg", "stats"),
+)
+def pipeline_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate data-quality audit (the Great-Expectations shape):
+    referential integrity, range, uniqueness and null-rate checks emitted as ONE compact
+    (check_name, violation_count) table — the artifact a pipeline
+    asserts on before promoting a snapshot.
+
+    Scale: every per-table check folds into a single conditional
+    aggregate over that table's scan (one pass per table, map-side
+    partials — adding checks adds expressions, not passes);
+    referential integrity is one anti-join count against the
+    broadcast-able dimension. The audit table is O(#checks) rows
+    regardless of data size."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("violation_count"),
+        )
+
+    orphan = one(
+        "orders_orphan_custkey",
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count("*").alias("n")),
+    )
+    li_checks = li.agg(
+        F.sum(
+            ((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).cast("bigint")
+        ).alias("qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("bigint")
+        ).alias("disc"),
+    )
+    qty = one("lineitem_quantity_range", li_checks.select(F.col("qty").alias("n")))
+    disc = one(
+        "lineitem_discount_range", li_checks.select(F.col("disc").alias("n"))
+    )
+    dup = one(
+        "orders_duplicate_orderkey",
+        o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("n")),
+    )
+    nullname = one(
+        "customer_null_name",
+        c.agg(F.sum(F.col("c_name").isNull().cast("bigint")).alias("n")),
+    )
+    return orphan.unionByName(qty).unionByName(dup).unionByName(nullname).unionByName(
+        disc
+    )
+
+
+# --- dataset snapshot diff (version comparison) ----------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+), v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+            WHEN v2.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM v1 FULL JOIN v2 USING (o_orderkey)
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+   OR v1.o_totalprice <> v2.o_totalprice
+"""
+
+
+def snapshot_diff(
+    v1: DataFrame, v2: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Row-level diff of two dataset versions on a unique key:
+    (key, change_type) for every added / removed / value-changed row.
+    One co-partitioned full outer join on the key — the audit a
+    versioned training-data store runs between snapshots; unchanged
+    rows (the overwhelming majority at scale) are filtered before any
+    downstream work."""
+    a = v1.select(key, *[F.col(c).alias(f"__a_{c}") for c in compare_cols])
+    b = v2.select(key, *[F.col(c).alias(f"__b_{c}") for c in compare_cols])
+    changed = None
+    for c in compare_cols:
+        ne = F.col(f"__a_{c}") != F.col(f"__b_{c}")
+        changed = ne if changed is None else (changed | ne)
+    return (
+        a.join(b, key, "full")
+        .select(
+            key,
+            F.when(
+                F.col(f"__a_{compare_cols[0]}").isNull(), F.lit("added")
+            )
+            .when(F.col(f"__b_{compare_cols[0]}").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            changed.alias("__chg"),
+        )
+        .filter(
+            (F.col("change_type") != "changed") | F.coalesce("__chg", F.lit(False))
+        )
+        .drop("__chg")
+    )
+
+
+@query(
+    "pipeline_snapshot_diff",
+    oracle=SNAPSHOT_DIFF_ORACLE,
+    tags=("llm", "join", "stats"),
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot diff of a versioned dataset: two
+    deterministic derived versions of `orders` (v1 drops every 7th
+    key — 'added' in v2; v2 bumps every 5th key's total — 'changed'),
+    diffed to (key, change_type). At 100 TB both snapshot scans
+    co-partition on the key (a real store would bucket-write on it,
+    making the full outer join shuffle-free) and unchanged rows never
+    leave the join stage."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 7 != 0).select("o_orderkey", "o_totalprice")
+    v2 = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(v1, v2, "o_orderkey", ["o_totalprice"])

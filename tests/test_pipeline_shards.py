@@ -85,3 +85,55 @@ def test_shard_assignment_is_partitioning_invariant(spark):
     a = _canon(corpus_to_shards(docs))
     b = _canon(corpus_to_shards(docs.repartition(7, "lang")))
     assert a == b
+
+
+def test_snapshot_diff_covers_all_change_types(spark):
+    """Synthetic versions exercising added, removed AND changed (the
+    catalog entry's derived versions produce no 'removed' rows)."""
+    from duckdb_vortex_spark.operators.pipeline import snapshot_diff
+
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v double, w string")
+    v1 = mk([(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c"), (4, 4.0, "d")])
+    v2 = mk([(1, 1.0, "a"), (2, 2.5, "b"), (4, 4.0, "D"), (5, 5.0, "e")])
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(v1, v2, "k", ["v", "w"]).collect()
+    }
+    # 1 unchanged (absent), 2 changed (v), 3 removed, 4 changed (w), 5 added
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_quality_audit_detects_planted_violations(spark, tmp_path):
+    """The audit's checks must fire on corrupted data — run the entry
+    against a scratch sf_dir whose tables carry one violation each."""
+    import duckdb_vortex_spark.operators.pipeline as pl
+    from duckdb_vortex_spark.catalog import load
+
+    for t in ("orders", "lineitem", "customer"):
+        df = load(spark, SF_DIR, t)
+        if t == "orders":
+            bad = df.limit(1).withColumn("o_custkey", F.lit(-999).cast("bigint"))
+            dup = df.limit(1)  # duplicate orderkey
+            df = df.unionByName(bad).unionByName(dup)
+        elif t == "lineitem":
+            bad = df.limit(1).withColumn("l_quantity", F.lit(-5.0)).withColumn(
+                "l_discount", F.lit(0.9)
+            )
+            df = df.unionByName(bad)
+        else:
+            bad = df.limit(1).withColumn(
+                "c_name", F.lit(None).cast("string")
+            ).withColumn("c_custkey", F.lit(10**9).cast("bigint"))
+            df = df.unionByName(bad)
+        df.write.parquet(str(tmp_path / f"{t}.parquet"))
+    got = {
+        r["check_name"]: r["violation_count"]
+        for r in pl.pipeline_data_quality_audit(spark, str(tmp_path)).collect()
+    }
+    assert got["orders_orphan_custkey"] >= 1
+    assert got["lineitem_quantity_range"] == 1
+    # the orphan row and the dup row both reuse the first orderkey:
+    # 3 occurrences of one key -> 2 surplus rows
+    assert got["orders_duplicate_orderkey"] == 2
+    assert got["customer_null_name"] == 1
+    assert got["lineitem_discount_range"] == 1
