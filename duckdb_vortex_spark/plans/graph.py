@@ -179,3 +179,114 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank(e2, iterations=3, damping_pct=85)
+
+
+# --- triangle counting (degree-oriented wedge enumeration) ------------------
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list (columns ``pa < pb``, deduplicated).
+
+    The scale pattern (Suri & Vassilvitskii 2011, "Counting triangles
+    and the curse of the last reducer"): orient every edge from its
+    LOWER endpoint to its HIGHER endpoint under the total order
+    (degree, id), then enumerate wedges only from each edge's lower
+    endpoint and close them with a hash join back to the oriented
+    edge list. Each triangle is counted exactly once, and — the whole
+    point — a degree-d hub only ever *receives* oriented edges, so no
+    reducer enumerates its d² wedges: intermediate wedge volume is
+    bounded by O(m^1.5) instead of Σd². Three keyed shuffles total
+    (degree agg, wedge self-join on the low vertex, closing edge
+    join); no step is ever quadratic in a hub's degree."""
+    deg = (
+        edges.select(F.col("pa").alias("n"))
+        .unionAll(edges.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("n", "pa").withColumnRenamed("d", "da"), "pa")
+        .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("d", "db"), "pb")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))),
+                F.struct(F.col("pa").alias("u"), F.col("pb").alias("v")),
+            )
+            .otherwise(F.struct(F.col("pb").alias("u"), F.col("pa").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = e.select(F.col("u"), F.col("v").alias("w1"))
+    w2 = e.select(F.col("u"), F.col("v").alias("w2"))
+    wedges = w1.join(w2, "u").filter(F.col("w1") < F.col("w2"))
+    # close the wedge: (w1, w2) must be an oriented edge in EITHER
+    # direction — orientation is by (degree, id), not by id, so the
+    # closing edge's direction is not implied by w1 < w2
+    closing = e.select(F.col("u").alias("w1"), F.col("v").alias("w2")).unionAll(
+        e.select(F.col("v").alias("w1"), F.col("u").alias("w2"))
+    )
+    tri = wedges.join(closing, ["w1", "w2"]).select(
+        F.col("u").alias("a"), F.col("w1").alias("b"), F.col("w2").alias("c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
+TRIANGLES_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+), ed AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p
+), tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM ed e1
+  JOIN ed e2 ON e2.pa = e1.pb
+  JOIN ed e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+), pern AS (
+  SELECT a AS part_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM pern GROUP BY part_id
+ORDER BY n_triangles DESC, part_id
+LIMIT 20
+"""
+
+
+@query("graph_triangle_counts", oracle=TRIANGLES_ORACLE, tags=("graph", "structure", "agg"))
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase
+    graph (parts sharing an order are adjacent): the standard graph-
+    locality signal for recommendation / clustering-coefficient work,
+    via degree-oriented wedge enumeration — see `triangle_counts` for
+    why orientation is what makes this survive power-law hubs at
+    100 TB. The oracle enumerates canonical a<b<c triangles directly
+    (orientation-invariant exact integer counts)."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .alias("x")
+        .join(
+            li.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+            ).distinct(),
+            "o",
+        )
+        .filter(F.col("p") < F.col("pb"))
+        .select(F.col("p").alias("pa"), "pb")
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.col("n_triangles").desc(), "part_id")
+        .limit(20)
+    )

@@ -101,3 +101,20 @@ def test_lint_plan_flags_cartesian_and_passes_clean(spark):
     rules = {f.rule for f in lint_plan(dirty)}
     assert rules & {"cartesian-product", "nested-loop-join"}
     assert lint_plan(dirty, allow=("cartesian-product", "nested-loop-join")) == []
+
+
+def test_triangle_counts_on_known_graphs(spark):
+    """K4 (every node in C(3,2)=3 triangles), a square with one
+    diagonal (two triangles sharing the diagonal), and a
+    triangle-free star (empty result)."""
+    from duckdb_vortex_spark.plans.graph import triangle_counts
+
+    mk = lambda rows: spark.createDataFrame(rows, "pa bigint, pb bigint")
+    k4 = mk([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    got = {r["part_id"]: r["n_triangles"] for r in triangle_counts(k4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    sq = mk([(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)])  # diagonal 1-3
+    got = {r["part_id"]: r["n_triangles"] for r in triangle_counts(sq).collect()}
+    assert got == {1: 2, 2: 1, 3: 2, 4: 1}
+    star = mk([(1, 2), (1, 3), (1, 4), (1, 5)])
+    assert triangle_counts(star).count() == 0
