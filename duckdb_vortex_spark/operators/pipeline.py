@@ -1110,8 +1110,10 @@ def pipeline_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every per-table check folds into a single conditional
     aggregate over that table's scan (one pass per table, map-side
     partials — adding checks adds expressions, not passes);
-    referential integrity is one anti-join count against the
-    broadcast-able dimension. The audit table is O(#checks) rows
+    referential integrity is ONE key-shuffled anti join (customer is
+    fact-scale — it grows with the data, so the join strategy is left
+    to the planner rather than broadcast-hinted; a true fixed-size
+    dimension would broadcast). The audit table is O(#checks) rows
     regardless of data size."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -1126,17 +1128,29 @@ def pipeline_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan = one(
         "orders_orphan_custkey",
         o.join(
-            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            c.select(F.col("c_custkey").alias("o_custkey")),
             "o_custkey",
             "left_anti",
         ).agg(F.count("*").alias("n")),
     )
+    # coalesce: F.sum over an empty table is NULL, the oracle's
+    # COUNT FILTER is 0 — an empty snapshot must audit clean, not null
     li_checks = li.agg(
-        F.sum(
-            ((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).cast("bigint")
+        F.coalesce(
+            F.sum(
+                ((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).cast(
+                    "bigint"
+                )
+            ),
+            F.lit(0),
         ).alias("qty"),
-        F.sum(
-            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("bigint")
+        F.coalesce(
+            F.sum(
+                ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                    "bigint"
+                )
+            ),
+            F.lit(0),
         ).alias("disc"),
     )
     qty = one("lineitem_quantity_range", li_checks.select(F.col("qty").alias("n")))
@@ -1149,7 +1163,11 @@ def pipeline_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nullname = one(
         "customer_null_name",
-        c.agg(F.sum(F.col("c_name").isNull().cast("bigint")).alias("n")),
+        c.agg(
+            F.coalesce(
+                F.sum(F.col("c_name").isNull().cast("bigint")), F.lit(0)
+            ).alias("n")
+        ),
     )
     return orphan.unionByName(qty).unionByName(dup).unionByName(nullname).unionByName(
         disc
@@ -1185,28 +1203,35 @@ def snapshot_diff(
     One co-partitioned full outer join on the key — the audit a
     versioned training-data store runs between snapshots; unchanged
     rows (the overwhelming majority at scale) are filtered before any
-    downstream work."""
-    a = v1.select(key, *[F.col(c).alias(f"__a_{c}") for c in compare_cols])
-    b = v2.select(key, *[F.col(c).alias(f"__b_{c}") for c in compare_cols])
-    changed = None
+    downstream work. Presence is tracked with explicit per-side
+    markers (a NULL data value must not read as an absent row) and
+    change detection is null-safe (a value changing to or from NULL
+    IS a change). With ``compare_cols=[]`` the diff is presence-only
+    (added/removed)."""
+    a = v1.select(
+        key,
+        F.lit(True).alias("__in_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+    )
+    b = v2.select(
+        key,
+        F.lit(True).alias("__in_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+    )
+    changed = F.lit(False)
     for c in compare_cols:
-        ne = F.col(f"__a_{c}") != F.col(f"__b_{c}")
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
     return (
         a.join(b, key, "full")
         .select(
             key,
-            F.when(
-                F.col(f"__a_{compare_cols[0]}").isNull(), F.lit("added")
-            )
-            .when(F.col(f"__b_{compare_cols[0]}").isNull(), F.lit("removed"))
+            F.when(F.col("__in_a").isNull(), F.lit("added"))
+            .when(F.col("__in_b").isNull(), F.lit("removed"))
             .otherwise(F.lit("changed"))
             .alias("change_type"),
             changed.alias("__chg"),
         )
-        .filter(
-            (F.col("change_type") != "changed") | F.coalesce("__chg", F.lit(False))
-        )
+        .filter((F.col("change_type") != "changed") | F.col("__chg"))
         .drop("__chg")
     )
 

@@ -274,7 +274,6 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
-        .alias("x")
         .join(
             li.select(
                 F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")

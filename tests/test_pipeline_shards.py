@@ -137,3 +137,26 @@ def test_quality_audit_detects_planted_violations(spark, tmp_path):
     assert got["orders_duplicate_orderkey"] == 2
     assert got["customer_null_name"] == 1
     assert got["lineitem_discount_range"] == 1
+
+
+def test_snapshot_diff_null_semantics(spark):
+    """NULL data values must not read as absent rows, and a value
+    changing to/from NULL IS a change; empty compare_cols degrades to
+    a presence-only diff."""
+    from duckdb_vortex_spark.operators.pipeline import snapshot_diff
+
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v double, w string")
+    v1 = mk([(1, None, "a"), (2, 2.0, "b"), (3, None, None), (4, 4.0, "d")])
+    v2 = mk([(1, None, "a"), (2, 2.0, None), (3, None, None), (5, 5.0, "e")])
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(v1, v2, "k", ["v", "w"]).collect()
+    }
+    # 1: identical incl. NULL v -> absent; 2: w 'b'->NULL = changed;
+    # 3: identical all-NULL payload -> absent; 4 removed; 5 added
+    assert got == {2: "changed", 4: "removed", 5: "added"}
+    presence = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(v1, v2, "k", []).collect()
+    }
+    assert presence == {4: "removed", 5: "added"}
