@@ -289,3 +289,98 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "part_id")
         .limit(20)
     )
+
+
+CLUSTERING_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem
+), ed AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT n AS part_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT pa AS n FROM ed UNION ALL SELECT pb FROM ed)
+  GROUP BY n
+), tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM ed e1
+  JOIN ed e2 ON e2.pa = e1.pb
+  JOIN ed e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+), pern AS (
+  SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT a AS part_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+  GROUP BY part_id
+)
+SELECT d.part_id,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       d.degree,
+       CAST((2 * COALESCE(p.n_triangles, 0) * 1000000)
+            // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_mu
+FROM deg d LEFT JOIN pern p USING (part_id)
+WHERE d.degree >= 2
+ORDER BY cc_mu DESC, part_id
+LIMIT 20
+"""
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=CLUSTERING_ORACLE,
+    tags=("graph", "structure", "agg"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient — the metric triangle counts
+    exist to feed: cc(v) = 2·T(v) / (d(v)·(d(v)−1)) over the
+    co-purchase graph, µ-quantized with exact integer DIV (the RAKE /
+    PageRank pattern — no float division, bit-identical cross-engine).
+    Top-20 by (cc_mu, id) among nodes with degree ≥ 2; zero-triangle
+    nodes participate with cc 0.
+
+    Scale: degrees and per-node triangle counts are the two
+    aggregates the triangle entry already bounds (orientation keeps
+    wedge volume O(m^1.5)); the coefficient itself is a map-side
+    expression on their join."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .join(
+            li.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+            ).distinct(),
+            "o",
+        )
+        .filter(F.col("p") < F.col("pb"))
+        .select(F.col("p").alias("pa"), "pb")
+        .distinct()
+    )
+    # deg and triangle_counts both consume the same distinct-edge
+    # subtree inside ONE final plan — Catalyst's ReusedExchange shares
+    # the exchange, so no persist (a standing memory tax) is needed.
+    deg = (
+        edges.select(F.col("pa").alias("part_id"))
+        .unionAll(edges.select(F.col("pb").alias("part_id")))
+        .groupBy("part_id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    out = (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "part_id", "left")
+        .select(
+            "part_id",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            "degree",
+            F.expr(
+                "CAST((2 * COALESCE(n_triangles, 0) * 1000000)"
+                " DIV (degree * (degree - 1)) AS BIGINT)"
+            ).alias("cc_mu"),
+        )
+        .orderBy(F.col("cc_mu").desc(), "part_id")
+        .limit(20)
+    )
+    return out
