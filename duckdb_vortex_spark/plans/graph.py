@@ -184,6 +184,39 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- triangle counting (degree-oriented wedge enumeration) ------------------
 
 
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """Undirected deduplicated (pa < pb) edge list of the co-purchase
+    graph: parts are adjacent iff they share an order. The ONE edge
+    definition both graph entries measure — factored so they cannot
+    silently diverge."""
+    return (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .join(
+            li.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+            ).distinct(),
+            "o",
+        )
+        .filter(F.col("p") < F.col("pb"))
+        .select(F.col("p").alias("pa"), "pb")
+        .distinct()
+    )
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """(n, d): undirected degree per node of a (pa, pb) edge list —
+    shared by orientation and the clustering-coefficient denominator
+    (one definition, and identical subtrees let Catalyst reuse the
+    exchange when both appear in one plan)."""
+    return (
+        edges.select(F.col("pa").alias("n"))
+        .unionAll(edges.select(F.col("pb").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over an undirected edge
     list (columns ``pa < pb``, deduplicated).
@@ -199,12 +232,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     bounded by O(m^1.5) instead of Σd². Three keyed shuffles total
     (degree agg, wedge self-join on the low vertex, closing edge
     join); no step is ever quadratic in a hub's degree."""
-    deg = (
-        edges.select(F.col("pa").alias("n"))
-        .unionAll(edges.select(F.col("pb").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("d"))
-    )
+    deg = node_degrees(edges)
     e = (
         edges.join(deg.withColumnRenamed("n", "pa").withColumnRenamed("d", "da"), "pa")
         .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("d", "db"), "pb")
@@ -270,22 +298,8 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     why orientation is what makes this survive power-law hubs at
     100 TB. The oracle enumerates canonical a<b<c triangles directly
     (orientation-invariant exact integer counts)."""
-    li = load(spark, sf_dir, "lineitem")
-    edges = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .join(
-            li.select(
-                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
-            ).distinct(),
-            "o",
-        )
-        .filter(F.col("p") < F.col("pb"))
-        .select(F.col("p").alias("pa"), "pb")
-        .distinct()
-    )
     return (
-        triangle_counts(edges)
+        triangle_counts(copurchase_edges(load(spark, sf_dir, "lineitem")))
         .orderBy(F.col("n_triangles").desc(), "part_id")
         .limit(20)
     )
@@ -344,28 +358,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates the triangle entry already bounds (orientation keeps
     wedge volume O(m^1.5)); the coefficient itself is a map-side
     expression on their join."""
-    li = load(spark, sf_dir, "lineitem")
-    edges = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .join(
-            li.select(
-                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
-            ).distinct(),
-            "o",
-        )
-        .filter(F.col("p") < F.col("pb"))
-        .select(F.col("p").alias("pa"), "pb")
-        .distinct()
-    )
-    # deg and triangle_counts both consume the same distinct-edge
-    # subtree inside ONE final plan — Catalyst's ReusedExchange shares
-    # the exchange, so no persist (a standing memory tax) is needed.
-    deg = (
-        edges.select(F.col("pa").alias("part_id"))
-        .unionAll(edges.select(F.col("pb").alias("part_id")))
-        .groupBy("part_id")
-        .agg(F.count("*").cast("bigint").alias("degree"))
+    edges = copurchase_edges(load(spark, sf_dir, "lineitem"))
+    # node_degrees and triangle_counts both consume the same
+    # distinct-edge subtree (and build the identical degree aggregate)
+    # inside ONE final plan — Catalyst's ReusedExchange shares them,
+    # so no persist (a standing memory tax) is needed.
+    deg = node_degrees(edges).select(
+        F.col("n").alias("part_id"), F.col("d").cast("bigint").alias("degree")
     )
     tri = triangle_counts(edges)
     out = (
