@@ -1581,3 +1581,62 @@ def timeseries_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> Data
             / F.lit(1000000.0)
         ).alias("mae"),
     )
+
+
+# --- per-user feature vector (feature-store shape over the event stream) ----
+
+USER_FEATURES_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(30,6)))
+                     FILTER (event_type = 'purchase'), 0) AS DOUBLE)
+         AS purchase_value,
+       MAX(ts) AS last_event_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@query(
+    "events_user_feature_vector",
+    oracle=USER_FEATURES_ORACLE,
+    tags=("timeseries", "agg", "llm"),
+)
+def events_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector over the event stream — the
+    feature-store artifact a ranking/abuse model trains on: activity
+    volume and span, per-type engagement counts, exact-decimal
+    purchase value, recency anchor. Complements
+    `customers_rfm_segments` (orders-side RFM): this is the
+    event-stream side, one row per user.
+
+    Scale: ONE hash shuffle on user_id with map-side partial
+    aggregation — per-type counts are conditional expressions, not
+    separate passes; the distinct-days count keys the same aggregate
+    (Spark plans count(DISTINCT date) as a two-level agg on the SAME
+    user_id partitioning — no extra exchange). Adding features adds
+    expressions, not shuffles."""
+    from ..queries.tpch import dec
+
+    ev = load(spark, sf_dir, "events")
+    is_t = lambda t: (F.col("event_type") == t).cast("bigint")  # noqa: E731
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct(F.col("ts").cast("date")).cast("bigint").alias(
+            "n_active_days"
+        ),
+        F.sum(is_t("purchase")).cast("bigint").alias("n_purchase"),
+        F.sum(is_t("click")).cast("bigint").alias("n_click"),
+        F.sum(is_t("error")).cast("bigint").alias("n_error"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", dec("value"))),
+            F.lit(0).cast("decimal(30,6)"),
+        )
+        .cast("double")
+        .alias("purchase_value"),
+        F.max("ts").alias("last_event_ts"),
+    )
