@@ -1541,7 +1541,9 @@ def similarity_adc_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tight interval, so a probed-cluster read prunes to O(n_probe)
     # chunks (and the range-partitioned write keeps file count small)
     write_sorted(codes, path, sort_cols=["cluster_id"])
-    stored = spark.read.format("vortex").load(path)
+    # fresh single-consumption load → opt-in chunk pruning is safe and
+    # gives the probed-cluster point reads this layout exists for
+    stored = spark.read.format("vortex").option("pushdown", "true").load(path)
     return adc_topk_over_codes(
         emb.filter(F.col("vec_id") % 20 == 0), stored, books, centroids,
         k=10, n_probe=4,
@@ -1591,7 +1593,21 @@ def ivf_assign_two_level(
     a vector whose true nearest fine centroid lives in an unprobed
     coarse cell gets its best probed-cell centroid instead. Output
     schema matches ivf_assign(n_probe=1): (id, vec, vnorm,
-    cluster_id)."""
+    cluster_id).
+
+    Oracle-parity note (ADVICE r7): step 2's fine→coarse map is the
+    one surface where PYTHON arithmetic (``_cos`` below: generator
+    ``sum`` + ``math.sqrt``) is replayed by the DuckDB oracle
+    (``_sql_cos``: ``list_reduce`` fold + ``sqrt``) rather than by a
+    Spark expression. Both are strict LEFT folds of IEEE-754 doubles
+    over the same element order — Python's ``sum`` accumulates
+    left-to-right, DuckDB's ``list_reduce`` folds list order — and
+    ``x*y``/``sqrt``/``/`` are all correctly-rounded single ops, so
+    the per-pair cosines are bit-identical, not merely close; an
+    EXACT tie between coarse reps is then broken by lowest coarse id
+    on both sides (``-j`` here, ``coarse_id ASC`` in the oracle).
+    If either engine ever re-associated its fold (e.g. pairwise
+    summation), this map — and the catalog hash — would flag it."""
     import math
 
     crows = centroids.select("cluster_id", "centroid").orderBy("cluster_id").collect()

@@ -12,8 +12,9 @@ Spark **Python DataSource** ("vortex"), per the survey's mapping:
 - A2 glob expansion ..... glob patterns in ``load()`` path
 - A4 file sink .......... ``df.write.format("vortex").save(path)``
 - A5 projection pushdown. only Spark-pruned columns are decoded
-- A6 filter pushdown .... ``pushFilters`` → zone-map row-group skip +
-                          batch-level pyarrow filtering
+- A6 filter pushdown .... ``pushFilters`` → zone-map row-group skip
+                          (opt-in ``pushdown=true``; default scans are
+                          filter-independent — see pushFilters r8 note)
 - A7 statistics ......... per-chunk min/max/null-count (parquet stats)
 - A8 chunked scan ....... one InputPartition per (file, row-group)
 - A9 type matrix ........ Arrow ↔ Spark conversion (SURVEY.md §1.2)
@@ -248,7 +249,19 @@ class VortexReader(DataSourceReader):
             raise FileNotFoundError(f"no vortex files match {self.path!r}")
         self.schema = schema
         self.pushed: list[Filter] = []
-        self.pushdown_enabled = str(options.get("pushdown", "true")).lower() != "false"
+        # r8: hint-state pruning is OPT-IN (default false). A scan with
+        # no hint state is identical for every query, which makes any
+        # relation reuse — filtered fan-outs, self-joins, an unfiltered
+        # count after a filtered action — correct by construction under
+        # the upstream single-slot readInfo cache (see pushFilters).
+        self.pushdown_enabled = str(options.get("pushdown", "false")).lower() == "true"
+        self._trace("init")
+
+    def _trace(self, event: str) -> None:
+        log = os.environ.get("VORTEX_TRACE_FILE")
+        if log:
+            with open(log, "a") as fh:
+                fh.write(f"{event} id={id(self)} pushed={[str(f) for f in self.pushed]}\n")
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: N802
         """A6: record the comparison/null filters we can evaluate
@@ -269,21 +282,43 @@ class VortexReader(DataSourceReader):
         deleted returned unfiltered rows, silently. With all filters
         residual, the worst a stale scan closure can do is prune
         chunks with the OTHER branch's hints (wrong-direction
-        pruning); `.option("pushdown", "false")` removes that too.
+        pruning). r8 removes that residue too: hints are opt-in.
 
         KNOWN UPSTREAM CAVEAT (Spark 4.1 Python DataSource): the JVM
         caches the planned scan (``PythonDataSourceV2.readInfo``) in a
         single mutable slot per relation and only the pushdown path
         refreshes it — so scans planned later can serve earlier
-        branches of the same relation (builtin sources are
-        unaffected). Every fresh ``load()`` is safe, which is how the
-        catalog/driver/bench use this source. DataFrames that fan out
-        into multiple DIFFERENTLY-FILTERED branches (self-joins,
-        eval/train splits) should pass ``.option("pushdown",
-        "false")`` to make every scan filter-independent. Pinned in
-        tests/test_vortex_source.py::test_relation_reuse_pushdown_caveat
-        and test_filtered_self_join_keeps_spark_filters.
+        branches of the same relation, and a branch with NO pushable
+        filters reuses whatever scan the slot holds (builtin sources
+        are unaffected).
+
+        Why hints are OPT-IN rather than auto-poisoned (r8): the
+        obvious in-Python fix — detect a re-plan with a different
+        filter set on one reader and degrade to no pruning — is
+        structurally impossible. Traced under VORTEX_TRACE_FILE:
+        (a) every pushdown planning deserializes a FRESH DataSource /
+        reader instance (pyspark/sql/worker/data_source_pushdown_
+        filters.py reads the pickled source per invocation), so no
+        Python object ever sees two plans; (b) the hazardous branch —
+        an unfiltered action reusing a filtered plan's pruned scan —
+        invokes NO Python hook at all (no __init__, no pushFilters,
+        no partitions), the JVM replays the cached partition list
+        wholesale. No Python-side state, module-global or otherwise,
+        can observe the reuse. Hence the only safe default is a scan
+        whose partition list is filter-INDEPENDENT: default scans
+        record no hints, so any cached-slot mixup between branches is
+        invisible (every branch's scan is the same scan) and Spark's
+        retained Filter nodes give exact rows.
+
+        ``.option("pushdown", "true")`` re-enables plan-time zone-map
+        chunk pruning + hive-partition dir pruning, and is safe for
+        the fresh-``load()``-per-query pattern (one relation, one
+        consumption) — how the catalog, driver, bench, and the
+        incremental-ingest index scans use this source. Pinned in
+        tests/test_vortex_source.py::test_relation_reuse_default_safe
+        and test_filtered_fanout_matches_parquet.
         """
+        self._trace(f"pushFilters {[str(f) for f in filters]}")
         if not self.pushdown_enabled:
             return filters  # hint-free: scan is identical for any query
         supported = (
@@ -311,6 +346,7 @@ class VortexReader(DataSourceReader):
         return filters
 
     def partitions(self) -> Sequence[VortexChunk]:
+        self._trace("partitions")
         chunks = []
         for f in self.files:
             if not self._dir_survives(f):
@@ -421,11 +457,10 @@ class VortexReader(DataSourceReader):
         and under the upstream single-slot readInfo caveat a stale
         closure's prefilter silently removed rows another branch of the
         same relation needed (its Filter node re-adds nothing that the
-        scan never yielded). Chunk pruning keeps the 100 TB win —
-        wrong-direction pruning needs multi-chunk files AND refuting
-        footer stats, and `pushdown=false` exists for multi-branch
-        relations; the row-level prefilter only ever saved Arrow→JVM
-        transfer that Spark's retained Filter now handles. Kept for
+        scan never yielded). Opt-in chunk pruning keeps the 100 TB win
+        for fresh-load-per-query scans (r8: hints default OFF); the
+        row-level prefilter only ever saved Arrow→JVM transfer that
+        Spark's retained Filter now handles. Kept for
         diagnostics/tests."""
         import pyarrow.compute as pc
 

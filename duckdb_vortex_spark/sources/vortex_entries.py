@@ -62,7 +62,7 @@ def vortex_copy_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             sort_cols=["o_orderdate"],
             chunk_rows=4096,
         )
-        back = spark.read.format("vortex").load(path)
+        back = spark.read.format("vortex").option("pushdown", "true").load(path)
         out = (
             back.filter(
                 F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
@@ -112,7 +112,7 @@ def vortex_typed_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFra
         li.select(
             "l_orderkey", "l_extendedprice", "l_shipdate", "l_returnflag"
         ).write.format("vortex").mode("append").option("chunk_rows", 8192).save(path)
-        back = spark.read.format("vortex").load(path)
+        back = spark.read.format("vortex").option("pushdown", "true").load(path)
         out = back.agg(
             F.count("*").alias("n"),
             F.sum("l_orderkey").cast("bigint").alias("sum_key"),
@@ -168,7 +168,7 @@ def vortex_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             zorder_cols=["o_custkey", "o_totalprice"],
             chunk_rows=2048,
         )
-        back = spark.read.format("vortex").load(path)
+        back = spark.read.format("vortex").option("pushdown", "true").load(path)
         out = (
             back.filter(
                 F.col("o_custkey").between(400, 700)
@@ -218,7 +218,7 @@ def vortex_ree_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             sort_cols=["qty"],
             chunk_rows=2048,
         )
-        back = spark.read.format("vortex").load(path)
+        back = spark.read.format("vortex").option("pushdown", "true").load(path)
         out = (
             back.filter(F.col("qty").between(10, 20))
             .groupBy("qty")
@@ -262,7 +262,7 @@ def vortex_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
             "o_orderstatus",
         ).write.format("vortex").mode("append").option("chunk_rows", 2048).save(path)
-        back = spark.read.format("vortex").load(path)
+        back = spark.read.format("vortex").option("pushdown", "true").load(path)
         out = back.filter(F.col("sparse_key").isin(700, 7007, 7010, 77777))
         out = spark.createDataFrame(out.collect(), out.schema)
         return out
@@ -329,7 +329,7 @@ def vortex_nested_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("chunk_rows", 4096)
             .save(path)
         )
-        back = spark.read.format("vortex").load(path)
+        back = spark.read.format("vortex").option("pushdown", "true").load(path)
         out = back.filter(F.col("st.priority") == "1-URGENT").agg(
             F.count("*").cast("bigint").alias("n"),
             F.sum(F.col("st.price_cents")).alias("sum_cents"),
@@ -387,7 +387,7 @@ def vortex_s3_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in opts.items():
             w = w.option(k, v)
         w.save("s3://dvs/orders.vortex")
-        r = spark.read.format("vortex")
+        r = spark.read.format("vortex").option("pushdown", "true")
         for k, v in opts.items():
             r = r.option(k, v)
         back = r.load("s3://dvs/orders.vortex")

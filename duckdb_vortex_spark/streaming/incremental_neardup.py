@@ -23,9 +23,21 @@ standard shape at 100 TB/day:
    (dropped ones too), so the drop rule is a pure function of
    arrival order: a document is dropped iff some EARLIER document
    (earlier batch, or same batch with smaller id) is a verified
-   near-duplicate. That makes the whole-history result equal to the
-   batch-mode answer, independent of how the stream was chopped into
-   micro-batches — which is what the DuckDB oracle checks.
+   near-duplicate.
+
+PRECONDITION — id-ordered ingest (same as `incremental_semdedup`):
+"earlier" means earlier BATCH first, then smaller id within a batch;
+a landed (history) candidate always wins against a new document with
+no id comparison. Batch mode's "earlier" is smaller id, full stop.
+The two orders agree — and therefore the whole-history manifest
+equals the batch-mode answer independent of how the stream was
+chopped into micro-batches (what the DuckDB oracle checks) — exactly
+when batch order refines global id order, i.e. every id in batch i
+precedes every id in batch i+1 (monotone ingest: ids assigned at
+arrival). For out-of-order arrival the streaming answer is still the
+arrival-order answer (deterministic, every doc audited), but it is
+NOT the id-order batch answer: no streaming operator can award the
+win to a smaller-id document it has not yet seen.
 
 State: the index grows ~384 B/doc (16 bands × 24 B); hot buckets are
 capped like the batch path (a bucket over ``max_bucket`` docs is a

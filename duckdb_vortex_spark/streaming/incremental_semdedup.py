@@ -103,6 +103,10 @@ def semdedup_process_batch(
     if prior:
         landed = (
             spark_.read.format("vortex")
+            # fresh single-consumption load with a static In filter over
+            # the cluster-SORTED index → opt-in zone-map pruning reads
+            # only the probed clusters' chunks (safe: no relation reuse)
+            .option("pushdown", "true")
             .option("paths", json.dumps(prior))
             .load()
             .filter(F.col("cluster_id").isin(probed))

@@ -36,7 +36,28 @@ def write_stream_vortex(
     trigger_available_now: bool = True,
 ):
     """Start a streaming query appending micro-batches to a vortex
-    dataset at ``path``. Returns the StreamingQuery (caller awaits)."""
+    dataset at ``path``. Returns the StreamingQuery (caller awaits).
+
+    The output dir and the checkpoint are ONE unit: committed
+    ``batch-N`` dirs are how replays of batch N (per the checkpoint's
+    offset log) are recognized and skipped. A FRESH checkpoint
+    restarts batch ids at 0, so pointing it at an output dir that
+    already holds batches from some earlier checkpoint would make the
+    new stream's first micro-batches collide with the old dirs and be
+    silently discarded as "already committed" (ADVICE r7). That
+    mismatch is detected at start and fails loudly below — recover by
+    starting with a fresh output dir, or by restoring the checkpoint
+    that produced the existing batches."""
+    if globmod.glob(os.path.join(path, "batch-*")) and not os.path.isdir(
+        os.path.join(checkpoint, "offsets")
+    ):
+        raise ValueError(
+            f"output dir {path!r} already holds committed batch dirs but "
+            f"checkpoint {checkpoint!r} is fresh (no offset log): batch ids "
+            "would restart at 0 and collide with the existing dirs, silently "
+            "discarding new data. Use a fresh output dir per checkpoint, or "
+            "restore the checkpoint that wrote these batches."
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # Exactly-once protocol (r7): write the batch into a staging

@@ -52,6 +52,16 @@ def test_readme_count_stanza_matches_registry():
     )
 
 
+def test_zero_oracle_less_entries():
+    """VERDICT r7 #4/#7: the 'zero oracle-less entries' claim is now
+    test-asserted like the entry count. Every catalog entry must carry
+    a DuckDB oracle — an entry registered with oracle=None downgrades
+    the driver's check to rows-only and must be a deliberate,
+    test-updated decision, not a silent omission."""
+    missing = [n for n, e in catalog.entries().items() if e.oracle is None]
+    assert missing == [], f"entries without a DuckDB oracle: {missing}"
+
+
 def test_no_handwritten_counts_elsewhere():
     """The entry count may appear ONLY in generated text: CATALOG.md
     and the README marker stanza.  Any other doc stating 'N entries'

@@ -43,12 +43,13 @@ def test_manifest_identical_over_vortex_datasource(spark, tmp_path):
     assert _canon(corpus_to_shards(vdocs)) == want
 
     # hazard layout: many chunks SORTED by source, so the eval
-    # branch's '=src0' hint would genuinely prune chunks — the
-    # documented rule for multi-branch filtered reuse of one relation
-    # is pushdown=false (see vortex.pushFilters); it must be exact
+    # branch's '=src0' hint would genuinely prune chunks if hints were
+    # recorded — r8 makes the DEFAULT scan filter-independent, so
+    # multi-branch filtered reuse of one relation is exact with no
+    # option (see vortex.pushFilters)
     spath = str(tmp_path / "documents_sorted")
     write_sorted(docs, spath, sort_cols=["source"], chunk_rows=64)
-    sdocs = spark.read.format("vortex").option("pushdown", "false").load(spath)
+    sdocs = spark.read.format("vortex").load(spath)
     assert _canon(corpus_to_shards(sdocs)) == want
 
 

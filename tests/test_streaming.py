@@ -354,3 +354,42 @@ def test_sink_exactly_once_replay_and_staging_invisibility(spark, tmp_path):
     sink_fn(df.limit(10), 1)
     assert not os.path.exists(staging)
     assert S.read_vortex_dataset(spark, out).count() == 110
+
+
+def test_sink_rejects_fresh_checkpoint_over_existing_batches(spark, tmp_path):
+    """ADVICE r7: an output dir holding committed batches from an
+    EARLIER checkpoint must not be silently reused with a fresh one —
+    batch ids would restart at 0, collide with the old dirs, and the
+    new stream's micro-batches would be discarded as 'already
+    committed'. write_stream_vortex detects the mismatch at start and
+    fails loudly; a checkpoint WITH an offset log (a genuine resume)
+    still starts."""
+    from duckdb_vortex_spark.sources.vortex import register
+    from duckdb_vortex_spark.streaming import sinks as S
+
+    register(spark)
+    out = str(tmp_path / "stale.vortex")
+    os.makedirs(os.path.join(out, "batch-00000000"))
+
+    class FakeWriter:
+        def foreachBatch(self, fn):
+            raise RuntimeError("reached foreachBatch")
+
+    class FakeStream:
+        writeStream = FakeWriter()
+
+    # fresh checkpoint (no offsets/) + existing batches → loud failure
+    with pytest.raises(ValueError, match="fresh"):
+        S.write_stream_vortex(FakeStream(), out, checkpoint=str(tmp_path / "fresh_ck"))
+
+    # a real resume (offset log present) passes the guard
+    ck = str(tmp_path / "resume_ck")
+    os.makedirs(os.path.join(ck, "offsets"))
+    with pytest.raises(RuntimeError, match="reached foreachBatch"):
+        S.write_stream_vortex(FakeStream(), out, checkpoint=ck)
+
+    # fresh checkpoint + fresh output dir also passes
+    with pytest.raises(RuntimeError, match="reached foreachBatch"):
+        S.write_stream_vortex(
+            FakeStream(), str(tmp_path / "new.vortex"), checkpoint=str(tmp_path / "ck2")
+        )

@@ -363,10 +363,9 @@ def test_schema_evolution_additive(spark, tmp_path):
 
     # projection of ONLY the evolved column: old files must still
     # contribute one NULL row each (regression: a 0-column pruned read
-    # used to report 0 rows and silently drop them). Fresh load():
-    # `back` already ran filtered actions, and Spark 4.1's Python-
-    # datasource scan cache would replay their pruning here (see
-    # test_relation_reuse_pushdown_caveat).
+    # used to report 0 rows and silently drop them). Fresh load()
+    # keeps the shapes independent (default scans are also reuse-safe
+    # since r8 — see test_relation_reuse_default_safe).
     fresh = spark.read.format("vortex").load(path)
     scores = [r["score"] for r in fresh.select("score").collect()]
     assert sorted((s is None, s or 0.0) for s in scores) == [
@@ -408,32 +407,106 @@ def test_dataset_stats_footer_only(spark, tmp_path):
     assert all(r["encodings"] for r in st)
 
 
-def test_relation_reuse_pushdown_caveat(spark, tmp_path):
-    """Documents an UPSTREAM Spark 4.1 Python-DataSource caching bug
-    and pins our escape hatch. The JVM keeps one mutable readInfo slot
-    per relation; a filtered action overwrites it with the chunk-pruned
-    scan and a later unfiltered action on the SAME DataFrame variable
-    reuses it (builtin parquet re-plans correctly). Fresh load() per
-    query is always safe; `.option("pushdown", "false")` makes scans
-    filter-independent so even reused relations stay correct."""
+def test_relation_reuse_default_safe(spark, tmp_path):
+    """r8: relation reuse is correct BY DEFAULT — no option needed.
+
+    Upstream Spark 4.1 keeps one mutable readInfo slot per Python-
+    DataSource relation; a filtered action overwrites it with that
+    plan's scan and a later action with no pushable filters on the
+    SAME DataFrame variable replays it wholesale, with NO Python hook
+    running (traced: no __init__ / pushFilters / partitions call —
+    see pushFilters docstring). With r7's default-on hints, that
+    replay served the filtered plan's PRUNED chunk list to an
+    unfiltered count. r8 makes the default scan filter-independent
+    (hints opt-in), so the stale-slot replay is indistinguishable
+    from a fresh plan and every reuse pattern is exact."""
     from pyspark.sql import functions as F
 
     path = str(tmp_path / "reuse.vortex")
-    spark.range(10).select(F.col("id").alias("k")).write.format("vortex").mode(
-        "append"
-    ).save(path)
+    # multi-chunk + key-sorted layout = the hazard layout: zone maps
+    # would refute chunks if hints were recorded
+    spark.range(10).select(F.col("id").alias("k")).coalesce(1).write.format(
+        "vortex"
+    ).option("chunk_rows", "2").mode("append").save(path)
 
-    # default mode: fresh relation per query is correct
+    # ONE loaded relation, reused across differently-filtered actions
+    v = spark.read.format("vortex").load(path)
+    assert v.filter(F.col("k") > 7).count() == 2
+    assert v.count() == 10  # r7 default returned 2 here (stale pruned scan)
+    assert sorted(r["k"] for r in v.filter(F.col("k") < 2).collect()) == [0, 1]
+    assert v.count() == 10
+
+    # fresh relation per query is correct in every mode
     assert spark.read.format("vortex").load(path).filter(F.col("k") > 7).count() == 2
     assert spark.read.format("vortex").load(path).count() == 10
 
-    # pushdown=false: even a REUSED relation stays correct after a
-    # filtered action (scan carries no filter state to poison the cache)
-    safe = spark.read.format("vortex").option("pushdown", "false").load(path)
-    assert safe.filter(F.col("k") > 7).count() == 2
-    assert safe.count() == 10
-    assert sorted(r["k"] for r in safe.filter(F.col("k") < 2).collect()) == [0, 1]
-    assert safe.count() == 10
+
+def test_pushdown_opt_in_caveat_sentinel(spark, tmp_path):
+    """The OPT-IN mode's documented caveat, pinned as a sentinel: with
+    `.option("pushdown", "true")`, an unfiltered action reusing a
+    relation after a filtered action replays the filtered plan's
+    pruned chunk list (upstream single-slot readInfo cache; no Python
+    hook fires, so the reader cannot defend itself). Fresh load() per
+    query — the pattern every catalog entry uses — is always exact.
+
+    If the unfiltered count ever starts returning 10 here, the
+    upstream cache got fixed: flip the reader's default back to
+    hints-on and delete this sentinel."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "optin.vortex")
+    spark.range(10).select(F.col("id").alias("k")).coalesce(1).write.format(
+        "vortex"
+    ).option("chunk_rows", "2").mode("append").save(path)
+
+    fast = spark.read.format("vortex").option("pushdown", "true").load(path)
+    assert fast.filter(F.col("k") > 7).count() == 2
+    assert fast.count() in (2, 10)  # 2 today (stale pruned scan) — see above
+
+    # opt-in + fresh relation per action: exact AND pruned
+    fresh = spark.read.format("vortex").option("pushdown", "true").load(path)
+    assert fresh.count() == 10
+
+
+def test_filtered_fanout_matches_parquet(spark, tmp_path):
+    """r8 'done' check (VERDICT r7 #1): a differently-filtered fan-out
+    of a SINGLE load() returns byte-identical results to parquet with
+    NO option — on the hazard layout (multi-chunk file SORTED on the
+    filter column, where zone maps would refute whole chunks for the
+    other branch if hints were recorded)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 3 % 7).alias("v"),
+    )
+    vpath = str(tmp_path / "fan.vortex")
+    from duckdb_vortex_spark.sources.vortex import write_sorted
+
+    write_sorted(df, vpath, sort_cols=["k"], chunk_rows=50)
+    ppath = str(tmp_path / "fan_parquet")
+    df.write.parquet(ppath)
+
+    v = spark.read.format("vortex").load(vpath)
+    pq = spark.read.parquet(ppath)
+
+    def fanout(t):
+        lo = t.filter(F.col("k") < 100)          # zone maps refute chunks 2..7
+        hi = t.filter(F.col("k") >= 300)         # zone maps refute chunks 0..5
+        mid = t.filter(F.col("k").between(150, 249))
+        joined = (
+            lo.select("grp", F.col("k").alias("k_lo"))
+            .join(hi.select("grp", F.col("k").alias("k_hi")), "grp")
+            .select("grp", "k_lo", "k_hi")
+        )
+        return (
+            sorted(map(tuple, lo.unionByName(hi).unionByName(mid).collect())),
+            sorted(map(tuple, joined.collect())),
+            t.count(),
+        )
+
+    assert fanout(v) == fanout(pq)
 
 
 def test_zorder_write_prunes_on_second_dimension(spark, tmp_path):
@@ -543,7 +616,8 @@ def test_all_residual_pushdown_still_prunes_end_to_end(spark, tmp_path):
     dataset prunes to one scan partition AND returns exact rows. This
     guards against a regression where declining all filters stops the
     pushdown path from running (which would silently disable zone-map
-    pruning everywhere)."""
+    pruning everywhere). r8: hints are opt-in (`pushdown=true`), the
+    safe mode for this fresh-load-per-query shape."""
     from duckdb_vortex_spark.sources.vortex import register, write_sorted
 
     register(spark)
@@ -552,6 +626,11 @@ def test_all_residual_pushdown_still_prunes_end_to_end(spark, tmp_path):
         (F.col("id") % 200).alias("a"), F.col("id").alias("payload")
     )
     write_sorted(df, p, sort_cols=["a"], chunk_rows=1000)
-    q = spark.read.format("vortex").load(p).filter(F.col("a") == 7)
+    q = (
+        spark.read.format("vortex")
+        .option("pushdown", "true")
+        .load(p)
+        .filter(F.col("a") == 7)
+    )
     assert q.count() == 200  # row-level exactness (Spark's Filter)
     assert q.rdd.getNumPartitions() == 1  # chunk-level pruning (hints)
