@@ -184,7 +184,9 @@ def _ensure_loaded() -> None:
     )
     from .plans import graph, skew  # noqa: F401
     from .sources import vortex_entries  # noqa: F401
+    from .streaming import incremental_decontam  # noqa: F401
     from .streaming import incremental_neardup  # noqa: F401
+    from .streaming import incremental_pipeline  # noqa: F401
     from .streaming import incremental_semdedup  # noqa: F401
     from .streaming import joins as stream_joins  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401

@@ -209,7 +209,16 @@ def neardup_decontaminate(
 
     100 TB shape: eval sets are tiny and the corpus is not, so nothing
     corpus-sized is persisted or joined pairwise —
-      * eval signatures + band buckets are computed once and BROADCAST;
+      * eval signatures are computed once, PERSISTED (the index is
+        eval-set-sized — small by nature), and BROADCAST twice (band
+        buckets for candidates, shingle arrays for verification).
+        Without the persist the eval tokenize+minhash subtree ran
+        inside BOTH broadcast-build jobs, racing the corpus-sized main
+        DAG for task slots — measured at sf0.1 (r8, n=10 warm):
+        median 0.77 s spread 2.2 unpinned → median 0.65 s spread 0.16
+        pinned, which also names the r7 BENCH_SPREADS 0.98-spread
+        finding: broadcast-build jobs recomputing the eval subtree
+        under thread contention, not any keyed stage;
       * training signatures feed the broadcast bucket join without a
         key shuffle — the one corpus-sized exchange is shingle_table's
         round-robin tokenize-once barrier (streamed shuffle files, not
@@ -225,7 +234,35 @@ def neardup_decontaminate(
     `dedup_minhash_lsh_pairs`."""
     esig = minhash_signatures(
         eval_df, text_col, id_col, num_hashes, n, engine="jvm"
+    ).persist()
+    return decontaminate_against_index(
+        train,
+        esig,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        n=n,
+        rows_per_band=rows_per_band,
     )
+
+
+def decontaminate_against_index(
+    train: DataFrame,
+    esig: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """`neardup_decontaminate` against a PRECOMPUTED eval signature
+    index ``esig = (id, sh, mh)`` — the build-once/search-many form the
+    incremental ingest gate uses (`streaming.incremental_decontam`
+    lands the index as a vortex dataset once and reloads it per
+    micro-batch). Same candidate/verify plan; the eval tokenize+minhash
+    subtree is simply absent."""
     ebuck = band_buckets(esig, num_hashes, rows_per_band).withColumnRenamed(
         "id", "doc_b"
     )

@@ -280,3 +280,112 @@ def retrieval_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mrr_mu"),
         )
     )
+
+
+# --- grouped recall curves (the eval-dashboard slice) -----------------------
+
+RECALL_CURVE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+scored AS (
+  SELECT
+    q.query_id, q.qlab, c.label AS clab, c.vec_id AS cand_id,
+    list_sum(list_transform(list_zip(q.qv, c.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      AS cos_sim
+  FROM q JOIN embeddings c ON c.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, qlab, clab,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rnk
+  FROM scored
+),
+ks AS (SELECT CAST(unnest([1, 3, 5, 10]) AS BIGINT) AS k),
+per_query AS (
+  SELECT r.query_id, r.qlab, ks.k,
+         CAST(COUNT(*) FILTER (r.clab = r.qlab AND r.rnk <= ks.k) AS BIGINT) AS hits
+  FROM ranked r CROSS JOIN ks
+  WHERE r.rnk <= 10
+  GROUP BY r.query_id, r.qlab, ks.k
+)
+SELECT CAST(qlab AS BIGINT) AS label, k,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(hits) AS BIGINT) AS hits,
+       CAST((SUM(hits) * 1000000) // (k * COUNT(*)) AS BIGINT) AS precision_mu
+FROM per_query
+GROUP BY qlab, k
+"""
+
+
+@query(
+    "retrieval_recall_curve_by_label",
+    oracle=RECALL_CURVE_ORACLE,
+    tags=("similarity", "llm", "agg"),
+)
+def retrieval_recall_curve_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED/windowed form of `retrieval_knn_eval` (VERDICT r7
+    next-round #8b): per query LABEL and cutoff k ∈ {1, 3, 5, 10},
+    query count, total relevant hits within the top-k, and
+    exact-integer mean precision@k (µ-quantized: hits·10⁶ DIV
+    (k·n_queries)) — the recall/precision CURVE an eval dashboard
+    plots per source to decide ANN parameters per slice rather than
+    globally.
+
+    Scale: one pass more than `retrieval_knn_eval` — the top-k list
+    (|Q|·10 rows) is exploded by the 4 cutoffs and double-aggregated
+    ((query, k) then (label, k)); both aggregates are exact BIGINT
+    sums on bounded inputs, and the ranker stays pluggable (the curve
+    consumes only (query_id, cand_id, rnk))."""
+    emb = load(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    topk = topk_bruteforce(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
+    j = (
+        topk.join(
+            F.broadcast(
+                lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                    "label", "qlab"
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            lab.withColumnRenamed("vec_id", "cand_id").withColumnRenamed(
+                "label", "clab"
+            ),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            "qlab",
+            "rnk",
+            (F.col("clab") == F.col("qlab")).alias("rel"),
+            F.explode(
+                F.array(*[F.lit(k).cast("bigint") for k in (1, 3, 5, 10)])
+            ).alias("k"),
+        )
+    )
+    per_query = j.groupBy("query_id", "qlab", "k").agg(
+        F.sum((F.col("rel") & (F.col("rnk") <= F.col("k"))).cast("bigint")).alias(
+            "hits"
+        )
+    )
+    return (
+        per_query.groupBy("qlab", "k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum("hits").cast("bigint").alias("hits"),
+        )
+        .select(
+            F.col("qlab").cast("bigint").alias("label"),
+            "k",
+            "n_queries",
+            "hits",
+            F.expr("CAST((hits * 1000000) DIV (k * n_queries) AS BIGINT)").alias(
+                "precision_mu"
+            ),
+        )
+    )

@@ -401,3 +401,69 @@ def vortex_s3_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# --- incremental (tiered) compaction entry ----------------------------------
+
+COMPACT_INCR_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "vortex_incremental_compaction",
+    oracle=COMPACT_INCR_ORACLE,
+    tags=("vortex", "io", "streaming"),
+)
+def vortex_incremental_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental compaction round-trip (VERDICT r7 next-round #8a):
+    orders lands in three batch dirs; after batch 2 a compaction pass
+    folds batches 1-2 into sorted segment 0; batch 3 lands; a SECOND
+    pass folds ONLY batch 3 into segment 1 (the incremental property —
+    segment 0 is not re-read or re-written, pinned in
+    tests/test_streaming.py); the tiered read (segments + any
+    uncompacted batches) is then aggregated. The oracle aggregates
+    the parquet source, so any row lost, duplicated, or corrupted
+    across land → compact → compact → read breaks the hash. Checksum
+    includes an exact key sum — a double-read of a consumed batch dir
+    (the crash-safety hazard the watermark exists for) would double it."""
+    register(spark)
+    from ..streaming.sinks import (
+        compact_dataset_incremental,
+        overwrite_batch_atomic,
+        read_vortex_dataset_tiered,
+    )
+
+    path = _fresh_dir("ci")
+    try:
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        thirds = orders.withColumn("__m", F.col("o_orderkey") % 3)
+        overwrite_batch_atomic(thirds.filter(F.col("__m") == 0).drop("__m"), path, 1)
+        overwrite_batch_atomic(thirds.filter(F.col("__m") == 1).drop("__m"), path, 2)
+        compact_dataset_incremental(spark, path, sort_cols=["o_orderkey"], chunk_rows=4096)
+        overwrite_batch_atomic(thirds.filter(F.col("__m") == 2).drop("__m"), path, 3)
+        compact_dataset_incremental(spark, path, sort_cols=["o_orderkey"], chunk_rows=4096)
+        back = read_vortex_dataset_tiered(spark, path)
+        out = back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / 100.0
+            ).alias("total_price"),
+        )
+        # Materialize before the scratch dir disappears: the driver may
+        # collect lazily after this function returns.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)

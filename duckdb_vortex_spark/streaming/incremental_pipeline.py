@@ -1,0 +1,425 @@
+"""Integrated incremental ingest: exact → near-dup → semantic, ONE stream.
+
+The r7 incremental trio proved each gate alone (`incremental_dedup`,
+`incremental_neardup`, `incremental_semdedup`) with separate scratch
+stores. A real ingest pipeline runs them as ONE chain per micro-batch
+over ONE landed corpus (VERDICT r7 next-round #5): a document dropped
+by the exact gate never reaches the near-dup index; a near-dup never
+reaches the semantic index; and every gate's verification reads from
+the SAME shared landed-batch store the chain itself writes.
+
+Per micro-batch (documents already joined to their embeddings):
+
+0. land the raw batch (id, text, vec) id-sorted into the SHARED raw
+   store — the one corpus artifact every gate reads back;
+1. EXACT gate: xxhash64 over whitespace-normalized lowercased text;
+   in-batch first-wins by id, then LEFT ANTI vs the fingerprint store
+   (fingerprints of ALL docs ever landed — 8 B/doc). Survivors s1;
+   ALL batch fingerprints append to the store;
+2. NEAR-DUP gate over s1: MinHash signatures + LSH band buckets;
+   candidates = in-batch (smaller id earlier) ∪ buckets ⋈ the
+   persistent LSH index (which holds every doc that REACHED this gate
+   — prior s1 sets); hot-bucket cap applied uniformly from
+   point-in-time history+batch counts (same degradation contract as
+   `incremental_neardup`); exact shingle-Jaccard verify re-shingles
+   ONLY candidate old docs, fetched from the SHARED raw store by id
+   semi-join (zone-map point reads — the store is id-sorted per
+   batch). Survivors s2; ALL s1 buckets append to the index;
+3. SEMANTIC gate over s2: 1-probe assignment against the static
+   broadcast codebook (offline-trained, `sample_centroids` over the
+   full embeddings table so the oracle can replay the pick);
+   candidates = earlier same-batch same-cluster rows ∪ the persistent
+   cluster-SORTED IVF index rows in the batch's probed clusters only
+   (holds every doc that reached this gate — prior s2 sets); exact
+   cosine >= threshold. Survivors s3; ALL s2 assignments append
+   cluster-sorted;
+4. manifest row per batch document: first failing gate
+   (stage ∈ exact | near_dup | semantic | kept).
+
+Chain semantics (what the DuckDB oracle replays): with gates indexing
+exactly the docs that reach them,
+  keep_e(d)  = no earlier doc with the same normalized text;
+  drop_n(d)  = d ∈ reach2 and some earlier reach2-doc has J >= 0.8;
+  drop_s(d)  = d ∈ reach3 and some earlier reach3-doc in the same
+               cluster has cosine >= threshold,
+where reach2 = keep_e, reach3 = keep_e ∧ ¬drop_n, and "earlier" is
+smaller id. PRECONDITION — id-ordered ingest, exactly as
+`incremental_neardup`/`incremental_semdedup` state it: the streamed
+manifest equals this batch-mode chain independent of chopping iff
+batch order refines global id order. The exact gate compares
+fingerprints where the oracle compares normalized text — identical
+answers absent a 64-bit hash collision (~n²/2⁶⁴; the hash IS the
+design at 100 TB, where shuffling full text to dedup would dwarf
+every other cost).
+
+Store contention note: the raw store is written by stage 0 and read
+back by stage 2's verifier IN THE SAME BATCH only for cross-batch
+candidates (strictly-earlier dirs, `batch_dirs`' contract), so the
+shared store never reads its own half-written batch.
+
+State: fingerprints 8 B/doc + LSH ~384 B/reach2-doc + IVF
+(vec + norm)/reach3-doc — each gate's state is bounded by the docs
+that SURVIVED the cheaper gates before it, which is the point of
+running the chain in this order (cheapest first, each gate shrinks
+the next one's index).
+
+Lineage is CUT at every gate boundary (`localCheckpoint`, not
+`persist`): persist caches data but keeps the full logical plan, so
+each downstream action re-ANALYZES the whole accumulated chain —
+measured at sf0.01, the final manifest join of three tiny cached
+dropped-sets spent 38 s in Catalyst analysis/optimization alone and
+the 3-batch entry took 117 s; with checkpoints the same entry runs
+46 s and the manifest join plans in milliseconds. The trade is
+standard foreachBatch practice: checkpointed partitions are
+executor-local (no lineage replay on executor loss), and the batch
+protocol already retries a failed batch WHOLESALE from
+strictly-earlier state, so intra-batch recompute-from-lineage buys
+nothing here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, query
+from ..operators.dedup import (
+    _DUCK_TOKS,
+    _duck_shingles,
+    _with_jaccard,
+    band_buckets,
+    minhash_signatures,
+    shingle_table,
+)
+from ..operators.similarity import _dot, _sql_cos, ivf_assign, sample_centroids
+from .incremental_dedup import fingerprint
+from .sinks import batch_dirs as _batch_dirs
+from .sinks import overwrite_batch_atomic as _overwrite_batch
+
+
+def _read_batches(spark, base: str, before: int, **options) -> DataFrame | None:
+    dirs = _batch_dirs(base, before)
+    if not dirs:
+        return None
+    r = spark.read.format("vortex").option("paths", json.dumps(dirs))
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def ingest_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    centroids: DataFrame,
+    root: str,
+    near_threshold: float = 0.8,
+    sem_threshold: float = 0.4,
+    num_hashes: int = 32,
+    n: int = 3,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> None:
+    """One micro-batch of the integrated chain. ``batch_df`` carries
+    (doc_id, source, text, vec). Writes batch-id-scoped artifacts under
+    ``root``: raw/ (shared corpus), fp/ (exact store), lsh/ (near-dup
+    index), ivf/ (semantic index), man/ (the manifest)."""
+    spark_ = batch_df.sparkSession
+    raw_d, fp_d, lsh_d, ivf_d, man_d = (
+        os.path.join(root, s) for s in ("raw", "fp", "lsh", "ivf", "man")
+    )
+
+    # 0. land the raw batch into the SHARED store (id-sorted: stage-2
+    # candidate fetches and any audit replay are zone-map point reads)
+    rows = batch_df.select(
+        F.col("doc_id").alias("id"), "text", "vec"
+    ).sort("id").localCheckpoint()
+    _overwrite_batch(rows, raw_d, batch_id)
+
+    # 1. EXACT gate ---------------------------------------------------------
+    fp = rows.select("id", fingerprint("text").alias("__fp"), "text", "vec")
+    fp = fp.withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__fp").orderBy("id"))
+    )
+    seen = _read_batches(spark_, fp_d, batch_id)
+    if seen is not None:
+        hist_dup = (
+            fp.join(seen.withColumnRenamed("fp", "__fp"), "__fp", "left_semi")
+            .select("id")
+            .distinct()
+        )
+    else:
+        hist_dup = None
+    in_batch_dup = fp.filter(F.col("__rn") > 1).select("id")
+    exact_dropped = (
+        in_batch_dup.unionByName(hist_dup).distinct()
+        if hist_dup is not None
+        else in_batch_dup
+    ).localCheckpoint()
+    s1 = rows.join(exact_dropped, "id", "left_anti").localCheckpoint()
+    _overwrite_batch(
+        fp.select(F.col("__fp").alias("fp")), fp_d, batch_id
+    )
+
+    # 2. NEAR-DUP gate over s1 ---------------------------------------------
+    sig = minhash_signatures(s1, "text", "id", num_hashes, n, engine="jvm").localCheckpoint()
+    buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint()
+    idx = _read_batches(spark_, lsh_d, batch_id)
+    hist_bh = (
+        idx.select("band", "h").unionByName(buckets.select("band", "h"))
+        if idx is not None
+        else buckets.select("band", "h")
+    )
+    ok = (
+        hist_bh.groupBy("band", "h")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= max_bucket)
+        .select("band", "h")
+    )
+    buck_ok = buckets.join(ok, ["band", "h"])
+    a = buck_ok.select("band", "h", F.col("id").alias("doc_a"))
+    b = buck_ok.select("band", "h", F.col("id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    if idx is not None:
+        cross = (
+            buck_ok.join(idx.withColumnRenamed("id", "doc_a"), ["band", "h"])
+            .select("doc_a", F.col("id").alias("doc_b"))
+        )
+        cand = cand.unionByName(cross)
+    cand = cand.distinct()
+    new_sh = sig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    old_in_batch = sig.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    prior_raw = _read_batches(spark_, raw_d, batch_id)
+    if prior_raw is not None:
+        old_docs = prior_raw.join(
+            cand.select(F.col("doc_a").alias("id")).distinct(), "id", "left_semi"
+        )
+        old_sh = (
+            shingle_table(old_docs, "text", "id", n)
+            .select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+            .unionByName(old_in_batch)
+        )
+    else:
+        old_sh = old_in_batch
+    near_dropped = (
+        _with_jaccard(cand.join(old_sh, "doc_a").join(new_sh, "doc_b"))
+        .filter(F.col("jaccard") >= near_threshold)
+        .select(F.col("doc_b").alias("id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    s2 = s1.join(near_dropped, "id", "left_anti").localCheckpoint()
+    _overwrite_batch(buckets.select("band", "h", "id"), lsh_d, batch_id)
+
+    # 3. SEMANTIC gate over s2 ----------------------------------------------
+    asg = (
+        ivf_assign(s2.select("id", "vec"), centroids, 1, "id", "vec")
+        .select("cluster_id", "id", "vec", "vnorm")
+        .localCheckpoint()
+    )
+    probed = sorted(
+        r["cluster_id"] for r in asg.select("cluster_id").distinct().collect()
+    )
+    new_side = asg.select(
+        "cluster_id",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("vnorm").alias("n_b"),
+    )
+    old_side = asg.select(
+        "cluster_id",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("vnorm").alias("n_a"),
+    )
+    landed = _read_batches(spark_, ivf_d, batch_id, pushdown="true")
+    if landed is not None:
+        landed = landed.filter(F.col("cluster_id").isin(probed)).select(
+            "cluster_id",
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col("vnorm").alias("n_a"),
+        )
+        old_side = landed.unionByName(old_side)
+    sem_dropped = (
+        old_side.join(new_side, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (_dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")))
+            >= sem_threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    _overwrite_batch(asg.sort("cluster_id", "id"), ivf_d, batch_id)
+
+    # 4. manifest: first failing gate ----------------------------------------
+    manifest = (
+        batch_df.select(F.col("doc_id").alias("id"), "source")
+        .join(exact_dropped.withColumn("__e", F.lit(True)), "id", "left")
+        .join(near_dropped.withColumn("__n", F.lit(True)), "id", "left")
+        .join(sem_dropped.withColumn("__s", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "source",
+            F.when(F.col("__e"), F.lit("exact"))
+            .when(F.col("__n"), F.lit("near_dup"))
+            .when(F.col("__s"), F.lit("semantic"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+            (F.col("__e").isNull() & F.col("__n").isNull() & F.col("__s").isNull()).alias(
+                "is_kept"
+            ),
+        )
+    )
+    _overwrite_batch(manifest, man_d, batch_id)
+
+
+def incremental_ingest_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    centroids: DataFrame,
+    root: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Start the integrated chain on a streaming DataFrame of
+    (doc_id, source, text, vec) with a static offline codebook;
+    returns the StreamingQuery. Whole-history manifest = the
+    batch-mode chain under id-ordered ingest (module docstring)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_process_batch(batch_df, batch_id, centroids, root, **kwargs)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog entry: streamed chain manifest equals the batch-mode chain
+# ---------------------------------------------------------------------------
+
+INGEST_PIPELINE_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+           ORDER BY doc_id) = 1 AS keep_e
+  FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, {_duck_shingles(_DUCK_TOKS)} AS sh
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM ex WHERE keep_e)
+),
+nd AS (
+  SELECT DISTINCT b.id AS doc_id
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+),
+r3 AS (
+  SELECT doc_id FROM ex
+  WHERE keep_e AND doc_id NOT IN (SELECT doc_id FROM nd)
+),
+hk AS (
+  SELECT vec_id, embedding,
+         ((vec_id % 4294967296) * 1000003) % 4294967296 AS hk
+  FROM embeddings
+),
+c AS (
+  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cluster_id,
+         embedding AS centroid
+  FROM hk
+  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= 16
+),
+asg AS (
+  SELECT v.vec_id, v.embedding, c.cluster_id,
+         {_sql_cos("v.embedding", "c.centroid")} AS csim
+  FROM embeddings v CROSS JOIN c
+  WHERE v.vec_id IN (SELECT doc_id FROM r3)
+),
+a1 AS (
+  SELECT vec_id, embedding, cluster_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cluster_id) AS r FROM asg)
+  WHERE r = 1
+),
+sd AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM a1 a JOIN a1 b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.4
+)
+SELECT ex.doc_id, ex.source,
+       CASE WHEN NOT ex.keep_e THEN 'exact'
+            WHEN ex.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+            WHEN ex.doc_id IN (SELECT doc_id FROM sd) THEN 'semantic'
+            ELSE 'kept' END AS stage,
+       (ex.keep_e
+        AND ex.doc_id NOT IN (SELECT doc_id FROM nd)
+        AND ex.doc_id NOT IN (SELECT doc_id FROM sd)) AS is_kept
+FROM ex
+"""
+
+
+@query(
+    "stream_incremental_ingest_pipeline",
+    oracle=INGEST_PIPELINE_ORACLE,
+    tags=("streaming", "dedup", "similarity", "llm", "flagship"),
+)
+def stream_incremental_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents (joined to their embeddings on doc_id = vec_id)
+    ingested in three id-ordered micro-batches through the INTEGRATED
+    exact → near-dup → semantic chain over one shared landed-batch
+    store, emitting a per-document manifest with first-failing-gate
+    attribution. The unioned manifests must equal the batch-mode
+    chain the oracle replays (normalized-text first-wins, then
+    Jaccard >= 0.8 among exact survivors, then same-cluster cosine
+    >= 0.4 among near-dup survivors with the replayed codebook) —
+    the property that makes backfill and streaming ingest
+    interchangeable for the WHOLE pipeline, not just each gate alone."""
+    from ..sources.vortex import register
+
+    register(spark)
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")),
+        "doc_id",
+    )
+    centroids = sample_centroids(emb, 16)
+    batched = corpus.withColumn(
+        "__b", F.ntile(3).over(Window.orderBy("doc_id"))
+    ).persist()
+    root = tempfile.mkdtemp(prefix="dvs_ingest_")
+    try:
+        for i in (1, 2, 3):
+            ingest_process_batch(
+                batched.filter(F.col("__b") == i).drop("__b"), i, centroids, root
+            )
+        out = (
+            spark.read.format("vortex")
+            .option("paths", json.dumps(_batch_dirs(os.path.join(root, "man"), 10**9)))
+            .load()
+            .select("doc_id", "source", "stage", "is_kept")
+        )
+        # Materialize before the scratch dir disappears: the driver
+        # may collect lazily after this function returns.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        batched.unpersist()
+        shutil.rmtree(root, ignore_errors=True)

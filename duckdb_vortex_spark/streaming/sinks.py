@@ -128,6 +128,92 @@ def compact_dataset(spark, path: str, sort_cols: list[str], chunk_rows: int = 65
     return retired
 
 
+def _segments(path: str) -> list[str]:
+    """Committed compaction segments (``compact-<seg>-upto-<batch>``),
+    sorted by segment id."""
+    return sorted(globmod.glob(os.path.join(path, "compact-*-upto-*")))
+
+
+def _compact_watermark(path: str) -> int:
+    """Highest batch id consumed by any committed segment (-1: none).
+    Batch dirs at or below the watermark are compacted garbage — still
+    on disk only until the idempotent GC pass removes them — and every
+    tiered reader ignores them."""
+    segs = _segments(path)
+    if not segs:
+        return -1
+    return max(int(os.path.basename(s).rsplit("-", 1)[1]) for s in segs)
+
+
+def compact_dataset_incremental(
+    spark, path: str, sort_cols: list[str], chunk_rows: int = 65536
+) -> str | None:
+    """INCREMENTAL (tiered) compaction of a streamed dataset: rewrite
+    ONLY the batch dirs that landed since the previous compaction into
+    one new sorted segment — `compact_dataset` above rewrites the
+    whole dataset every time, which at 100 TB re-reads and re-writes
+    unchanged history per pass (VERDICT r7 next-round #8a). This is
+    the log-structured-merge shape: each pass costs O(new data), the
+    dataset is always the union of sorted segments + not-yet-compacted
+    batches, and per-segment zone maps stay tight on ``sort_cols``.
+
+    Crash safety is the watermark, not the GC: a segment commits via
+    one atomic rename to ``compact-<seg>-upto-<maxbatch>``, and tiered
+    readers (`read_vortex_dataset_tiered`) take segments + batches
+    with id STRICTLY ABOVE the highest committed watermark — so a
+    crash after the segment commit but before the consumed batch dirs
+    are removed double-stores rows but never double-READS them, and
+    the delete pass is pure idempotent garbage collection (re-runnable
+    anytime; here it runs inline at the end).
+
+    Change detection is structural — in an append-only batch layout
+    "changed since last compaction" IS "batch id > watermark"; the
+    row-level `snapshot_diff` audit is the cross-check that compaction
+    preserved content exactly (pinned in tests). Returns the new
+    segment path, or None if nothing new landed."""
+    watermark = _compact_watermark(path)
+    import json as _json
+
+    new_batches = [
+        d
+        for d in batch_dirs(path, 10**9)
+        if int(os.path.basename(d).split("-", 1)[1]) > watermark
+    ]
+    if not new_batches:
+        return None
+    upto = max(int(os.path.basename(d).split("-", 1)[1]) for d in new_batches)
+    seg_id = len(_segments(path))
+    from ..sources.vortex import write_sorted
+
+    df = spark.read.format("vortex").option("paths", _json.dumps(new_batches)).load()
+    final = os.path.join(path, f"compact-{seg_id:08d}-upto-{upto:08d}")
+    staging = os.path.join(path, f".staging-compact-{seg_id:08d}-upto-{upto:08d}")
+    shutil.rmtree(staging, ignore_errors=True)
+    write_sorted(df, staging, sort_cols=sort_cols, chunk_rows=chunk_rows)
+    os.rename(staging, final)  # the commit point
+    for d in new_batches:  # idempotent GC of consumed batch dirs
+        shutil.rmtree(d, ignore_errors=True)
+    return final
+
+
+def read_vortex_dataset_tiered(spark, path: str) -> DataFrame:
+    """Read a dataset maintained by `compact_dataset_incremental`:
+    all committed segments plus the batch dirs newer than the
+    compaction watermark (batches at/below it are consumed garbage,
+    possibly not yet GC'd — reading them would double-count)."""
+    import json as _json
+
+    watermark = _compact_watermark(path)
+    parts = _segments(path) + [
+        d
+        for d in batch_dirs(path, 10**9)
+        if int(os.path.basename(d).split("-", 1)[1]) > watermark
+    ]
+    if not parts:
+        raise FileNotFoundError(f"no segments or batches under {path!r}")
+    return spark.read.format("vortex").option("paths", _json.dumps(parts)).load()
+
+
 def read_vortex_as_of(spark, path: str, batch_id: int) -> DataFrame:
     """Versioned read of a streamed dataset: only batches with id <=
     ``batch_id``. Batch directories are the natural snapshot unit —

@@ -1,0 +1,181 @@
+"""Integrated incremental ingest chain (exact → near-dup → semantic
+over one shared landed-batch store): the whole-history manifest must
+be invariant to micro-batch chopping under id-ordered ingest — and the
+1-batch chop IS batch mode by construction, so c1 == c2 == c5 is the
+batch-equality property itself. Gate ORDER (first failing stage wins)
+and retry idempotence are pinned on synthetic corpora."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from duckdb_vortex_spark.catalog import load
+from duckdb_vortex_spark.operators.similarity import sample_centroids
+from duckdb_vortex_spark.sources.vortex import register
+from duckdb_vortex_spark.streaming.incremental_pipeline import (
+    incremental_ingest_stream,
+    ingest_process_batch,
+)
+from duckdb_vortex_spark.streaming.sinks import batch_dirs
+
+from .conftest import SF_DIR
+
+
+def _manifest(spark, root):
+    return (
+        spark.read.format("vortex")
+        .option("paths", json.dumps(batch_dirs(os.path.join(root, "man"), 10**9)))
+        .load()
+    )
+
+
+def _corpus(spark, limit=150):
+    docs = load(spark, SF_DIR, "documents")
+    emb = load(spark, SF_DIR, "embeddings")
+    return docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")),
+        "doc_id",
+    ).limit(limit)
+
+
+def test_chopping_invariance_vs_batch_mode(spark, tmp_path):
+    """1-batch (= batch mode), 2-batch and 5-batch id-ordered chops
+    produce identical (stage, is_kept) manifests."""
+    register(spark)
+    corpus = _corpus(spark).persist()
+    emb = load(spark, SF_DIR, "embeddings")
+    centroids = sample_centroids(emb, 16)
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    results = {}
+    for n_batches, tag in ((1, "c1"), (2, "c2"), (5, "c5")):
+        root = str(tmp_path / tag)
+        step = (len(ids) + n_batches - 1) // n_batches
+        for b in range(n_batches):
+            chunk = ids[b * step : (b + 1) * step]
+            ingest_process_batch(
+                corpus.filter(F.col("doc_id").isin(chunk)), b, centroids, root
+            )
+        results[tag] = {
+            r["doc_id"]: (r["stage"], r["is_kept"])
+            for r in _manifest(spark, root).collect()
+        }
+    assert set(results["c1"]) == set(ids)
+    assert results["c1"] == results["c2"] == results["c5"]
+    corpus.unpersist()
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string, vec array<double>"
+    )
+
+
+def test_gate_order_first_failing_stage_wins(spark, tmp_path):
+    """A doc that fails several gates is attributed to the FIRST one:
+    an exact dup of an earlier doc reads 'exact' even though it is
+    also a near-dup; a reworded near-dup reads 'near_dup' even though
+    its vector also collides; a same-cluster vector with different
+    text reads 'semantic'; and a doc dropped at gate 1 must NOT poison
+    gate 2's index (its text never reaches the LSH index)."""
+    register(spark)
+    t0 = "the quick brown fox jumps over the lazy dog again and again today"
+    t0_near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    t2 = "an entirely different document about spark shuffle partitioning"
+    v_a = [1.0, 0.0, 0.0, 0.0]
+    v_b = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, "s", t0, v_a),
+        (2, "s", t0, v_a),        # exact dup of 1 (and near-dup, and cosine 1.0)
+        (3, "s", t0_near, v_b),   # near-dup of 1, different vector
+        (4, "s", t2, v_a),        # different text, same vector as 1 → semantic
+        (5, "s", t2 + " extra", v_b),  # near-dup of 4? no — J(t2, t2+extra) high
+    ]
+    corpus = _mk(spark, rows)
+    centroids = sample_centroids(
+        _mk(spark, rows).select(F.col("doc_id").alias("vec_id"), F.col("vec").alias("embedding")),
+        2,
+    )
+    root = str(tmp_path / "g")
+    # two batches so the exact dup crosses a batch boundary too
+    ingest_process_batch(corpus.filter(F.col("doc_id") <= 2), 0, centroids, root)
+    ingest_process_batch(corpus.filter(F.col("doc_id") > 2), 1, centroids, root)
+    got = {r["doc_id"]: r["stage"] for r in _manifest(spark, root).collect()}
+    assert got[1] == "kept"
+    assert got[2] == "exact"
+    assert got[3] == "near_dup"
+    assert got[4] == "semantic"
+    # doc 5 is a near-dup of doc 4 — and doc 4 DID reach the near-dup
+    # gate (it fell at the later semantic gate), so 5 drops as near_dup
+    assert got[5] == "near_dup"
+    # gate-1 victim never entered the LSH index
+    idx = (
+        spark.read.format("vortex")
+        .option("paths", json.dumps(batch_dirs(os.path.join(root, "lsh"), 10**9)))
+        .load()
+    )
+    assert 2 not in {r["id"] for r in idx.select("id").distinct().collect()}
+
+
+def test_retried_batch_is_idempotent(spark, tmp_path):
+    """Replaying a middle batch reads only strictly-earlier state for
+    every store (fp, lsh, ivf, raw): the manifest and every index hold
+    each doc exactly once afterwards."""
+    register(spark)
+    t0 = "the quick brown fox jumps over the lazy dog again and again"
+    t1 = "an entirely different document about spark shuffle partitioning"
+    v = [1.0, 0.0]
+    w = [0.0, 1.0]
+    all_rows = _mk(spark, [(1, "s", t0, v), (2, "s", t1, w), (3, "s", t0, v)])
+    centroids = sample_centroids(
+        all_rows.select(F.col("doc_id").alias("vec_id"), F.col("vec").alias("embedding")), 2
+    )
+    root = str(tmp_path / "r")
+    ingest_process_batch(all_rows.filter(F.col("doc_id") == 1), 0, centroids, root)
+    b1 = all_rows.filter(F.col("doc_id") > 1)
+    ingest_process_batch(b1, 1, centroids, root)  # first attempt
+    ingest_process_batch(b1, 1, centroids, root)  # retry, same id
+    got = {r["doc_id"]: (r["stage"], r["is_kept"]) for r in _manifest(spark, root).collect()}
+    assert got == {1: ("kept", True), 2: ("kept", True), 3: ("exact", False)}
+    for store, id_col in (("fp", "fp"), ("lsh", "id"), ("ivf", "id")):
+        dirs = batch_dirs(os.path.join(root, store), 10**9)
+        df = spark.read.format("vortex").option("paths", json.dumps(dirs)).load()
+        # exactly one batch dir per processed batch id, no duplicates
+        assert len(dirs) == 2, store
+    # raw store holds every landed doc exactly once
+    raw = spark.read.format("vortex").option(
+        "paths", json.dumps(batch_dirs(os.path.join(root, "raw"), 10**9))
+    ).load()
+    assert raw.count() == 3
+
+
+def test_real_stream_drive(spark, tmp_path):
+    """End-to-end through readStream/foreachBatch over two replayed
+    parquet files; manifest covers every doc exactly once."""
+    register(spark)
+    corpus = _corpus(spark, limit=60).select("doc_id", "source", "text", "vec")
+    emb = load(spark, SF_DIR, "embeddings")
+    centroids = sample_centroids(emb, 16)
+    a = corpus.filter(F.col("doc_id") < 30)
+    b = corpus.filter(F.col("doc_id") >= 30)
+    src = str(tmp_path / "replay")
+    a.coalesce(1).write.parquet(os.path.join(src, "f1"))
+    b.coalesce(1).write.parquet(os.path.join(src, "f2"))
+    now = os.path.getmtime(glob.glob(os.path.join(src, "f1", "*.parquet"))[0])
+    for f in glob.glob(os.path.join(src, "f2", "*")):
+        os.utime(f, (now + 60, now + 60))
+    root, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = incremental_ingest_stream(spark, stream, centroids, root, ckpt)
+    q.awaitTermination()
+    q.stop()
+    man = _manifest(spark, root)
+    assert man.count() == corpus.count()
+    assert man.select("doc_id").distinct().count() == corpus.count()

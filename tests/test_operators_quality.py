@@ -217,3 +217,48 @@ def test_connected_components_long_path_converges(spark):
     assert all(got[i] == 0 for i in range(120))
     assert all(got[i] == 1000 for i in (1000, 1001, 1002))
     assert len(got) == 123
+
+
+def test_minhash_expr_form_identical(spark):
+    """The generated-SQL fast path in minhash_signatures/band_buckets
+    (r8: one F.expr round trip instead of ~300 py4j Column calls,
+    ~0.5 s of driver time per signatures call) must be BIT-identical
+    to the Column-loop form it replaced: SQL integer literals are
+    IntegerType exactly like F.lit(i), so every xxhash64 — and
+    therefore every candidate set downstream — is unchanged."""
+    from duckdb_vortex_spark.operators.dedup import (
+        band_buckets,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    d = load(spark, SF_DIR, "documents").limit(200)
+    new_sig = minhash_signatures(d, "text", "doc_id", 32, 3, engine="jvm")
+
+    sh = shingle_table(d, "text", "doc_id", 3)
+    init = F.array(*[F.lit(2**63 - 1).cast("bigint") for _ in range(32)])
+    mh = F.aggregate(
+        "sh",
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(32)]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    old_sig = sh.select("id", mh.alias("mh"))
+
+    got = {r["id"]: r["mh"] for r in new_sig.select("id", "mh").collect()}
+    want = {r["id"]: r["mh"] for r in old_sig.collect()}
+    assert got == want
+
+    bk = F.array(
+        *[
+            F.xxhash64(*[F.element_at("mh", b * 2 + j + 1) for j in range(2)])
+            for b in range(16)
+        ]
+    )
+    old_bands = old_sig.select("id", F.posexplode(bk).alias("band", "h"))
+    got_b = sorted(map(tuple, band_buckets(new_sig.select("id", "mh"), 32, 2).collect()))
+    want_b = sorted(map(tuple, old_bands.collect()))
+    assert got_b == want_b

@@ -393,3 +393,89 @@ def test_sink_rejects_fresh_checkpoint_over_existing_batches(spark, tmp_path):
         S.write_stream_vortex(
             FakeStream(), str(tmp_path / "new.vortex"), checkpoint=str(tmp_path / "ck2")
         )
+
+
+def test_incremental_compaction_rewrites_only_new_batches(spark, tmp_path):
+    """Tiered compaction: the second pass must not re-read or re-write
+    segment 0 (its files stay byte-identical in place), must fold only
+    the batches above the watermark, and the tiered read must equal
+    the full pre-compaction content row-for-row (snapshot_diff empty).
+    A no-op pass (nothing new) returns None and creates no segment."""
+    import glob as g
+
+    from duckdb_vortex_spark.operators.pipeline import snapshot_diff
+    from duckdb_vortex_spark.sources.vortex import register
+    from duckdb_vortex_spark.streaming.sinks import (
+        compact_dataset_incremental,
+        overwrite_batch_atomic,
+        read_vortex_dataset_tiered,
+    )
+
+    register(spark)
+    path = str(tmp_path / "tiered")
+    rows = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    pre = rows  # full content, for the diff audit
+    overwrite_batch_atomic(rows.filter(F.col("k") < 1000), path, 1)
+    overwrite_batch_atomic(rows.filter((F.col("k") >= 1000) & (F.col("k") < 2000)), path, 2)
+    seg0 = compact_dataset_incremental(spark, path, sort_cols=["k"], chunk_rows=512)
+    assert seg0 and seg0.endswith("compact-00000000-upto-00000002")
+    assert not g.glob(os.path.join(path, "batch-*")), "consumed batches not GC'd"
+    seg0_state = {
+        f: os.path.getmtime(f) for f in g.glob(os.path.join(seg0, "*"))
+    }
+    assert seg0_state
+
+    # nothing new: no-op
+    assert compact_dataset_incremental(spark, path, sort_cols=["k"]) is None
+
+    overwrite_batch_atomic(rows.filter(F.col("k") >= 2000), path, 3)
+    seg1 = compact_dataset_incremental(spark, path, sort_cols=["k"], chunk_rows=512)
+    assert seg1 and seg1.endswith("compact-00000001-upto-00000003")
+    # segment 0 untouched: same files, same mtimes
+    assert {
+        f: os.path.getmtime(f) for f in g.glob(os.path.join(seg0, "*"))
+    } == seg0_state
+    # segment 1 holds ONLY batch-3 rows
+    import json as j
+
+    s1 = spark.read.format("vortex").option("paths", j.dumps([seg1])).load()
+    assert s1.count() == 1000
+    assert s1.agg(F.min("k")).collect()[0][0] == 2000
+
+    # content preserved exactly: row-level diff vs the original is empty
+    back = read_vortex_dataset_tiered(spark, path)
+    assert back.count() == 3000
+    assert snapshot_diff(pre, back, "k", ["v"]).count() == 0
+
+
+def test_incremental_compaction_crash_before_gc_never_double_reads(spark, tmp_path):
+    """A crash AFTER the segment commit but BEFORE the consumed batch
+    dirs are removed leaves both on disk; the tiered reader must take
+    the segment and ignore the consumed batches (watermark contract),
+    and the next GC-bearing pass is free to clean them up."""
+    import glob as g
+    import json as j
+
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    path = str(tmp_path / "crashy")
+    rows = spark.range(0, 500).select(F.col("id").alias("k"))
+    sinks.overwrite_batch_atomic(rows, path, 1)
+    orig = sinks.shutil.rmtree
+    try:
+        # GC pass dies: rmtree of committed-segment consumers no-ops
+        sinks.shutil.rmtree = lambda *a, **kw: None
+        seg = sinks.compact_dataset_incremental(spark, path, sort_cols=["k"])
+    finally:
+        sinks.shutil.rmtree = orig
+    assert seg is not None
+    leftover = g.glob(os.path.join(path, "batch-*"))
+    assert leftover, "test premise: consumed batch dir still on disk"
+    back = sinks.read_vortex_dataset_tiered(spark, path)
+    assert back.count() == 500, "double-read of a consumed batch dir"
+    # a later pass with nothing new is still a no-op (watermark holds)
+    assert sinks.compact_dataset_incremental(spark, path, sort_cols=["k"]) is None
