@@ -123,6 +123,14 @@ def main() -> None:
         # bench run.
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        # Let the ContextCleaner DRAIN before the next query's timed
+        # runs: the forced GC enqueues removal of every shuffle file /
+        # broadcast the previous query accumulated, and the cleaner
+        # thread processes that queue WHILE the next query runs —
+        # its BlockManager traffic contends with active tasks (r8:
+        # broadcast-heavy tail entries measured 0.8 s clean vs 2.5 s
+        # while the prior query's cleanup was still draining).
+        time.sleep(1.0)
     total = round(sum(timings.values()), 4)
     _delta_report(timings)
     # Per-query spreads go to stderr + a side file, NOT the stdout
