@@ -108,10 +108,15 @@ def neardup_process_batch(
     ).sort("id")
     _overwrite_batch(raw, raw_dir, batch_id)
 
+    # localCheckpoint, not persist: cuts the signature expression
+    # tree out of every downstream plan — persist keeps the full
+    # logical plan and Catalyst re-analyzes the accumulated chain per
+    # action (measured on the integrated pipeline: 117 -> 48 s; see
+    # incremental_pipeline.py docstring for the rule).
     sig = minhash_signatures(
         batch_df, text_col, id_col, num_hashes, n, engine="arrow"
-    ).persist()
-    buckets = band_buckets(sig, num_hashes, rows_per_band).persist()
+    ).localCheckpoint()
+    buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint()
 
     prior_index = _batch_dirs(index_dir, batch_id)
     idx = (
@@ -198,8 +203,6 @@ def neardup_process_batch(
     )
     _overwrite_batch(manifest, manifest_dir, batch_id)
     _overwrite_batch(buckets.select("band", "h", "id"), index_dir, batch_id)
-    sig.unpersist()
-    buckets.unpersist()
 
 
 def incremental_neardup_stream(

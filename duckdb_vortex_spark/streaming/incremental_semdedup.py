@@ -81,7 +81,9 @@ def semdedup_process_batch(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         "vnorm",
-    ).persist()
+    ).localCheckpoint()  # lineage cut, not persist — see
+    # incremental_pipeline.py (Catalyst re-analysis of accumulated
+    # batch chains dominates otherwise)
 
     # bounded collect: <= n_clusters ints, reused as a LITERAL filter so
     # the prior-index scan zone-map-prunes to the probed clusters' chunks
@@ -150,7 +152,6 @@ def semdedup_process_batch(
     # cluster-sorted append: range partition + in-file sort => tight
     # cluster_id zone maps, so future batches' candidate scans prune
     overwrite_batch_atomic(asg.sort("cluster_id", "id"), index_dir, batch_id)
-    asg.unpersist()
 
 
 def incremental_semdedup_stream(
