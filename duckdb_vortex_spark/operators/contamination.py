@@ -64,7 +64,7 @@ def cross_source_shared_shingles(
         F.col(group_col).alias("src"), tokens(text_col).alias("toks")
     ).repartition(spark.sparkContext.defaultParallelism)
     sh = tk.select(
-        "src", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("sh")
+        "src", F.explode(shingles_from_tokens("toks", n)).alias("sh")
     )
     sets = (
         sh.groupBy("sh")
@@ -166,7 +166,7 @@ def contamination_eval_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_ctx.sparkContext.defaultParallelism
     )
     sh = tk.select(
-        "doc_id", "source", F.explode(shingles_from_tokens(F.col("toks"), 3)).alias("s")
+        "doc_id", "source", F.explode(shingles_from_tokens("toks", 3)).alias("s")
     )
     eval_sh = sh.filter(F.col("source") == "src0").select("s").distinct()
     train = sh.filter(F.col("source") != "src0")

@@ -41,11 +41,24 @@ def shingles(col, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
     """Shingles from an already-computed token-array column. When
     ``toks`` is a bound attribute (a real column, not an expression
     tree) the array is computed once per row and the per-index lambda
-    only slices it."""
+    only slices it.
+
+    A plain column NAME takes the generated-SQL fast path (~25 py4j
+    round trips → 1, same driver-time fix as minhash_signatures, r8);
+    both forms build the identical expression tree (pinned by
+    tests/test_operators_quality.py::
+    test_token_shingle_expr_forms_identical)."""
+    if isinstance(toks, str) and toks.isidentifier():
+        return F.expr(
+            f"array_distinct(CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+            f"ELSE array(array_join({toks}, ' ')) END)"
+        )
     full = F.array(F.array_join(toks, " "))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
@@ -65,7 +78,7 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     routes through here."""
     t = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
     t = t.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return t.select("id", shingles_from_tokens(F.col("__toks"), n).alias("sh"))
+    return t.select("id", shingles_from_tokens("__toks", n).alias("sh"))
 
 
 def _jaccard(a: Column, b: Column) -> Column:

@@ -872,12 +872,12 @@ def corpus_to_shards(
     )
 
     eval_sh = eval_tk.select(
-        F.explode(shingles_from_tokens(F.col("toks"), decontam_ngram)).alias("s")
+        F.explode(shingles_from_tokens("toks", decontam_ngram)).alias("s")
     ).distinct()
     train = surv_tk.filter(F.col("source") != eval_source)
     tr_sh = train.select(
         "doc_id",
-        F.explode(shingles_from_tokens(F.col("toks"), decontam_ngram)).alias("s"),
+        F.explode(shingles_from_tokens("toks", decontam_ngram)).alias("s"),
     )
     contaminated = tr_sh.join(eval_sh, "s").select("doc_id").distinct()
     bucket = (

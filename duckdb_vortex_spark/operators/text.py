@@ -24,7 +24,18 @@ _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 def tokens(col) -> Column:
     """Whitespace tokenization; empty strings filtered (parity with
-    DuckDB string_split + list_filter)."""
+    DuckDB string_split + list_filter).
+
+    Plain-identifier inputs take the generated-SQL fast path: the
+    Column/lambda form costs ~15 py4j round trips and tokens() is in
+    nearly every text/dedup plan build (same driver-time fix as
+    minhash_signatures, r8 — one expr string parses JVM-side in one
+    trip). Both forms produce the identical expression tree
+    (split pattern '\\\\s+' in SQL text == the raw-string regex;
+    pinned by tests/test_operators_quality.py::
+    test_token_shingle_expr_forms_identical)."""
+    if isinstance(col, str) and col.isidentifier():
+        return F.expr(f"filter(split({col}, '\\\\s+'), t -> t != '')")
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 

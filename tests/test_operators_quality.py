@@ -262,3 +262,29 @@ def test_minhash_expr_form_identical(spark):
     got_b = sorted(map(tuple, band_buckets(new_sig.select("id", "mh"), 32, 2).collect()))
     want_b = sorted(map(tuple, old_bands.collect()))
     assert got_b == want_b
+
+
+def test_token_shingle_expr_forms_identical(spark):
+    """The generated-SQL fast paths in tokens()/shingles_from_tokens()
+    (r8: one F.expr round trip for plain-identifier inputs) must be
+    BIT-identical to the Column/lambda forms they shortcut."""
+    from duckdb_vortex_spark.operators.dedup import shingles_from_tokens
+    from duckdb_vortex_spark.operators.text import tokens
+
+    d = load(spark, SF_DIR, "documents").limit(200)
+    # tokens: fast path (str) vs slow path (Column)
+    fast = d.select("doc_id", tokens("text").alias("t"))
+    slow = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    assert {r["doc_id"]: r["t"] for r in fast.collect()} == {
+        r["doc_id"]: r["t"] for r in slow.collect()
+    }
+    # shingles: fast path (name) vs slow path (Column), both n=3 and n=5
+    base = d.select("doc_id", tokens("text").alias("toks"))
+    for n in (3, 5):
+        f = base.select("doc_id", shingles_from_tokens("toks", n).alias("sh"))
+        s = base.select(
+            "doc_id", shingles_from_tokens(F.col("toks"), n).alias("sh")
+        )
+        assert {r["doc_id"]: r["sh"] for r in f.collect()} == {
+            r["doc_id"]: r["sh"] for r in s.collect()
+        }, f"n={n}"
