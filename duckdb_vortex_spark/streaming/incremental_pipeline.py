@@ -100,10 +100,17 @@ from ..operators.similarity import _dot, _sql_cos, ivf_assign, sample_centroids
 from .incremental_dedup import fingerprint
 from .sinks import batch_dirs as _batch_dirs
 from .sinks import overwrite_batch_atomic as _overwrite_batch
+from .sinks import state_dirs
 
 
 def _read_batches(spark, base: str, before: int, **options) -> DataFrame | None:
-    dirs = _batch_dirs(base, before)
+    """State visible to batch ``before``: tiered listing (compaction
+    segments + strictly-earlier uncompacted batch dirs), so every store
+    the chain maintains can be incrementally compacted BETWEEN
+    micro-batches (`sinks.compact_dataset_incremental`) without
+    breaking the retry contract — see `sinks.state_dirs` for the
+    invariant."""
+    dirs = state_dirs(base, before)
     if not dirs:
         return None
     r = spark.read.format("vortex").option("paths", json.dumps(dirs))

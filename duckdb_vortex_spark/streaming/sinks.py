@@ -245,6 +245,41 @@ def batch_dirs(base: str, before: int) -> list[str]:
     )
 
 
+def state_dirs(base: str, before: int) -> list[str]:
+    """Tiered generalization of `batch_dirs`: the state visible to a
+    batch with id ``before`` when the store may have been INCREMENTALLY
+    COMPACTED between micro-batches — committed segments plus the batch
+    dirs strictly between the compaction watermark and ``before``.
+
+    This preserves the strictly-earlier retry contract exactly: a
+    segment folds batches 0..upto, so segments + batches in
+    (upto, before) is precisely "all state with id < before" as long as
+    upto < before. Compaction must therefore only fold batches the
+    checkpoint has already committed (a batch that can still retry must
+    never be folded — its retry would read its own first attempt); a
+    segment with upto >= before means that invariant was broken and the
+    read fails loudly rather than silently self-joining."""
+    segs = _segments(base)
+    bad = [
+        s
+        for s in segs
+        if int(os.path.basename(s).rsplit("-", 1)[1]) >= before
+    ]
+    if bad:
+        raise ValueError(
+            f"segment(s) {bad} fold batch ids >= {before}: incremental "
+            "compaction ran over a batch that is still retryable, which "
+            "would make its retry read its own first attempt. Compact "
+            "only checkpoint-committed batches."
+        )
+    watermark = _compact_watermark(base)
+    return segs + [
+        d
+        for d in batch_dirs(base, before)
+        if int(os.path.basename(d).split("-", 1)[1]) > watermark
+    ]
+
+
 def overwrite_batch_atomic(df: DataFrame, base: str, batch_id: int) -> None:
     """Write ``df`` as ``base/batch-<id>`` with REWRITE-on-retry
     semantics (the incremental dedup/near-dup contract: a retried

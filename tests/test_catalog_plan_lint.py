@@ -35,6 +35,13 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "|Q|-row query broadcast); production swaps in ivf/ivfpq — "
         "the metric computation consumes only (query_id, cand_id, rnk)",
     ),
+    "retrieval_recall_curve_by_label": (
+        ("nested-loop-join",),
+        "same bounded BNLJ as retrieval_knn_eval (the |Q|-row query "
+        "broadcast of the exact-kNN BASELINE ranker); the curve "
+        "consumes only (query_id, cand_id, rnk), so production swaps "
+        "in ivf/ivfpq without touching the aggregation",
+    ),
     "retrieval_hybrid_rrf": (
         ("nested-loop-join",),
         "two bounded BNLJs: the dense leg's 1-ROW query-vector "

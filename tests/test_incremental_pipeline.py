@@ -179,3 +179,70 @@ def test_real_stream_drive(spark, tmp_path):
     man = _manifest(spark, root)
     assert man.count() == corpus.count()
     assert man.select("doc_id").distinct().count() == corpus.count()
+
+
+def test_stores_compactable_between_batches(spark, tmp_path):
+    """Every state store the chain maintains can be incrementally
+    compacted BETWEEN micro-batches: after folding batches 1-2 of all
+    four stores into sorted segments, batch 3 (and a retry of it)
+    produces the same manifest as the never-compacted run — the
+    strictly-earlier retry contract survives compaction. Folding a
+    batch that is still retryable must fail loudly instead."""
+    import pytest
+
+    from duckdb_vortex_spark.streaming.sinks import (
+        compact_dataset_incremental,
+        state_dirs,
+    )
+
+    register(spark)
+    corpus = _corpus(spark, limit=120).persist()
+    emb = load(spark, SF_DIR, "embeddings")
+    centroids = sample_centroids(emb, 16)
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    step = (len(ids) + 2) // 3
+    chunks = [ids[i * step : (i + 1) * step] for i in range(3)]
+
+    def run(root, compact_after_2):
+        for b, chunk in enumerate(chunks, start=1):
+            if compact_after_2 and b == 3:
+                for store, keys in (
+                    ("raw", ["id"]),
+                    ("fp", ["fp"]),
+                    ("lsh", ["band", "h"]),
+                    ("ivf", ["cluster_id", "id"]),
+                ):
+                    seg = compact_dataset_incremental(
+                        spark, os.path.join(root, store), sort_cols=keys
+                    )
+                    assert seg is not None, store
+            ingest_process_batch(
+                corpus.filter(F.col("doc_id").isin(chunk)), b, centroids, root
+            )
+        return {
+            r["doc_id"]: (r["stage"], r["is_kept"])
+            for r in _manifest(spark, root).collect()
+        }
+
+    plain = run(str(tmp_path / "plain"), compact_after_2=False)
+    compacted_root = str(tmp_path / "comp")
+    compacted = run(compacted_root, compact_after_2=True)
+    assert compacted == plain
+
+    # retry of batch 3 AFTER the stores were compacted: still idempotent
+    ingest_process_batch(
+        corpus.filter(F.col("doc_id").isin(chunks[2])), 3, centroids, compacted_root
+    )
+    assert {
+        r["doc_id"]: (r["stage"], r["is_kept"])
+        for r in _manifest(spark, compacted_root).collect()
+    } == plain
+
+    # folding a still-retryable batch is detected: compact everything
+    # (incl. batch 3), then a retry of batch 3 must fail loudly
+    compact_dataset_incremental(
+        spark, os.path.join(compacted_root, "fp"), sort_cols=["fp"]
+    )
+    with pytest.raises(ValueError, match="still retryable"):
+        state_dirs(os.path.join(compacted_root, "fp"), 3)
+    corpus.unpersist()

@@ -131,6 +131,7 @@ _NESTED_LOOP_OK = {
     "sketch_hll_set_intersection",  # 1-row audit x 1-row pivoted-estimates cross
     "retrieval_hybrid_rrf",  # 1-row query-vector broadcast + 40-row full-outer fuse; dense leg pluggable (IVF at scale)
     "retrieval_knn_eval",  # metrics decorate the exact-kNN baseline's |Q|-row broadcast; ranker pluggable
+    "retrieval_recall_curve_by_label",  # same |Q|-row kNN-baseline broadcast; curve consumes only (query_id, cand_id, rnk)
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design
