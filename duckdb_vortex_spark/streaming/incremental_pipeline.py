@@ -144,7 +144,7 @@ def ingest_process_batch(
     # candidate fetches and any audit replay are zone-map point reads)
     rows = batch_df.select(
         F.col("doc_id").alias("id"), "text", "vec"
-    ).sort("id").localCheckpoint()
+    ).sort("id").localCheckpoint(eager=False)
     _overwrite_batch(rows, raw_d, batch_id)
 
     # 1. EXACT gate ---------------------------------------------------------
@@ -166,15 +166,15 @@ def ingest_process_batch(
         in_batch_dup.unionByName(hist_dup).distinct()
         if hist_dup is not None
         else in_batch_dup
-    ).localCheckpoint()
-    s1 = rows.join(exact_dropped, "id", "left_anti").localCheckpoint()
+    ).localCheckpoint(eager=False)
+    s1 = rows.join(exact_dropped, "id", "left_anti").localCheckpoint(eager=False)
     _overwrite_batch(
         fp.select(F.col("__fp").alias("fp")), fp_d, batch_id
     )
 
     # 2. NEAR-DUP gate over s1 ---------------------------------------------
-    sig = minhash_signatures(s1, "text", "id", num_hashes, n, engine="jvm").localCheckpoint()
-    buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint()
+    sig = minhash_signatures(s1, "text", "id", num_hashes, n, engine="jvm").localCheckpoint(eager=False)
+    buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint(eager=False)
     idx = _read_batches(spark_, lsh_d, batch_id)
     hist_bh = (
         idx.select("band", "h").unionByName(buckets.select("band", "h"))
@@ -221,16 +221,16 @@ def ingest_process_batch(
         .filter(F.col("jaccard") >= near_threshold)
         .select(F.col("doc_b").alias("id"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    s2 = s1.join(near_dropped, "id", "left_anti").localCheckpoint()
+    s2 = s1.join(near_dropped, "id", "left_anti").localCheckpoint(eager=False)
     _overwrite_batch(buckets.select("band", "h", "id"), lsh_d, batch_id)
 
     # 3. SEMANTIC gate over s2 ----------------------------------------------
     asg = (
         ivf_assign(s2.select("id", "vec"), centroids, 1, "id", "vec")
         .select("cluster_id", "id", "vec", "vnorm")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     probed = sorted(
         r["cluster_id"] for r in asg.select("cluster_id").distinct().collect()
@@ -265,7 +265,7 @@ def ingest_process_batch(
         )
         .select(F.col("id_b").alias("id"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     _overwrite_batch(asg.sort("cluster_id", "id"), ivf_d, batch_id)
 
