@@ -115,8 +115,8 @@ def neardup_process_batch(
     # incremental_pipeline.py docstring for the rule).
     sig = minhash_signatures(
         batch_df, text_col, id_col, num_hashes, n, engine="arrow"
-    ).localCheckpoint()
-    buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint(eager=False)
 
     prior_index = _batch_dirs(index_dir, batch_id)
     idx = (

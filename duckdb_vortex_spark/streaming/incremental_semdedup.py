@@ -81,7 +81,7 @@ def semdedup_process_batch(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         "vnorm",
-    ).localCheckpoint()  # lineage cut, not persist — see
+    ).localCheckpoint(eager=False)  # lineage cut, not persist — see
     # incremental_pipeline.py (Catalyst re-analysis of accumulated
     # batch chains dominates otherwise)
 
