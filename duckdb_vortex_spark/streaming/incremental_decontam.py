@@ -54,6 +54,7 @@ from ..operators.contamination import (
     decontaminate_against_index,
 )
 from ..operators.dedup import minhash_signatures
+from .sinks import STATE_FILES
 from .sinks import batch_dirs as _batch_dirs
 from .sinks import overwrite_batch_atomic as _overwrite_batch
 
@@ -71,7 +72,12 @@ def build_eval_index(
     reloads. Written id-sorted (deterministic layout; the index is
     eval-set-sized, so sorting is trivial)."""
     esig = minhash_signatures(eval_df, text_col, id_col, num_hashes, n, engine="jvm")
-    _overwrite_batch(esig.sort("id"), index_dir, 0)
+    _overwrite_batch(
+        esig.repartitionByRange(STATE_FILES, "id").sortWithinPartitions("id"),
+        index_dir,
+        0,
+        max_files=None,
+    )
 
 
 def decontam_process_batch(

@@ -80,6 +80,7 @@ from ..operators.dedup import (
     minhash_signatures,
     shingle_table,
 )
+from .sinks import STATE_FILES
 from .sinks import batch_dirs as _batch_dirs
 from .sinks import overwrite_batch_atomic as _overwrite_batch
 
@@ -103,10 +104,12 @@ def neardup_process_batch(
     the LSH index rows (band, h, id — all docs), and the manifest
     (doc_id, keep)."""
     spark_ = batch_df.sparkSession
-    raw = batch_df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).sort("id")
-    _overwrite_batch(raw, raw_dir, batch_id)
+    raw = (
+        batch_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .repartitionByRange(STATE_FILES, "id")
+        .sortWithinPartitions("id")
+    )
+    _overwrite_batch(raw, raw_dir, batch_id, max_files=None)
 
     # localCheckpoint, not persist: cuts the signature expression
     # tree out of every downstream plan — persist keeps the full

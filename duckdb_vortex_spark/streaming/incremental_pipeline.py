@@ -100,7 +100,7 @@ from ..operators.similarity import _dot, _sql_cos, ivf_assign, sample_centroids
 from .incremental_dedup import fingerprint
 from .sinks import batch_dirs as _batch_dirs
 from .sinks import overwrite_batch_atomic as _overwrite_batch
-from .sinks import state_dirs
+from .sinks import STATE_FILES, state_dirs
 
 
 def _read_batches(spark, base: str, before: int, **options) -> DataFrame | None:
@@ -142,10 +142,13 @@ def ingest_process_batch(
 
     # 0. land the raw batch into the SHARED store (id-sorted: stage-2
     # candidate fetches and any audit replay are zone-map point reads)
-    rows = batch_df.select(
-        F.col("doc_id").alias("id"), "text", "vec"
-    ).sort("id").localCheckpoint(eager=False)
-    _overwrite_batch(rows, raw_d, batch_id)
+    rows = (
+        batch_df.select(F.col("doc_id").alias("id"), "text", "vec")
+        .repartitionByRange(STATE_FILES, "id")
+        .sortWithinPartitions("id")
+        .localCheckpoint(eager=False)
+    )
+    _overwrite_batch(rows, raw_d, batch_id, max_files=None)
 
     # 1. EXACT gate ---------------------------------------------------------
     fp = rows.select("id", fingerprint("text").alias("__fp"), "text", "vec")
@@ -267,7 +270,14 @@ def ingest_process_batch(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    _overwrite_batch(asg.sort("cluster_id", "id"), ivf_d, batch_id)
+    _overwrite_batch(
+        asg.repartitionByRange(STATE_FILES, "cluster_id", "id").sortWithinPartitions(
+            "cluster_id", "id"
+        ),
+        ivf_d,
+        batch_id,
+        max_files=None,
+    )
 
     # 4. manifest: first failing gate ----------------------------------------
     manifest = (

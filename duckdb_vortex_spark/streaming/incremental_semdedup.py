@@ -58,6 +58,7 @@ from ..operators.similarity import (
     sample_centroids,
 )
 from .incremental_neardup import _batch_dirs
+from .sinks import STATE_FILES
 from .sinks import overwrite_batch_atomic
 
 
@@ -151,7 +152,14 @@ def semdedup_process_batch(
     overwrite_batch_atomic(manifest, manifest_dir, batch_id)
     # cluster-sorted append: range partition + in-file sort => tight
     # cluster_id zone maps, so future batches' candidate scans prune
-    overwrite_batch_atomic(asg.sort("cluster_id", "id"), index_dir, batch_id)
+    overwrite_batch_atomic(
+        asg.repartitionByRange(STATE_FILES, "cluster_id", "id").sortWithinPartitions(
+            "cluster_id", "id"
+        ),
+        index_dir,
+        batch_id,
+        max_files=None,
+    )
 
 
 def incremental_semdedup_stream(
