@@ -232,9 +232,17 @@ def neardup_decontaminate(
     not the corpus. LSH miss probability per true pair at J >= 0.8 is
     (1 - 0.8^2)^16 ~ 8e-8, same banding regime as
     `dedup_minhash_lsh_pairs`."""
+    # Eager localCheckpoint, not persist(): same barrier (the eval
+    # tokenize+minhash subtree runs exactly once, both broadcast builds
+    # read the materialized blocks — the r8 spread fix), but the blocks
+    # are NOT registered in the CacheManager, so once the caller drops
+    # the returned frame the ContextCleaner reclaims them. A bare
+    # persist() here leaked one cached eval-index per call in long
+    # sessions (ADVICE r8); the index is eval-set-sized, so the eager
+    # materialization job is trivial.
     esig = minhash_signatures(
         eval_df, text_col, id_col, num_hashes, n, engine="jvm"
-    ).persist()
+    ).localCheckpoint(eager=True)
     return decontaminate_against_index(
         train,
         esig,

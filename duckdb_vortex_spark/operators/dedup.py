@@ -51,13 +51,15 @@ def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
     round trips → 1, same driver-time fix as minhash_signatures, r8);
     both forms build the identical expression tree (pinned by
     tests/test_operators_quality.py::
-    test_token_shingle_expr_forms_identical)."""
+    test_token_shingle_expr_forms_identical). Backtick-quoted like
+    ``tokens()`` so SQL-keyword / non-ASCII identifiers parse
+    (ADVICE r8)."""
     if isinstance(toks, str) and toks.isidentifier():
         return F.expr(
-            f"array_distinct(CASE WHEN size({toks}) >= {n} THEN "
-            f"transform(sequence(1, size({toks}) - {n - 1}), "
-            f"i -> array_join(slice({toks}, i, {n}), ' ')) "
-            f"ELSE array(array_join({toks}, ' ')) END)"
+            f"array_distinct(CASE WHEN size(`{toks}`) >= {n} THEN "
+            f"transform(sequence(1, size(`{toks}`) - {n - 1}), "
+            f"i -> array_join(slice(`{toks}`, i, {n}), ' ')) "
+            f"ELSE array(array_join(`{toks}`, ' ')) END)"
         )
     full = F.array(F.array_join(toks, " "))
     grams = F.transform(

@@ -33,9 +33,14 @@ def tokens(col) -> Column:
     trip). Both forms produce the identical expression tree
     (split pattern '\\\\s+' in SQL text == the raw-string regex;
     pinned by tests/test_operators_quality.py::
-    test_token_shingle_expr_forms_identical)."""
+    test_token_shingle_expr_forms_identical). The identifier is
+    backtick-quoted in the generated SQL: ``str.isidentifier()`` admits
+    SQL keywords ('order', 'from') and non-ASCII identifier chars that
+    would otherwise fail to parse where the Column form works
+    (ADVICE r8); backticks can't appear in a Python identifier, so no
+    escaping is needed."""
     if isinstance(col, str) and col.isidentifier():
-        return F.expr(f"filter(split({col}, '\\\\s+'), t -> t != '')")
+        return F.expr(f"filter(split(`{col}`, '\\\\s+'), t -> t != '')")
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 

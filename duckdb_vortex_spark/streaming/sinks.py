@@ -174,6 +174,18 @@ def compact_dataset_incremental(
     watermark = _compact_watermark(path)
     import json as _json
 
+    # GC FIRST, every pass (including the no-op path): batch dirs at or
+    # below the watermark are consumed garbage a crash between a prior
+    # pass's segment commit and its delete loop can leave behind. Only
+    # sweeping one's own inputs (the pre-r9 shape) never removed them —
+    # a later no-new-batches pass returned before any GC, and a pass
+    # with new batches rmtree'd only its own inputs — so the leftovers
+    # lingered forever and watermark-UNAWARE readers (plain batch-*
+    # globs) double-counted their rows (ADVICE r8). Sweeping up to the
+    # watermark at entry makes GC genuinely idempotent across passes.
+    for d in batch_dirs(path, 10**9):
+        if int(os.path.basename(d).split("-", 1)[1]) <= watermark:
+            shutil.rmtree(d, ignore_errors=True)
     new_batches = [
         d
         for d in batch_dirs(path, 10**9)
@@ -223,6 +235,21 @@ def read_vortex_as_of(spark, path: str, batch_id: int) -> DataFrame:
     the streaming checkpoint as the commit log)."""
     import json
 
+    # As-of reads are only meaningful while every batch dir still
+    # exists: incremental compaction folds batches at/below its
+    # watermark into segments and GC's the dirs, so an as-of read on a
+    # compacted store would silently return only post-watermark batches
+    # (or double-count crash leftovers) instead of the promised
+    # snapshot (ADVICE r8). Fail loudly instead.
+    if _segments(path):
+        raise ValueError(
+            f"as-of reads are unsupported on incrementally compacted "
+            f"stores: {path!r} holds committed compaction segments, so "
+            "batches at/below the watermark no longer exist as "
+            "snapshot units. Read the current state with "
+            "read_vortex_dataset_tiered, or keep a store as-of-readable "
+            "by never running compact_dataset_incremental on it."
+        )
     dirs = sorted(globmod.glob(os.path.join(path, "batch-*")))
     keep = [d for d in dirs if int(os.path.basename(d).split("-")[1]) <= batch_id]
     if not keep:

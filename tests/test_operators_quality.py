@@ -288,3 +288,29 @@ def test_token_shingle_expr_forms_identical(spark):
         assert {r["doc_id"]: r["sh"] for r in f.collect()} == {
             r["doc_id"]: r["sh"] for r in s.collect()
         }, f"n={n}"
+
+
+def test_token_shingle_fast_path_keyword_column_names(spark):
+    """str.isidentifier() admits SQL keywords ('order', 'from'), which
+    the pre-r9 unquoted interpolation turned into ParseExceptions where
+    the Column form worked (ADVICE r8). The backtick-quoted generated
+    SQL must handle them and stay bit-identical to the Column form."""
+    from duckdb_vortex_spark.operators.dedup import shingles_from_tokens
+    from duckdb_vortex_spark.operators.text import tokens
+
+    d = (
+        load(spark, SF_DIR, "documents")
+        .limit(50)
+        .select("doc_id", F.col("text").alias("order"))
+    )
+    fast = d.select("doc_id", tokens("order").alias("t"))
+    slow = d.select("doc_id", tokens(F.col("order")).alias("t"))
+    assert {r["doc_id"]: r["t"] for r in fast.collect()} == {
+        r["doc_id"]: r["t"] for r in slow.collect()
+    }
+    base = d.select("doc_id", tokens("order").alias("from"))
+    f = base.select("doc_id", shingles_from_tokens("from", 3).alias("sh"))
+    s = base.select("doc_id", shingles_from_tokens(F.col("from"), 3).alias("sh"))
+    assert {r["doc_id"]: r["sh"] for r in f.collect()} == {
+        r["doc_id"]: r["sh"] for r in s.collect()
+    }

@@ -478,4 +478,31 @@ def test_incremental_compaction_crash_before_gc_never_double_reads(spark, tmp_pa
     back = sinks.read_vortex_dataset_tiered(spark, path)
     assert back.count() == 500, "double-read of a consumed batch dir"
     # a later pass with nothing new is still a no-op (watermark holds)
+    # AND sweeps the crash leftovers — GC is idempotent across passes,
+    # not tied to the pass that consumed the batches (ADVICE r8: the
+    # pre-r9 shape left them forever, double-counted by plain batch-*
+    # globs)
     assert sinks.compact_dataset_incremental(spark, path, sort_cols=["k"]) is None
+    assert not g.glob(os.path.join(path, "batch-*")), (
+        "no-op pass must GC consumed batch dirs left by the crash"
+    )
+    assert sinks.read_vortex_dataset_tiered(spark, path).count() == 500
+
+
+def test_as_of_read_refuses_compacted_store(spark, tmp_path):
+    """read_vortex_as_of promises 'the dataset as of batch N'; on a
+    store maintained by compact_dataset_incremental the pre-watermark
+    batch dirs were folded into segments and GC'd, so that snapshot no
+    longer exists as dirs — the read must fail loudly, not silently
+    return only post-watermark batches (ADVICE r8)."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    path = str(tmp_path / "asof_compacted")
+    rows = spark.range(0, 200).select(F.col("id").alias("k"))
+    sinks.overwrite_batch_atomic(rows, path, 1)
+    assert sinks.compact_dataset_incremental(spark, path, sort_cols=["k"])
+    sinks.overwrite_batch_atomic(rows, path, 2)  # post-watermark batch exists
+    with pytest.raises(ValueError, match="compacted"):
+        sinks.read_vortex_as_of(spark, path, 2)
