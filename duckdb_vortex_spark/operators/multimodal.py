@@ -338,6 +338,59 @@ def _le_int32(c: Column) -> Column:
     return F.encode(F.concat(*b), "ISO-8859-1")
 
 
+def fetch_media_ranges(
+    pointers: DataFrame,
+    endpoint_url: str,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    region: str = "us-east-1",
+    path_col: str = "path",
+    offset_col: str = "offset",
+    length_col: str = "length",
+) -> DataFrame:
+    """Resolve a media-POINTER table to payload bytes with RANGED
+    object-store reads — the 100 TB multimodal layout (SURVEY §2C):
+    media are packed into large shard objects and the table carries
+    (path, offset, length) pointers, so a sampling/decoding stage
+    fetches exactly the bytes it was asked for instead of the shards.
+
+    Each task opens one `sources.object_store.S3FS` (SigV4, reused
+    across its rows) and issues ONE ranged GET per pointer —
+    `_S3ReadableFile.read(n)` maps to `Range: bytes=off..off+len-1`,
+    no whole-object buffering anywhere. Output = input columns +
+    `payload binary`, ready for `extract_features` /
+    `probe_containers`; at scale, repartition the pointer table by
+    total `length` so task memory is bounded by bytes, not row count.
+    Ranged-read counts are pinned against the in-process S3 server in
+    tests/test_multimodal_containers.py (one range per pointer, never
+    a full-shard GET)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        list(pointers.schema.fields) + [T.StructField("payload", T.BinaryType(), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.object_store import S3FS
+
+        fs = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if fs is None:
+                fs = S3FS(endpoint_url, access_key, secret_key, region)
+            payloads = []
+            for p, off, ln in zip(pdf[path_col], pdf[offset_col], pdf[length_col]):
+                with fs.open(p) as f:
+                    f.seek(int(off))
+                    payloads.append(f.read(int(ln)))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    return pointers.mapInPandas(batches, out_schema)
+
+
 # --- catalog entries ------------------------------------------------------
 
 BINARY_META_ORACLE = """

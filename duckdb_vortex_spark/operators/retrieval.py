@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
-from .similarity import topk_bruteforce
+from .similarity import _sql_cos, ivf_topk, ivfpq_topk, topk_bruteforce
 from .text import bm25_doc_scores
 
 
@@ -389,3 +389,191 @@ def retrieval_recall_curve_by_label(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+# --- ANN parameter tuning curve (recall@k vs n_probe) -----------------------
+
+_TUNING_PROBES = (1, 2, 4)
+_TUNING_KS = (1, 10)
+
+
+def _ann_tuning_oracle() -> str:
+    """Replayed-codebook oracle for the tuning curve: shared
+    MATERIALIZED CTEs rebuild the exact baseline, the IVF structures
+    (portable-hash centroid pick, 1-probe candidate partition, probe
+    ranks up to max n_probe) and the PQ codes/ADC sums bit-for-bit
+    (same replays as IVF_ANN_ORACLE / IVFPQ_ORACLE,
+    similarity.py:452,1283); one UNION ALL branch per
+    (method, n_probe, k) then counts the ANN∩exact overlap."""
+    cos_qc = _sql_cos("q.qv", "c.embedding")
+    cos_ec = _sql_cos("e.embedding", "c.embedding")
+    cos_pair = _sql_cos("qe.embedding", "ce.embedding")
+    branches = []
+    for np_ in _TUNING_PROBES:
+        for k in _TUNING_KS:
+            branches.append(f"""
+  SELECT 'ivf' AS method, CAST({np_} AS BIGINT) AS n_probe,
+         CAST({k} AS BIGINT) AS k,
+         (SELECT n FROM nq) AS n_queries,
+         CAST(COUNT(*) AS BIGINT) AS hits
+  FROM (SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rnk
+        FROM ivf_pairs WHERE probe_rn <= {np_}) a
+  JOIN exact e ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+  WHERE a.rnk <= {k} AND e.rnk <= {k}""")
+            branches.append(f"""
+  SELECT 'ivfpq' AS method, CAST({np_} AS BIGINT) AS n_probe,
+         CAST({k} AS BIGINT) AS k,
+         (SELECT n FROM nq) AS n_queries,
+         CAST(COUNT(*) AS BIGINT) AS hits
+  FROM (SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d2, cand_id) AS rnk
+        FROM pq_pairs WHERE probe_rn <= {np_}) a
+  JOIN exact e ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+  WHERE a.rnk <= {k} AND e.rnk <= {k}""")
+    union = "\n  UNION ALL\n".join(branches)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id % 20 = 0
+), nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+exact AS MATERIALIZED (
+  SELECT query_id, cand_id, rnk FROM (
+    SELECT q.query_id, c.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos_qc} DESC, c.vec_id) AS rnk
+    FROM q JOIN embeddings c ON c.vec_id != q.query_id
+  ) WHERE rnk <= 10
+), cent AS MATERIALIZED (
+  SELECT row_number() OVER (
+           ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+         ) - 1 AS cid,
+         embedding
+  FROM embeddings
+  ORDER BY ((vec_id % 4294967296) * 1000003) % 4294967296, vec_id
+  LIMIT 16
+), csim AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, {cos_ec} AS csim
+  FROM embeddings e CROSS JOIN cent c
+), cand_asg AS MATERIALIZED (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM csim) WHERE rn = 1
+), qprobe AS MATERIALIZED (
+  SELECT vec_id AS query_id, cid AS cluster_id, rn AS probe_rn FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+    FROM csim WHERE vec_id % 20 = 0) WHERE rn <= {max(_TUNING_PROBES)}
+), ivf_pairs AS MATERIALIZED (
+  SELECT p.query_id, ca.vec_id AS cand_id, p.probe_rn,
+         {cos_pair} AS cos_sim
+  FROM qprobe p
+  JOIN cand_asg ca ON ca.cluster_id = p.cluster_id AND ca.vec_id != p.query_id
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ce ON ce.vec_id = ca.vec_id
+), dists AS MATERIALIZED (
+  SELECT e.vec_id, s.s, c.cid,
+         list_sum(list_transform(
+           list_zip(e.embedding[s.s * 16 + 1 : s.s * 16 + 16],
+                    c.embedding[s.s * 16 + 1 : s.s * 16 + 16]),
+           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         )) AS d2
+  FROM embeddings e
+  CROSS JOIN cent c
+  CROSS JOIN (VALUES (0), (1), (2), (3)) s(s)
+), codes AS MATERIALIZED (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), pq_pairs AS MATERIALIZED (
+  SELECT dq.vec_id AS query_id, cd.vec_id AS cand_id,
+         MIN(p.probe_rn) AS probe_rn,
+         list_sum(list(dq.d2 ORDER BY dq.s)) AS approx_d2
+  FROM codes cd
+  JOIN cand_asg ca ON ca.vec_id = cd.vec_id
+  JOIN dists dq ON dq.s = cd.s AND dq.cid = cd.cid
+  JOIN qprobe p ON p.query_id = dq.vec_id AND p.cluster_id = ca.cluster_id
+  WHERE dq.vec_id != cd.vec_id
+  GROUP BY dq.vec_id, cd.vec_id
+)
+SELECT method, n_probe, k, n_queries, hits,
+       CAST((hits * 1000000) // (k * n_queries) AS BIGINT) AS recall_mu
+FROM ({union})
+"""
+
+
+@query(
+    "retrieval_ann_tuning_curve",
+    oracle=_ann_tuning_oracle(),
+    tags=("similarity", "llm", "agg", "approx"),
+)
+def retrieval_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN parameter TUNING curve (VERDICT r8 #3): recall@k of
+    `ivf_topk` and `ivfpq_topk` against the exact brute-force top-k,
+    for every (method, n_probe ∈ {1,2,4}, k ∈ {1,10}) — the axis an
+    operator actually tunes: `retrieval_recall_curve_by_label` answers
+    "which slice is weak", this answers "what n_probe buys how much
+    recall for how much scan". recall@k = |ANN top-k ∩ exact top-k| /
+    (k · |Q|), exact-integer µ-quantized like the sibling curves.
+
+    Scale: the exact baseline is the oracle-tier ground truth (a tuning
+    harness computes it once on a sample); each ANN leg is the shipped
+    bucketed plan (centroids/codebooks broadcast, probed-cluster scans)
+    and the curve itself decorates 6 top-k lists of |Q|·k rows — all
+    counting happens on bounded frames. Each leg is localCheckpointed:
+    it feeds two cutoffs, and 7 independent subtrees under one union
+    would otherwise make Catalyst re-analysis the dominant cost (the
+    r8 lineage rule, incremental_pipeline.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = (
+        topk_bruteforce(queries, emb, k=10)
+        .select("query_id", "cand_id", F.col("rnk").alias("e_rnk"))
+        .localCheckpoint(eager=True)
+    )
+    nq = queries.agg(F.count("*").cast("bigint").alias("n_queries"))
+    out = None
+    for np_ in _TUNING_PROBES:
+        ivf = (
+            ivf_topk(queries, emb, k=10, n_clusters=16, n_probe=np_)
+            .select("query_id", "cand_id", F.col("rnk").alias("a_rnk"))
+            .localCheckpoint(eager=True)
+        )
+        wpq = W.partitionBy("query_id").orderBy("approx_d2", "cand_id")
+        pq = (
+            ivfpq_topk(
+                queries, emb, k=10, n_clusters=16, n_probe=np_, m=4, k_codes=16
+            )
+            .withColumn("a_rnk", F.row_number().over(wpq).cast("bigint"))
+            .select("query_id", "cand_id", "a_rnk")
+            .localCheckpoint(eager=True)
+        )
+        for method, ann in (("ivf", ivf), ("ivfpq", pq)):
+            for k in _TUNING_KS:
+                row = (
+                    ann.filter(F.col("a_rnk") <= k)
+                    .join(
+                        exact.filter(F.col("e_rnk") <= k),
+                        ["query_id", "cand_id"],
+                    )
+                    .agg(F.count("*").cast("bigint").alias("hits"))
+                    .crossJoin(F.broadcast(nq))
+                    .select(
+                        F.lit(method).alias("method"),
+                        F.lit(np_).cast("bigint").alias("n_probe"),
+                        F.lit(k).cast("bigint").alias("k"),
+                        "n_queries",
+                        "hits",
+                        F.expr(
+                            f"CAST((hits * 1000000) DIV ({k} * n_queries) AS BIGINT)"
+                        ).alias("recall_mu"),
+                    )
+                )
+                out = row if out is None else out.unionByName(row)
+    return out

@@ -194,6 +194,13 @@ class S3MemHandler(http.server.BaseHTTPRequestHandler):
         self.send_header("Content-Length", "0")
         self.end_headers()
 
+    # Optional per-server GET audit: when a subclass sets ``get_log``
+    # to a list, every object GET appends (key, Range header, bytes
+    # served). Lets tests assert the RANGED-read contract — e.g. that
+    # a pointer-table media fetch touched only the sampled byte ranges
+    # of a packed shard, never the whole object.
+    get_log: list | None = None
+
     def do_GET(self):
         if not self._verify():
             return self._deny()
@@ -238,6 +245,8 @@ class S3MemHandler(http.server.BaseHTTPRequestHandler):
             else:
                 obj = obj[int(a): int(b) + 1]
                 status = 206
+        if self.get_log is not None:
+            self.get_log.append((key, rng, len(obj)))
         self.send_response(status)
         self.send_header("Content-Length", str(len(obj)))
         self.end_headers()

@@ -255,10 +255,18 @@ class VortexReader(DataSourceReader):
         # count after a filtered action — correct by construction under
         # the upstream single-slot readInfo cache (see pushFilters).
         self.pushdown_enabled = str(options.get("pushdown", "false")).lower() == "true"
+        # Plan-event tracing: the option form reaches the planning
+        # worker through the pickled reader no matter how the session
+        # was launched (the env var only works when it was exported
+        # before the JVM spawned its Python plan workers). Used by the
+        # upstream-readInfo canary (tests/test_vortex_source.py).
+        self._trace_file = options.get("trace_file") or os.environ.get(
+            "VORTEX_TRACE_FILE"
+        )
         self._trace("init")
 
     def _trace(self, event: str) -> None:
-        log = os.environ.get("VORTEX_TRACE_FILE")
+        log = getattr(self, "_trace_file", None)
         if log:
             with open(log, "a") as fh:
                 fh.write(f"{event} id={id(self)} pushed={[str(f) for f in self.pushed]}\n")
@@ -819,7 +827,14 @@ def write_partitioned(
     )
 
 
-def write_sorted(df, path: str, sort_cols: list[str], chunk_rows: int = 65536, **options) -> None:
+def write_sorted(
+    df,
+    path: str,
+    sort_cols: list[str],
+    chunk_rows: int = 65536,
+    num_files: int | None = None,
+    **options,
+) -> None:
     """Write a vortex dataset clustered on ``sort_cols``: range-
     partition so each task owns a disjoint key range, sort within the
     partition, then write. Every chunk's zone map (min/max) becomes a
@@ -829,10 +844,15 @@ def write_sorted(df, path: str, sort_cols: list[str], chunk_rows: int = 65536, *
     reference's statistics layer (SURVEY.md §2A A7) rewards, and at
     100 TB the difference between scanning one chunk and scanning all
     of them. Range partitioning also bounds per-task memory (no hot
-    partition), unlike a global orderBy(1-partition) write."""
+    partition), unlike a global orderBy(1-partition) write.
+
+    ``num_files`` fixes the range-partition (= output file) count;
+    default is the session's shuffle partitioning. Small state-sized
+    datasets should bound it (see sinks.STATE_FILES) — one tiny file
+    per shuffle partition is pure open() overhead on every read."""
     cols = [c for c in sort_cols]
     (
-        df.repartitionByRange(*cols)
+        (df.repartitionByRange(num_files, *cols) if num_files else df.repartitionByRange(*cols))
         .sortWithinPartitions(*cols)
         .write.format("vortex")
         .mode(options.pop("mode", "append"))

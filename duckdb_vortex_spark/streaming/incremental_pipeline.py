@@ -119,6 +119,48 @@ def _read_batches(spark, base: str, before: int, **options) -> DataFrame | None:
     return r.load()
 
 
+# Sort keys for each per-batch state store the chain reads back —
+# compaction must cluster on the key the per-batch read prunes on
+# (raw: candidate-id point fetches; fp: fingerprint semi join; lsh:
+# (band,h) bucket join; ivf: probed-cluster zone-map scan). The
+# manifest store is append-only output, never read per batch, so it
+# is not maintained here.
+CHAIN_STORE_SORT = {
+    "raw": ["id"],
+    "fp": ["fp"],
+    "lsh": ["band", "h"],
+    "ivf": ["cluster_id", "id"],
+}
+
+
+def compact_chain_stores(
+    spark: SparkSession,
+    root: str,
+    max_segments: int = 4,
+    max_files: int = STATE_FILES,
+) -> dict[str, str | None]:
+    """Maintenance pass over the chain's four state stores: one
+    incremental (tiered) compaction each, bounded to ``max_files``
+    part files per segment and ``max_segments`` live segments (major
+    merge past that — see `sinks.compact_dataset_incremental`). Run
+    BETWEEN micro-batches on checkpoint-committed batches only; with
+    it interleaved every N batches, a per-batch state read opens at
+    most ``max_segments + N`` dirs / ``(max_segments + N) * max_files``
+    files no matter how many batches have ever landed — the bound the
+    r9 flatness harness and `test_chain_state_file_count_bounded`
+    pin. Returns {store: new segment path or None}."""
+    from .sinks import compact_dataset_incremental
+
+    out: dict[str, str | None] = {}
+    for store, cols in CHAIN_STORE_SORT.items():
+        p = os.path.join(root, store)
+        if os.path.isdir(p):
+            out[store] = compact_dataset_incremental(
+                spark, p, cols, max_files=max_files, max_segments=max_segments
+            )
+    return out
+
+
 def ingest_process_batch(
     batch_df: DataFrame,
     batch_id: int,

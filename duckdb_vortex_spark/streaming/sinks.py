@@ -129,9 +129,37 @@ def compact_dataset(spark, path: str, sort_cols: list[str], chunk_rows: int = 65
 
 
 def _segments(path: str) -> list[str]:
-    """Committed compaction segments (``compact-<seg>-upto-<batch>``),
-    sorted by segment id."""
+    """ALL committed compaction segments on disk — minor
+    (``compact-<seg>-upto-<batch>``) and major
+    (``compact-<seg>-all-upto-<batch>``) — sorted by segment id
+    (zero-padded, so lexical order is id order). Includes superseded
+    segments a crash left behind; readers use `_live_segments`."""
     return sorted(globmod.glob(os.path.join(path, "compact-*-upto-*")))
+
+
+def _seg_id(path: str) -> int:
+    return int(os.path.basename(path).split("-", 2)[1])
+
+
+def _is_major(path: str) -> bool:
+    return "-all-upto-" in os.path.basename(path)
+
+
+def _live_segments(path: str) -> list[str]:
+    """Segments a reader must take: a MAJOR segment folds every
+    segment with a smaller seg id (plus all batches up to its
+    watermark), so once one commits, the older segments are superseded
+    — still on disk only until GC, and ignored here by seg-id rule
+    rather than by their absence. This is what makes segment
+    replacement crash-safe with nothing but atomic renames: the commit
+    of the major is the single instant the old segments stop being
+    read, no matter when their dirs actually disappear."""
+    segs = _segments(path)
+    majors = [s for s in segs if _is_major(s)]
+    if not majors:
+        return segs
+    newest = max(_seg_id(s) for s in majors)
+    return [s for s in segs if _seg_id(s) >= newest]
 
 
 def _compact_watermark(path: str) -> int:
@@ -146,7 +174,12 @@ def _compact_watermark(path: str) -> int:
 
 
 def compact_dataset_incremental(
-    spark, path: str, sort_cols: list[str], chunk_rows: int = 65536
+    spark,
+    path: str,
+    sort_cols: list[str],
+    chunk_rows: int = 65536,
+    max_files: int | None = None,
+    max_segments: int | None = None,
 ) -> str | None:
     """INCREMENTAL (tiered) compaction of a streamed dataset: rewrite
     ONLY the batch dirs that landed since the previous compaction into
@@ -169,20 +202,43 @@ def compact_dataset_incremental(
     Change detection is structural — in an append-only batch layout
     "changed since last compaction" IS "batch id > watermark"; the
     row-level `snapshot_diff` audit is the cross-check that compaction
-    preserved content exactly (pinned in tests). Returns the new
-    segment path, or None if nothing new landed."""
+    preserved content exactly (pinned in tests).
+
+    ``max_files`` bounds the new segment's part-file count (default:
+    the session's shuffle partitioning — at micro-batch state sizes an
+    unbounded segment re-opens shuffle-partition-many tiny files per
+    state read, the same failure STATE_FILES caps for batch dirs).
+
+    ``max_segments`` enables the MAJOR tier (r9): when the live
+    segment count would exceed it, this pass folds ALL live segments
+    plus the new batches into one ``compact-<seg>-all-upto-<hi>``
+    segment instead of appending a minor one. Without it, state reads
+    re-open one more segment per pass forever — linear growth again,
+    just with a gentler slope; with it the live listing is bounded by
+    ``max_segments`` segments + uncompacted batches, period. Cost is
+    the classic LSM trade: the occasional major pass re-writes
+    O(history), amortized O(history / max_segments) per pass.
+    Supersession is by seg id (`_live_segments`), so a crash between
+    the major's commit and the GC of the old segments never
+    double-reads. Returns the new segment path, or None if nothing new
+    landed (and no major merge was due)."""
     watermark = _compact_watermark(path)
     import json as _json
 
-    # GC FIRST, every pass (including the no-op path): batch dirs at or
-    # below the watermark are consumed garbage a crash between a prior
-    # pass's segment commit and its delete loop can leave behind. Only
-    # sweeping one's own inputs (the pre-r9 shape) never removed them —
-    # a later no-new-batches pass returned before any GC, and a pass
-    # with new batches rmtree'd only its own inputs — so the leftovers
-    # lingered forever and watermark-UNAWARE readers (plain batch-*
-    # globs) double-counted their rows (ADVICE r8). Sweeping up to the
-    # watermark at entry makes GC genuinely idempotent across passes.
+    # GC FIRST, every pass (including the no-op path): consumed batch
+    # dirs (id <= watermark) and superseded segments (folded into a
+    # newer major) are garbage a crash between a prior pass's commit
+    # and its delete loop can leave behind. Only sweeping one's own
+    # inputs (the pre-r9 shape) never removed them — a later
+    # no-new-batches pass returned before any GC, and a pass with new
+    # batches rmtree'd only its own inputs — so the leftovers lingered
+    # forever and watermark-UNAWARE readers (plain batch-* globs)
+    # double-counted their rows (ADVICE r8). Sweeping to the watermark
+    # at entry makes GC genuinely idempotent across passes.
+    live = _live_segments(path)
+    for s in _segments(path):
+        if s not in live:
+            shutil.rmtree(s, ignore_errors=True)
     for d in batch_dirs(path, 10**9):
         if int(os.path.basename(d).split("-", 1)[1]) <= watermark:
             shutil.rmtree(d, ignore_errors=True)
@@ -191,19 +247,33 @@ def compact_dataset_incremental(
         for d in batch_dirs(path, 10**9)
         if int(os.path.basename(d).split("-", 1)[1]) > watermark
     ]
-    if not new_batches:
+    major = max_segments is not None and (
+        len(live) + (1 if new_batches else 0) > max_segments
+    )
+    if not new_batches and not (major and live):
         return None
-    upto = max(int(os.path.basename(d).split("-", 1)[1]) for d in new_batches)
-    seg_id = len(_segments(path))
     from ..sources.vortex import write_sorted
 
-    df = spark.read.format("vortex").option("paths", _json.dumps(new_batches)).load()
-    final = os.path.join(path, f"compact-{seg_id:08d}-upto-{upto:08d}")
-    staging = os.path.join(path, f".staging-compact-{seg_id:08d}-upto-{upto:08d}")
+    seg_id = max((_seg_id(s) for s in _segments(path)), default=-1) + 1
+    if major:
+        inputs = live + new_batches
+        upto = max(
+            [watermark]
+            + [int(os.path.basename(d).split("-", 1)[1]) for d in new_batches]
+        )
+        final = os.path.join(path, f"compact-{seg_id:08d}-all-upto-{upto:08d}")
+    else:
+        inputs = new_batches
+        upto = max(int(os.path.basename(d).split("-", 1)[1]) for d in new_batches)
+        final = os.path.join(path, f"compact-{seg_id:08d}-upto-{upto:08d}")
+    df = spark.read.format("vortex").option("paths", _json.dumps(inputs)).load()
+    staging = os.path.join(path, f".staging-{os.path.basename(final)}")
     shutil.rmtree(staging, ignore_errors=True)
-    write_sorted(df, staging, sort_cols=sort_cols, chunk_rows=chunk_rows)
+    write_sorted(
+        df, staging, sort_cols=sort_cols, chunk_rows=chunk_rows, num_files=max_files
+    )
     os.rename(staging, final)  # the commit point
-    for d in new_batches:  # idempotent GC of consumed batch dirs
+    for d in inputs:  # idempotent GC of consumed batch dirs / segments
         shutil.rmtree(d, ignore_errors=True)
     return final
 
@@ -216,7 +286,7 @@ def read_vortex_dataset_tiered(spark, path: str) -> DataFrame:
     import json as _json
 
     watermark = _compact_watermark(path)
-    parts = _segments(path) + [
+    parts = _live_segments(path) + [
         d
         for d in batch_dirs(path, 10**9)
         if int(os.path.basename(d).split("-", 1)[1]) > watermark
@@ -286,7 +356,7 @@ def state_dirs(base: str, before: int) -> list[str]:
     never be folded — its retry would read its own first attempt); a
     segment with upto >= before means that invariant was broken and the
     read fails loudly rather than silently self-joining."""
-    segs = _segments(base)
+    segs = _live_segments(base)
     bad = [
         s
         for s in segs

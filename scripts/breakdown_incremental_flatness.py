@@ -15,7 +15,16 @@ Expected slope sources that are NOT failures (documented):
   * candidate-verify work grows with the number of true cross-batch
     near-dups the corpus actually contains.
 
-Usage: python scripts/breakdown_incremental_flatness.py [n_batches]
+r9: the integrated-chain run is extended to ~20 batches with
+`compact_chain_stores` interleaved every COMPACT_EVERY batches (all
+four state stores, max_segments-bounded major merges), recording BOTH
+per-batch wall seconds and the per-state-read file count — the r8 bug's
+signature was file-count growth, and with compaction in the loop both
+curves must stay flat ACROSS compaction points, not just within the
+first few batches. The 24/7 posture this certifies: state reads open
+at most (max_segments + compact_every) dirs per store forever.
+
+Usage: python scripts/breakdown_incremental_flatness.py [n_batches] [chain_batches] [compact_every]
 Prints one JSON line per operator.
 """
 
@@ -37,13 +46,31 @@ from duckdb_vortex_spark.operators.similarity import sample_centroids
 from duckdb_vortex_spark.session import get_spark
 from duckdb_vortex_spark.sources.vortex import register
 from duckdb_vortex_spark.streaming.incremental_neardup import neardup_process_batch
-from duckdb_vortex_spark.streaming.incremental_pipeline import ingest_process_batch
+from duckdb_vortex_spark.streaming.incremental_pipeline import (
+    CHAIN_STORE_SORT,
+    compact_chain_stores,
+    ingest_process_batch,
+)
+from duckdb_vortex_spark.streaming.sinks import state_dirs
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def chain_state_files(root: str, before: int) -> int:
+    """Files a batch ``before`` would open for its four state reads —
+    the quantity whose unbounded growth was the r8 +2 s/batch bug."""
+    total = 0
+    for store in CHAIN_STORE_SORT:
+        base = os.path.join(root, store)
+        for d in state_dirs(base, before):
+            total += len([f for f in os.listdir(d) if not f.startswith(".")])
+    return total
+
+
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    chain_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     spark = get_spark("dvs-incremental-flatness")
     register(spark)
     docs = load(spark, SF_DIR, "documents").persist()
@@ -70,20 +97,35 @@ def main() -> None:
         "doc_id",
     ).persist()
     cids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
-    cstep = (len(cids) + n_batches - 1) // n_batches
-    cchunks = [cids[i * cstep : (i + 1) * cstep] for i in range(n_batches)]
+    cstep = (len(cids) + chain_batches - 1) // chain_batches
+    cchunks = [cids[i * cstep : (i + 1) * cstep] for i in range(chain_batches)]
     centroids = sample_centroids(emb, 16)
     root = tempfile.mkdtemp(prefix="flat_chain_")
-    ctimes = []
+    ctimes, cfiles, compactions = [], [], []
     for b, chunk in enumerate(cchunks, start=1):
+        cfiles.append(chain_state_files(root, b))
         t0 = time.monotonic()
         ingest_process_batch(
             corpus.filter(F.col("doc_id").isin(chunk)), b, centroids, root
         )
         ctimes.append(round(time.monotonic() - t0, 2))
+        if b % compact_every == 0:
+            t0 = time.monotonic()
+            compact_chain_stores(spark, root)
+            compactions.append((b, round(time.monotonic() - t0, 2)))
     shutil.rmtree(root, ignore_errors=True)
     out["chain_per_batch_s"] = ctimes
+    out["chain_state_files_before_batch"] = cfiles
+    out["chain_compactions_at_s"] = compactions
+    out["compact_every"] = compact_every
     out["chain_last_over_first"] = round(ctimes[-1] / ctimes[0], 2)
+    # flatness across compaction points: mean of last quarter vs mean
+    # of second quarter (first quarter excluded — empty-state batches)
+    q = max(1, len(ctimes) // 4)
+    out["chain_tail_over_mid"] = round(
+        sum(ctimes[-q:]) / q / (sum(ctimes[q : 2 * q]) / q), 2
+    )
+    out["chain_max_state_files"] = max(cfiles)
     out["chain_batch_rows"] = cstep
     print(json.dumps(out))
 

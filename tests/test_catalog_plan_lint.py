@@ -42,6 +42,15 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
         "consumes only (query_id, cand_id, rnk), so production swaps "
         "in ivf/ivfpq without touching the aggregation",
     ),
+    "retrieval_ann_tuning_curve": (
+        ("nested-loop-join",),
+        "the tuning curve measures the IVF/IVF-PQ paths AGAINST the "
+        "exact baseline, so the plan contains both by construction: "
+        "the |Q|-row BNLJ of the exact ground truth (oracle-tier, "
+        "computed once per tuning run) plus the 16-ROW centroid "
+        "broadcasts of the six ANN legs (constant-size build sides); "
+        "all counting joins are hash-wise on (query_id, cand_id)",
+    ),
     "retrieval_hybrid_rrf": (
         ("nested-loop-join",),
         "two bounded BNLJs: the dense leg's 1-ROW query-vector "

@@ -11,6 +11,7 @@ import glob
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from duckdb_vortex_spark.catalog import load
@@ -152,6 +153,72 @@ def test_retried_batch_is_idempotent(spark, tmp_path):
     assert raw.count() == 3
 
 
+def test_chain_state_file_count_bounded(spark, tmp_path):
+    """The 24/7 posture: with `compact_chain_stores` interleaved every
+    K batches (max_segments-bounded, max_files-bounded segments), a
+    batch's state read opens at most
+    (max_segments + K) dirs * max-files-per-dir per store NO MATTER how
+    many batches have ever landed — file-count growth was the exact
+    signature of the r8 +2 s/batch bug, so the bound is pinned
+    structurally (cheap, no timing). Also asserts the manifest equals
+    the never-compacted run: repeated compaction — including major
+    merges — must not change a single row."""
+    from duckdb_vortex_spark.streaming.incremental_pipeline import (
+        CHAIN_STORE_SORT,
+        compact_chain_stores,
+    )
+    from duckdb_vortex_spark.streaming.sinks import STATE_FILES, state_dirs
+
+    register(spark)
+    corpus = _corpus(spark, limit=135).persist()
+    emb = load(spark, SF_DIR, "embeddings")
+    centroids = sample_centroids(emb, 16)
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    n_batches, every, max_segments = 9, 3, 2
+    step = (len(ids) + n_batches - 1) // n_batches
+    chunks = [ids[i * step : (i + 1) * step] for i in range(n_batches)]
+
+    plain_root = str(tmp_path / "plain")
+    for b, chunk in enumerate(chunks, start=1):
+        ingest_process_batch(
+            corpus.filter(F.col("doc_id").isin(chunk)), b, centroids, plain_root
+        )
+    plain = {
+        r["doc_id"]: (r["stage"], r["is_kept"])
+        for r in _manifest(spark, plain_root).collect()
+    }
+
+    root = str(tmp_path / "maintained")
+    bound_dirs = max_segments + every
+    bound_files = bound_dirs * STATE_FILES
+    counts: list[int] = []
+    for b, chunk in enumerate(chunks, start=1):
+        # the state read batch b is about to do: bounded per store
+        for store in CHAIN_STORE_SORT:
+            dirs = state_dirs(os.path.join(root, store), b)
+            files = sum(
+                len([f for f in os.listdir(d) if not f.startswith(".")])
+                for d in dirs
+            )
+            assert len(dirs) <= bound_dirs, (store, b, dirs)
+            assert files <= bound_files, (store, b, files)
+            counts.append(files)
+        ingest_process_batch(
+            corpus.filter(F.col("doc_id").isin(chunk)), b, centroids, root
+        )
+        if b % every == 0:
+            compact_chain_stores(spark, root, max_segments=max_segments)
+    # content: repeated compaction (incl. majors) changed nothing
+    got = {
+        r["doc_id"]: (r["stage"], r["is_kept"])
+        for r in _manifest(spark, root).collect()
+    }
+    assert got == plain
+    # sanity: the bound was actually exercised (some state accumulated)
+    assert max(counts) >= STATE_FILES
+    corpus.unpersist()
+
+
 def test_real_stream_drive(spark, tmp_path):
     """End-to-end through readStream/foreachBatch over two replayed
     parquet files; manifest covers every doc exactly once."""
@@ -179,6 +246,132 @@ def test_real_stream_drive(spark, tmp_path):
     man = _manifest(spark, root)
     assert man.count() == corpus.count()
     assert man.select("doc_id").distinct().count() == corpus.count()
+
+
+def _replay_files(spark, corpus, src, n_files, order_col="doc_id"):
+    """Write ``corpus`` as ``n_files`` parquet files with ascending
+    mtimes so a maxFilesPerTrigger=1 stream replays them as id-ordered
+    micro-batches."""
+    ids = sorted(r[order_col] for r in corpus.select(order_col).collect())
+    step = (len(ids) + n_files - 1) // n_files
+    base_t = None
+    for i in range(n_files):
+        chunk = ids[i * step : (i + 1) * step]
+        d = os.path.join(src, f"f{i}")
+        corpus.filter(F.col(order_col).isin(chunk)).coalesce(1).write.parquet(d)
+        files = glob.glob(os.path.join(d, "*"))
+        if base_t is None:
+            base_t = os.path.getmtime(glob.glob(os.path.join(d, "*.parquet"))[0])
+        for f in files:
+            os.utime(f, (base_t + 60 * i, base_t + 60 * i))
+
+
+def test_live_stream_with_interleaved_compaction(spark, tmp_path):
+    """Maintenance against a LIVE StreamingQuery (VERDICT r8 #6): a
+    foreachBatch sink that runs `compact_chain_stores` on the
+    checkpoint-committed batches before processing each new one — the
+    24/7 deployment shape — must produce exactly the batch-mode
+    manifest; and a fold that swallows a still-retryable batch must
+    fail LOUDLY on the mid-stream retry, surfacing through the
+    StreamingQueryException, not silently self-join."""
+    from duckdb_vortex_spark.streaming.incremental_pipeline import (
+        compact_chain_stores,
+    )
+
+    register(spark)
+    corpus = (
+        _corpus(spark, limit=80).select("doc_id", "source", "text", "vec").persist()
+    )
+    emb = load(spark, SF_DIR, "embeddings")
+    centroids = sample_centroids(emb, 16)
+
+    # batch-mode reference (one batch, separate root)
+    ref_root = str(tmp_path / "ref")
+    ingest_process_batch(corpus, 1, centroids, ref_root)
+    want = {
+        r["doc_id"]: (r["stage"], r["is_kept"])
+        for r in _manifest(spark, ref_root).collect()
+    }
+
+    src = str(tmp_path / "replay")
+    _replay_files(spark, corpus, src, n_files=4)
+    root, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    compacted_at: list[int] = []
+
+    def sink(batch_df, batch_id):
+        if batch_id >= 1:
+            # every batch dir on disk belongs to an already-committed
+            # micro-batch (this batch's state is not yet written), so
+            # the maintenance pass is safe exactly here
+            res = compact_chain_stores(spark, root, max_segments=2)
+            if any(v is not None for v in res.values()):
+                compacted_at.append(batch_id)
+        ingest_process_batch(batch_df, batch_id, centroids, root)
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    assert len(compacted_at) >= 2, "compaction never ran mid-stream"
+    got = {
+        r["doc_id"]: (r["stage"], r["is_kept"])
+        for r in _manifest(spark, root).collect()
+    }
+    assert got == want
+
+    # --- retryable-fold detection, mid-stream -----------------------------
+    src2, root2, ck2 = (str(tmp_path / d) for d in ("replay2", "out2", "ck2"))
+    _replay_files(spark, corpus, src2, n_files=2)
+    from duckdb_vortex_spark.streaming.sinks import compact_dataset_incremental
+
+    def bad_sink(batch_df, batch_id):
+        ingest_process_batch(batch_df, batch_id, centroids, root2)
+        if batch_id == 1:
+            # fold EVERYTHING — including batch 1, which has not
+            # committed yet (we are still inside its sink) — then die,
+            # so the checkpoint replays batch 1
+            compact_dataset_incremental(
+                spark, os.path.join(root2, "fp"), sort_cols=["fp"]
+            )
+            raise RuntimeError("simulated crash after over-eager fold")
+
+    stream2 = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src2, "*"))
+    )
+    q2 = (
+        stream2.writeStream.foreachBatch(bad_sink)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="simulated crash"):
+        q2.awaitTermination()
+
+    def retry_sink(batch_df, batch_id):
+        ingest_process_batch(batch_df, batch_id, centroids, root2)
+
+    q3 = (
+        stream2.writeStream.foreachBatch(retry_sink)
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # the replay of batch 1 reads state_dirs(fp, 1) and must hit the
+    # "segment folds a still-retryable batch" guard, loudly
+    with pytest.raises(Exception, match="still retryable"):
+        q3.awaitTermination()
+    corpus.unpersist()
 
 
 def test_stores_compactable_between_batches(spark, tmp_path):

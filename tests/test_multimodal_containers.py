@@ -131,3 +131,91 @@ def test_mp3_probe_rejects_non_audio():
 
     with _pytest.raises(ValueError):
         _parse_mp3_meta(b"definitely not mpeg audio data" * 4)
+
+
+# --- pointer-table media fetch over RANGED object-store reads --------------
+
+
+def test_pointer_table_fetches_only_sampled_ranges(spark):
+    """SURVEY §2C 'pointer-style for 100 TB', closed end-to-end
+    (VERDICT r8 #8): media packed into ONE shard object on the
+    in-process S3 server, a (path, offset, length) pointer table, and
+    `fetch_media_ranges` → `extract_features` over Spark. The server's
+    GET audit must show exactly one RANGED get per pointer — the
+    sampled byte ranges — and never a full-shard read; features must
+    equal decoding the same payloads locally."""
+    from duckdb_vortex_spark.operators.multimodal import (
+        _decode_payload,
+        extract_features,
+        fetch_media_ranges,
+    )
+    from duckdb_vortex_spark.sources.object_store import S3FS
+    from duckdb_vortex_spark.sources.s3_memserver import start_memserver
+
+    from .test_multimodal_codecs import make_bmp, make_gif
+
+    access, secret = "AKIDEXAMPLE", "sk-ranged-test"
+    srv, endpoint = start_memserver(access, secret)
+    srv.RequestHandlerClass.get_log = log = []
+    try:
+        # a packed shard: junk padding between payloads so a
+        # wrong-offset read cannot accidentally parse
+        payloads = {
+            1: ("image/bmp", make_bmp([[(10, 20, 30), (40, 50, 60)]])),
+            2: ("image/bmp", make_bmp([[(0, 0, 0)], [(255, 255, 255)]])),
+            3: (
+                "image/gif",
+                make_gif(
+                    [bytes([0, 1, 2, 3]), bytes([3, 2, 1, 0])],
+                    [(i, i, i) for i in range(4)],
+                    2,
+                    2,
+                ),
+            ),
+        }
+        shard, pointers = b"", []
+        for doc_id, (mt, body) in sorted(payloads.items()):
+            shard += b"\xde\xad" * 8  # padding
+            pointers.append((doc_id, mt, len(body), "s3://media/shard-0000", len(shard), len(body)))
+            shard += body
+        shard += b"\xbe\xef" * 8
+        fs = S3FS(endpoint, access, secret)
+        with fs.open("s3://media/shard-0000", "wb") as f:
+            f.write(shard)
+        log.clear()  # count only the fetch stage's GETs
+
+        ptr = spark.createDataFrame(
+            pointers,
+            "doc_id bigint, media_type string, n_bytes bigint, "
+            "path string, offset bigint, length bigint",
+        )
+        fetched = fetch_media_ranges(ptr, endpoint, access, secret)
+        feats = {
+            r["doc_id"]: r.asDict() for r in extract_features(fetched).collect()
+        }
+
+        for doc_id, (mt, body) in payloads.items():
+            want = _decode_payload(mt, body)
+            got = feats[doc_id]
+            for k, v in want.items():
+                g = got[k]
+                if isinstance(v, float):
+                    assert abs(g - v) < 1e-9, (doc_id, k)
+                else:
+                    assert g == v, (doc_id, k)
+        assert feats[3]["n_frames"] == 2  # the GIF frame-sample leg
+
+        # the ranged-read contract: one GET per pointer, each asking
+        # for exactly the sampled byte range; nothing full-object
+        assert len(log) == len(pointers), log
+        want_ranges = {
+            f"bytes={off}-{off + ln - 1}" for (_, _, _, _, off, ln) in pointers
+        }
+        assert {rng for (_k, rng, _n) in log} == want_ranges
+        assert all(k == "shard-0000" for (k, _r, _n) in log)
+        assert sum(n for (_k, _r, n) in log) == sum(
+            ln for (_, _, _, _, _, ln) in pointers
+        ) < len(shard)
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -132,6 +132,7 @@ _NESTED_LOOP_OK = {
     "retrieval_hybrid_rrf",  # 1-row query-vector broadcast + 40-row full-outer fuse; dense leg pluggable (IVF at scale)
     "retrieval_knn_eval",  # metrics decorate the exact-kNN baseline's |Q|-row broadcast; ranker pluggable
     "retrieval_recall_curve_by_label",  # same |Q|-row kNN-baseline broadcast; curve consumes only (query_id, cand_id, rnk)
+    "retrieval_ann_tuning_curve",  # exact-baseline |Q|-row BNLJ (the ground truth being tuned against) + 16-row centroid broadcasts of the ANN legs
 }
 _PYTHON_EVAL_OK = {
     "udtf_split_sentences",       # Python UDTF by design

@@ -489,6 +489,59 @@ def test_incremental_compaction_crash_before_gc_never_double_reads(spark, tmp_pa
     assert sinks.read_vortex_dataset_tiered(spark, path).count() == 500
 
 
+def test_major_compaction_bounds_live_segments(spark, tmp_path):
+    """max_segments triggers the MAJOR tier: live segments + new
+    batches fold into one compact-<seg>-all-upto-<hi> segment, old
+    segments are superseded by seg id (crash-safe even before GC),
+    content is preserved exactly, and the live listing stays bounded
+    no matter how many batches ever landed."""
+    import glob as g
+
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.operators.pipeline import snapshot_diff
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    path = str(tmp_path / "lsm")
+    rows = spark.range(0, 2400).select(
+        F.col("id").alias("k"), (F.col("id") * 13 % 997).alias("v")
+    )
+    for b in range(6):
+        sinks.overwrite_batch_atomic(
+            rows.filter((F.col("k") >= b * 400) & (F.col("k") < (b + 1) * 400)), path, b
+        )
+        seg = sinks.compact_dataset_incremental(
+            spark, path, sort_cols=["k"], max_files=2, max_segments=2
+        )
+        assert seg is not None
+        live = sinks._live_segments(path)
+        assert len(live) <= 2, f"live segments unbounded: {live}"
+        # every live segment respects the max_files bound
+        for s in live:
+            assert len([f for f in os.listdir(s) if not f.startswith(".")]) <= 2
+    # 6 passes with max_segments=2 must have gone major at least once
+    assert any(sinks._is_major(s) for s in sinks._live_segments(path))
+    # superseded segments were GC'd; content is exact
+    assert set(sinks._segments(path)) == set(sinks._live_segments(path))
+    back = sinks.read_vortex_dataset_tiered(spark, path)
+    assert back.count() == 2400
+    assert snapshot_diff(rows, back, "k", ["v"]).count() == 0
+
+    # crash-safety: commit a pure-maintenance major (no new batches —
+    # max_segments=1 forces the merge) but skip GC: the tiered read
+    # must ignore the superseded segments by seg id alone
+    orig = sinks.shutil.rmtree
+    try:
+        sinks.shutil.rmtree = lambda *a, **kw: None
+        sinks.compact_dataset_incremental(
+            spark, path, sort_cols=["k"], max_files=2, max_segments=1
+        )
+    finally:
+        sinks.shutil.rmtree = orig
+    assert len(sinks._segments(path)) > len(sinks._live_segments(path))
+    assert sinks.read_vortex_dataset_tiered(spark, path).count() == 2400
+
+
 def test_as_of_read_refuses_compacted_store(spark, tmp_path):
     """read_vortex_as_of promises 'the dataset as of batch N'; on a
     store maintained by compact_dataset_incremental the pre-watermark

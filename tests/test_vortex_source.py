@@ -468,6 +468,58 @@ def test_pushdown_opt_in_caveat_sentinel(spark, tmp_path):
     assert fresh.count() == 10
 
 
+def test_upstream_fresh_readinfo_canary(spark, tmp_path):
+    """TRACE-BASED upstream canary (VERDICT r8 #4): the structural
+    precondition for flipping the reader's default back to hints-on is
+    that upstream Spark plans each differently-filtered branch of a
+    reused relation FRESHLY (a fresh ``readInfo`` per plan) instead of
+    replaying one mutable cached slot. Today the hazardous branch — an
+    unfiltered action after a filtered one on the SAME relation —
+    invokes NO Python hook at all (no __init__ / pushFilters /
+    partitions; the JVM replays the cached partition list wholesale),
+    which is exactly why no Python-side defence exists and why default
+    scans must be filter-independent (sources/vortex.py pushFilters
+    docstring).
+
+    This test pins that structure via the reader's trace hook. THE DAY
+    IT FAILS: upstream now re-plans per branch — flip the default
+    (``pushdown_enabled`` in VortexReader.__init__) back to on, delete
+    this canary and test_pushdown_opt_in_caveat_sentinel, and re-run
+    test_relation_reuse_default_safe / test_filtered_fanout_matches_
+    parquet to confirm reuse stays exact with hints recorded."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "canary.vortex")
+    spark.range(10).select(F.col("id").alias("k")).coalesce(1).write.format(
+        "vortex"
+    ).option("chunk_rows", "2").mode("append").save(path)
+
+    tf = tmp_path / "plan_events.log"
+    tf.write_text("")
+    v = (
+        spark.read.format("vortex")
+        .option("pushdown", "true")
+        .option("trace_file", str(tf))
+        .load(path)
+    )
+    assert v.filter(F.col("k") > 7).count() == 2
+    # premise: planning the filtered action DID run Python hooks (the
+    # trace plumbing works in this environment)
+    assert "partitions" in tf.read_text(), "trace plumbing broken — canary void"
+
+    tf.write_text("")
+    v.count()  # unfiltered reuse of the same relation
+    events = tf.read_text()
+    assert events == "", (
+        "UPSTREAM BEHAVIOR CHANGED: the unfiltered reuse branch now "
+        f"re-plans through Python ({events.splitlines()!r}). Spark "
+        "appears to give each branch a fresh readInfo — re-evaluate "
+        "flipping the vortex reader's default back to hints-on "
+        "(pruning by default); see this test's docstring for the "
+        "checklist."
+    )
+
+
 def test_filtered_fanout_matches_parquet(spark, tmp_path):
     """r8 'done' check (VERDICT r7 #1): a differently-filtered fan-out
     of a SINGLE load() returns byte-identical results to parquet with
