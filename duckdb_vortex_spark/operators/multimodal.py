@@ -381,6 +381,14 @@ def fetch_media_ranges(
                 fs = S3FS(endpoint_url, access_key, secret_key, region)
             payloads = []
             for p, off, ln in zip(pdf[path_col], pdf[offset_col], pdf[length_col]):
+                # guard BEFORE the GET: a non-positive length would
+                # emit an invalid byte-range-spec (first > last) that
+                # RFC 7233 servers — real S3 included — answer with
+                # the FULL object, silently fetching a whole shard
+                # for one bad pointer row
+                if int(ln) <= 0:
+                    payloads.append(b"")
+                    continue
                 with fs.open(p) as f:
                     f.seek(int(off))
                     payloads.append(f.read(int(ln)))

@@ -184,6 +184,10 @@ def test_pointer_table_fetches_only_sampled_ranges(spark):
             f.write(shard)
         log.clear()  # count only the fetch stage's GETs
 
+        # a zero-length pointer must cost ZERO object reads (an
+        # invalid range spec would make RFC-7233 servers return the
+        # whole shard) — guard pinned alongside the happy path
+        pointers.append((99, "fake/raw", 0, "s3://media/shard-0000", 4, 0))
         ptr = spark.createDataFrame(
             pointers,
             "doc_id bigint, media_type string, n_bytes bigint, "
@@ -205,16 +209,20 @@ def test_pointer_table_fetches_only_sampled_ranges(spark):
                     assert g == v, (doc_id, k)
         assert feats[3]["n_frames"] == 2  # the GIF frame-sample leg
 
-        # the ranged-read contract: one GET per pointer, each asking
-        # for exactly the sampled byte range; nothing full-object
-        assert len(log) == len(pointers), log
+        assert feats[99]["width"] is None  # empty payload -> no features
+
+        # the ranged-read contract: one GET per non-empty pointer,
+        # each asking for exactly the sampled byte range; nothing
+        # full-object, and the zero-length row cost no request at all
+        real = [p for p in pointers if p[5] > 0]
+        assert len(log) == len(real), log
         want_ranges = {
-            f"bytes={off}-{off + ln - 1}" for (_, _, _, _, off, ln) in pointers
+            f"bytes={off}-{off + ln - 1}" for (_, _, _, _, off, ln) in real
         }
         assert {rng for (_k, rng, _n) in log} == want_ranges
         assert all(k == "shard-0000" for (k, _r, _n) in log)
         assert sum(n for (_k, _r, n) in log) == sum(
-            ln for (_, _, _, _, _, ln) in pointers
+            ln for (_, _, _, _, _, ln) in real
         ) < len(shard)
     finally:
         srv.shutdown()
