@@ -280,9 +280,11 @@ def compact_dataset_incremental(
 
 def read_vortex_dataset_tiered(spark, path: str) -> DataFrame:
     """Read a dataset maintained by `compact_dataset_incremental`:
-    all committed segments plus the batch dirs newer than the
-    compaction watermark (batches at/below it are consumed garbage,
-    possibly not yet GC'd — reading them would double-count)."""
+    the LIVE segments (a major supersedes smaller seg ids — see
+    `_live_segments`) plus the batch dirs newer than the compaction
+    watermark (batches at/below it and superseded segments are
+    consumed garbage, possibly not yet GC'd — reading them would
+    double-count)."""
     import json as _json
 
     watermark = _compact_watermark(path)
