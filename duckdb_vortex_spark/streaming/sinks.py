@@ -410,7 +410,14 @@ def land_session_dataset(
     registered with Spark's shutdown-delete hooks
     (``Utils.createTempDir`` — removed when the session's JVM exits),
     with a plain ``atexit`` fallback; per-call dirs are manifest-sized
-    and bounded by entry invocations per session."""
+    and bounded by entry invocations per session.
+
+    The ``STATE_FILES`` default suits manifest-shaped frames (a few
+    bytes per document). A caller landing a corpus-scale frame should
+    pass ``max_files=None`` (keep the frame's own partitioning) —
+    coalescing 100 TB into 4 writer tasks is a serialization
+    bottleneck, the inverse of the small-file problem the default
+    guards against."""
     import tempfile
 
     spark = df.sparkSession
