@@ -221,7 +221,18 @@ def compact_dataset_incremental(
     Supersession is by seg id (`_live_segments`), so a crash between
     the major's commit and the GC of the old segments never
     double-reads. Returns the new segment path, or None if nothing new
-    landed (and no major merge was due)."""
+    landed (and no major merge was due).
+
+    CONCURRENCY CONTRACT: single writer, and no reader may hold a
+    plan across a maintenance pass — the GC deletes consumed inputs
+    immediately, so a query planned against the old listing can hit
+    deleted files mid-scan. The supported 24/7 shape is maintenance
+    INSIDE the stream's own foreachBatch loop between batches (as in
+    `incremental_pipeline.compact_chain_stores` and the live-stream
+    test), where the processor is the only reader and plans never
+    span a pass. Decoupled readers need a snapshot/lease layer (the
+    full-rewrite `compact_dataset` models it: it returns the retired
+    path and lets the caller delete after readers drain)."""
     watermark = _compact_watermark(path)
     import json as _json
 
