@@ -24,7 +24,7 @@ curves must stay flat ACROSS compaction points, not just within the
 first few batches. The 24/7 posture this certifies: state reads open
 at most (max_segments + compact_every) dirs per store forever.
 
-Usage: python scripts/breakdown_incremental_flatness.py [n_batches] [chain_batches] [compact_every]
+Usage: python scripts/breakdown_incremental_flatness.py [n_batches] [chain_batches] [compact_every] [max_segments]
 Prints one JSON line per operator.
 """
 
@@ -71,6 +71,7 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     chain_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    max_segments = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     spark = get_spark("dvs-incremental-flatness")
     register(spark)
     docs = load(spark, SF_DIR, "documents").persist()
@@ -111,13 +112,19 @@ def main() -> None:
         ctimes.append(round(time.monotonic() - t0, 2))
         if b % compact_every == 0:
             t0 = time.monotonic()
-            compact_chain_stores(spark, root)
-            compactions.append((b, round(time.monotonic() - t0, 2)))
+            res = compact_chain_stores(spark, root, max_segments=max_segments)
+            kind = (
+                "major"
+                if any(v and "-all-upto-" in v for v in res.values())
+                else "minor"
+            )
+            compactions.append((b, round(time.monotonic() - t0, 2), kind))
     shutil.rmtree(root, ignore_errors=True)
     out["chain_per_batch_s"] = ctimes
     out["chain_state_files_before_batch"] = cfiles
     out["chain_compactions_at_s"] = compactions
     out["compact_every"] = compact_every
+    out["max_segments"] = max_segments
     out["chain_last_over_first"] = round(ctimes[-1] / ctimes[0], 2)
     # flatness across compaction points: mean of last quarter vs mean
     # of second quarter (first quarter excluded — empty-state batches)
