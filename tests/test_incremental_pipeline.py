@@ -374,6 +374,81 @@ def test_live_stream_with_interleaved_compaction(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_stream_restart_resumes_batch_ids_across_compaction(spark, tmp_path):
+    """The 24/7 lifecycle nobody tests until it bites: stop the ingest
+    stream, run maintenance (compact the state stores), RESTART from
+    the same checkpoint when new files land. The file source must
+    resume batch ids where it left off (no collision with landed
+    batch dirs), the restarted batches must read the COMPACTED state
+    through the tiered listing, and the whole-history manifest must
+    still equal batch mode."""
+    from duckdb_vortex_spark.streaming.incremental_pipeline import (
+        compact_chain_stores,
+        incremental_ingest_stream,
+    )
+    from duckdb_vortex_spark.streaming.sinks import _segments, batch_dirs
+
+    register(spark)
+    corpus = (
+        _corpus(spark, limit=60).select("doc_id", "source", "text", "vec").persist()
+    )
+    emb = load(spark, SF_DIR, "embeddings")
+    centroids = sample_centroids(emb, 16)
+
+    ref_root = str(tmp_path / "ref")
+    ingest_process_batch(corpus, 1, centroids, ref_root)
+    want = {
+        r["doc_id"]: (r["stage"], r["is_kept"])
+        for r in _manifest(spark, ref_root).collect()
+    }
+
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    quarters = [ids[i * 15 : (i + 1) * 15] for i in range(4)]
+    src = str(tmp_path / "watched")
+    os.makedirs(src)
+    root, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def land_files(qs, start):
+        for i, chunk in enumerate(qs, start=start):
+            corpus.filter(F.col("doc_id").isin(chunk)).coalesce(1).write.parquet(
+                os.path.join(src, f"f{i}")
+            )
+
+    def run_session():
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = incremental_ingest_stream(spark, stream, centroids, root, ckpt)
+        q.awaitTermination()
+        q.stop()
+
+    # session 1: first two quarters -> batches 0, 1
+    land_files(quarters[:2], 0)
+    run_session()
+    assert len(batch_dirs(os.path.join(root, "man"), 10**9)) == 2
+    # maintenance while the stream is DOWN: fold batches 0-1
+    res = compact_chain_stores(spark, root, max_segments=2)
+    assert any(v is not None for v in res.values())
+    assert _segments(os.path.join(root, "fp")), "fp store not compacted"
+
+    # session 2: two more quarters land; SAME checkpoint resumes
+    land_files(quarters[2:], 2)
+    run_session()
+    man_ids = sorted(
+        int(os.path.basename(d).split("-")[1])
+        for d in batch_dirs(os.path.join(root, "man"), 10**9)
+    )
+    assert man_ids == [0, 1, 2, 3], "batch ids must continue across restart"
+    got = {
+        r["doc_id"]: (r["stage"], r["is_kept"])
+        for r in _manifest(spark, root).collect()
+    }
+    assert got == want
+    corpus.unpersist()
+
+
 def test_stores_compactable_between_batches(spark, tmp_path):
     """Every state store the chain maintains can be incrementally
     compacted BETWEEN micro-batches: after folding batches 1-2 of all
