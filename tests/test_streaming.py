@@ -542,6 +542,71 @@ def test_major_compaction_bounds_live_segments(spark, tmp_path):
     assert sinks.read_vortex_dataset_tiered(spark, path).count() == 2400
 
 
+def test_compaction_random_interleaving_content_exact(spark, tmp_path):
+    """REAL-DATA twin of the tiered-listing property test: the
+    hypothesis sweep checks the directory MATH over hundreds of
+    histories; this drives actual vortex data through seeded random
+    append / minor / major / crash-GC interleavings and asserts after
+    EVERY op that the tiered read returns exactly the appended content
+    (count + full row-level snapshot_diff at the end of each history).
+    Catches implementation divergence the simulated layouts can't —
+    e.g. a fold that wrote the wrong rows while the dir names tiled
+    perfectly."""
+    import random
+
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.operators.pipeline import snapshot_diff
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    rng = random.Random(90210)
+    base_rows = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 31 % 613).alias("v")
+    ).persist()
+
+    for h in range(4):
+        path = str(tmp_path / f"soak{h}")
+        next_batch, n_appended = 0, 0
+        ops = rng.choices(
+            ["batch", "batch", "minor", "major", "minor_crash"], k=10
+        )
+        for op in ops:
+            if op == "batch":
+                chunk = base_rows.filter(
+                    (F.col("k") >= n_appended) & (F.col("k") < n_appended + 150)
+                )
+                sinks.overwrite_batch_atomic(chunk, path, next_batch)
+                next_batch += 1
+                n_appended += 150
+            elif n_appended == 0:
+                continue  # nothing to fold yet
+            elif op == "minor":
+                sinks.compact_dataset_incremental(
+                    spark, path, sort_cols=["k"], max_files=2
+                )
+            elif op == "major":
+                sinks.compact_dataset_incremental(
+                    spark, path, sort_cols=["k"], max_files=2, max_segments=1
+                )
+            else:  # minor_crash: segment commits, ALL GC skipped
+                orig = sinks.shutil.rmtree
+                try:
+                    sinks.shutil.rmtree = lambda *a, **kw: None
+                    sinks.compact_dataset_incremental(
+                        spark, path, sort_cols=["k"], max_files=2
+                    )
+                finally:
+                    sinks.shutil.rmtree = orig
+            if n_appended:
+                got = sinks.read_vortex_dataset_tiered(spark, path).count()
+                assert got == n_appended, (h, op, ops)
+        if n_appended:
+            want = base_rows.filter(F.col("k") < n_appended)
+            back = sinks.read_vortex_dataset_tiered(spark, path)
+            assert snapshot_diff(want, back, "k", ["v"]).count() == 0, (h, ops)
+    base_rows.unpersist()
+
+
 def test_as_of_read_refuses_compacted_store(spark, tmp_path):
     """read_vortex_as_of promises 'the dataset as of batch N'; on a
     store maintained by compact_dataset_incremental the pre-watermark
