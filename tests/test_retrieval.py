@@ -71,3 +71,29 @@ def test_rrf_matches_python_referee_on_random_lists(spark):
             k_final=10,
         ).collect()
         assert [(r["doc_id"], r["rrf_mu"]) for r in got] == top, f"trial {trial}"
+
+
+def test_ann_tuning_curve_ivf_recall_monotone_in_n_probe(spark):
+    """Semantic pin beyond the hash oracle: IVF recall@k is PROVABLY
+    non-decreasing in n_probe — candidate sets are nested (probe sets
+    grow) and scoring is exact cosine, so a true top-k hit can only be
+    displaced by a higher-cosine candidate, which is itself a true
+    top-k hit. (No such guarantee for IVF-PQ: ADC is approximate, a
+    wrong high-scorer can displace a true one — deliberately not
+    asserted.) Also pins the fixed query-set size across all configs."""
+    from duckdb_vortex_spark.operators.retrieval import (
+        retrieval_ann_tuning_curve,
+    )
+
+    rows = retrieval_ann_tuning_curve(spark, SF_DIR).collect()
+    nq = {r["n_queries"] for r in rows}
+    assert len(nq) == 1 and nq.pop() > 0
+    ivf = {
+        (r["k"], r["n_probe"]): r["recall_mu"]
+        for r in rows
+        if r["method"] == "ivf"
+    }
+    for k in (1, 10):
+        seq = [ivf[(k, np_)] for np_ in (1, 2, 4)]
+        assert seq == sorted(seq), f"IVF recall@{k} not monotone: {seq}"
+        assert seq[-1] > 0, f"IVF recall@{k} zero at max probe"
