@@ -357,13 +357,16 @@ def fetch_media_ranges(
     Each task opens one `sources.object_store.S3FS` (SigV4, reused
     across its rows) and issues ONE ranged GET per pointer —
     `_S3ReadableFile.read(n)` maps to `Range: bytes=off..off+len-1`,
-    no whole-object buffering anywhere. Output = input columns +
+    no whole-object buffering anywhere, and (ADVICE r9) no size HEAD
+    either: the readable file resolves the object size lazily, which a
+    seek(SET)+read(length) access pattern never needs, so the request
+    count is exactly one GET per pointer. Output = input columns +
     `payload binary`, ready for `extract_features` /
     `probe_containers`; at scale, repartition the pointer table by
     total `length` so task memory is bounded by bytes, not row count.
-    Ranged-read counts are pinned against the in-process S3 server in
-    tests/test_multimodal_containers.py (one range per pointer, never
-    a full-shard GET)."""
+    Request counts are pinned against the in-process S3 server in
+    tests/test_multimodal_containers.py (one range per pointer, zero
+    HEADs, never a full-shard GET)."""
     import pandas as pd
 
     out_schema = T.StructType(
@@ -381,12 +384,14 @@ def fetch_media_ranges(
                 fs = S3FS(endpoint_url, access_key, secret_key, region)
             payloads = []
             for p, off, ln in zip(pdf[path_col], pdf[offset_col], pdf[length_col]):
-                # guard BEFORE the GET: a non-positive length would
-                # emit an invalid byte-range-spec (first > last) that
-                # RFC 7233 servers — real S3 included — answer with
-                # the FULL object, silently fetching a whole shard
-                # for one bad pointer row
-                if int(ln) <= 0:
+                # guard BEFORE the GET: a non-positive length emits an
+                # invalid byte-range-spec (first > last), and a
+                # negative offset a malformed one (ADVICE r9, e.g.
+                # 'bytes=-5-4') — both of which RFC 7233 servers —
+                # real S3 included — ignore, answering with the FULL
+                # object: silently fetching a whole shard for one bad
+                # pointer row
+                if int(ln) <= 0 or int(off) < 0:
                     payloads.append(b"")
                     continue
                 with fs.open(p) as f:

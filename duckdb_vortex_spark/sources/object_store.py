@@ -200,14 +200,31 @@ class _S3ReadableFile(io.RawIOBase):
     """Seekable read-only file over ranged GETs. ``read(n)`` issues ONE
     ranged GET for exactly the requested slice (the vortex reader asks
     for footer then per-chunk-column slices — no whole-object
-    download); ``read()`` with no size fetches the tail in one GET."""
+    download); ``read()`` with no size fetches the tail in one GET.
+
+    The object size is fetched LAZILY (ADVICE r9): opening used to
+    cost one HEAD up front, which doubled the per-pointer request
+    count on the `fetch_media_ranges` hot path — a caller that only
+    ever seek(SET)s and read(n)s known-valid (offset, length) ranges
+    now costs exactly one GET per read and ZERO HEADs. The size is
+    resolved on first need: read-all, SEEK_END, or clamping a sized
+    read once known. While the size is unknown a sized read trusts the
+    caller's range — a range crossing the object tail is clamped by
+    the server itself (RFC 7233), and a range starting at/after the
+    tail fails LOUDLY with the server's 416 instead of returning b''
+    (a pointer past EOF is corrupt metadata, not end-of-stream)."""
 
     def __init__(self, fs: "S3FS", bucket: str, key: str):
         self._fs = fs
         self._bucket = bucket
         self._key = key
-        self._size = fs._head_size(bucket, key)
+        self._size: int | None = None  # lazy — see class docstring
         self._pos = 0
+
+    def _known_size(self) -> int:
+        if self._size is None:
+            self._size = self._fs._head_size(self._bucket, self._key)
+        return self._size
 
     def seekable(self) -> bool:
         return True
@@ -221,7 +238,7 @@ class _S3ReadableFile(io.RawIOBase):
         elif whence == os.SEEK_CUR:
             self._pos += offset
         elif whence == os.SEEK_END:
-            self._pos = self._size + offset
+            self._pos = self._known_size() + offset
         else:
             raise ValueError(f"bad whence {whence}")
         return self._pos
@@ -236,9 +253,14 @@ class _S3ReadableFile(io.RawIOBase):
             # byte-range-spec that real S3 ignores per RFC 7233,
             # returning the whole object — never send it
             return b""
-        if self._pos >= self._size:
+        if n is None or n < 0:
+            end = self._known_size() - 1
+        elif self._size is not None:
+            end = min(self._pos + n, self._size) - 1
+        else:
+            end = self._pos + n - 1  # size unknown: server clamps the tail
+        if self._size is not None and self._pos >= self._size:
             return b""
-        end = self._size - 1 if n is None or n < 0 else min(self._pos + n, self._size) - 1
         data = self._fs._request(
             "GET", self._bucket, self._key,
             headers={"range": f"bytes={self._pos}-{end}"},

@@ -166,9 +166,17 @@ class S3MemHandler(http.server.BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(out)
 
+    # Optional per-server HEAD audit, mirroring ``get_log`` below:
+    # lets tests pin that a hot path costs ZERO size probes (e.g. the
+    # pointer-table fetch, whose lazy-size readable file never needs
+    # one — ADVICE r9 found the old eager HEAD doubled its requests).
+    head_log: list | None = None
+
     def do_HEAD(self):
         if not self._verify():
             return self._deny()
+        if self.head_log is not None:
+            self.head_log.append(self._bk()[1])
         obj = self.store.get(self._bk())
         if obj is None:
             self.send_response(404)

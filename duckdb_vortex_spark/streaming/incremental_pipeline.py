@@ -138,17 +138,29 @@ def compact_chain_stores(
     root: str,
     max_segments: int = 4,
     max_files: int = STATE_FILES,
+    before: int | None = None,
 ) -> dict[str, str | None]:
     """Maintenance pass over the chain's four state stores: one
     incremental (tiered) compaction each, bounded to ``max_files``
-    part files per segment and ``max_segments`` live segments (major
-    merge past that — see `sinks.compact_dataset_incremental`). Run
-    BETWEEN micro-batches on checkpoint-committed batches only; with
-    it interleaved every N batches, a per-batch state read opens at
-    most ``max_segments + N`` dirs / ``(max_segments + N) * max_files``
-    files no matter how many batches have ever landed — the bound the
-    r9 flatness harness and `test_chain_state_file_count_bounded`
-    pin. Returns {store: new segment path or None}."""
+    part files per segment and ``max_segments`` live segments
+    (leveled run fold past that — see
+    `sinks.compact_dataset_incremental`). Run BETWEEN micro-batches on
+    checkpoint-committed batches only; with it interleaved every N
+    batches, a per-batch state read opens at most ``max_segments + N``
+    dirs / ``(max_segments + N) * max_files`` files no matter how many
+    batches have ever landed — the bound the r9 flatness harness and
+    `test_chain_state_file_count_bounded` pin.
+
+    ``before`` (ADVICE r9 — REQUIRED when called from inside a
+    stream's foreachBatch): the current batch id. A crash mid-batch-N
+    leaves partial per-store state for N (the chain lands raw/ first),
+    and an unbounded maintenance pass on restart would fold those dirs
+    into a segment with upto = N — after which every retry of batch N
+    trips `state_dirs`' "still retryable" guard forever, permanently
+    wedging the stream. With ``before=N`` the pass only ever folds
+    batch ids strictly below the batch about to (re)run, so the
+    retry's atomic overwrite replaces the partial dirs as designed.
+    Returns {store: new segment path or None}."""
     from .sinks import compact_dataset_incremental
 
     out: dict[str, str | None] = {}
@@ -156,7 +168,12 @@ def compact_chain_stores(
         p = os.path.join(root, store)
         if os.path.isdir(p):
             out[store] = compact_dataset_incremental(
-                spark, p, cols, max_files=max_files, max_segments=max_segments
+                spark,
+                p,
+                cols,
+                max_files=max_files,
+                max_segments=max_segments,
+                before=before,
             )
     return out
 

@@ -112,12 +112,22 @@ def main() -> None:
         ctimes.append(round(time.monotonic() - t0, 2))
         if b % compact_every == 0:
             t0 = time.monotonic()
-            res = compact_chain_stores(spark, root, max_segments=max_segments)
-            kind = (
-                "major"
-                if any(v and "-all-upto-" in v for v in res.values())
-                else "minor"
+            res = compact_chain_stores(
+                spark, root, max_segments=max_segments, before=b + 1
             )
+            # classify the pass by the widest fold it committed: a
+            # from-0 fold rewrote the full prefix ("major"); any other
+            # run fold left the giant alone — with the r10 leveled
+            # trigger, majors must get geometrically RARER with
+            # history, which is the whole point vs the r9 all-fold
+            spans = []
+            for v in res.values():
+                if v:
+                    name = os.path.basename(v)
+                    lo = int(name.split("-from-", 1)[1].split("-", 1)[0])
+                    hi = int(name.rsplit("-", 1)[1])
+                    spans.append((lo, hi))
+            kind = "major" if any(lo == 0 for lo, _ in spans) else "minor"
             compactions.append((b, round(time.monotonic() - t0, 2), kind))
     shutil.rmtree(root, ignore_errors=True)
     out["chain_per_batch_s"] = ctimes

@@ -300,10 +300,11 @@ def test_live_stream_with_interleaved_compaction(spark, tmp_path):
 
     def sink(batch_df, batch_id):
         if batch_id >= 1:
-            # every batch dir on disk belongs to an already-committed
-            # micro-batch (this batch's state is not yet written), so
-            # the maintenance pass is safe exactly here
-            res = compact_chain_stores(spark, root, max_segments=2)
+            # before=batch_id (ADVICE r9): even if a previous attempt
+            # of THIS batch crashed mid-chain and left partial state
+            # dirs, the maintenance pass must not fold them — only
+            # strictly earlier, checkpoint-committed batches
+            res = compact_chain_stores(spark, root, max_segments=2, before=batch_id)
             if any(v is not None for v in res.values()):
                 compacted_at.append(batch_id)
         ingest_process_batch(batch_df, batch_id, centroids, root)

@@ -157,6 +157,7 @@ def test_pointer_table_fetches_only_sampled_ranges(spark):
     access, secret = "AKIDEXAMPLE", "sk-ranged-test"
     srv, endpoint = start_memserver(access, secret)
     srv.RequestHandlerClass.get_log = log = []
+    srv.RequestHandlerClass.head_log = heads = []
     try:
         # a packed shard: junk padding between payloads so a
         # wrong-offset read cannot accidentally parse
@@ -183,11 +184,16 @@ def test_pointer_table_fetches_only_sampled_ranges(spark):
         with fs.open("s3://media/shard-0000", "wb") as f:
             f.write(shard)
         log.clear()  # count only the fetch stage's GETs
+        heads.clear()  # ... and its HEADs (must be zero — ADVICE r9)
 
         # a zero-length pointer must cost ZERO object reads (an
         # invalid range spec would make RFC-7233 servers return the
-        # whole shard) — guard pinned alongside the happy path
+        # whole shard) — guard pinned alongside the happy path;
+        # likewise a NEGATIVE offset, whose malformed 'bytes=-5-4'
+        # range real S3 would ignore and answer with the full shard
+        # (ADVICE r9)
         pointers.append((99, "fake/raw", 0, "s3://media/shard-0000", 4, 0))
+        pointers.append((98, "fake/raw", 4, "s3://media/shard-0000", -5, 10))
         ptr = spark.createDataFrame(
             pointers,
             "doc_id bigint, media_type string, n_bytes bigint, "
@@ -210,11 +216,14 @@ def test_pointer_table_fetches_only_sampled_ranges(spark):
         assert feats[3]["n_frames"] == 2  # the GIF frame-sample leg
 
         assert feats[99]["width"] is None  # empty payload -> no features
+        assert feats[98]["width"] is None  # negative offset -> no fetch
 
-        # the ranged-read contract: one GET per non-empty pointer,
-        # each asking for exactly the sampled byte range; nothing
-        # full-object, and the zero-length row cost no request at all
-        real = [p for p in pointers if p[5] > 0]
+        # the ranged-read contract: one GET per valid pointer, each
+        # asking for exactly the sampled byte range; nothing
+        # full-object; the zero-length and negative-offset rows cost
+        # no request at all; and ZERO size HEADs anywhere (the lazy
+        # readable file never needs one on the seek+read(n) path)
+        real = [p for p in pointers if p[5] > 0 and p[4] >= 0]
         assert len(log) == len(real), log
         want_ranges = {
             f"bytes={off}-{off + ln - 1}" for (_, _, _, _, off, ln) in real
@@ -224,6 +233,7 @@ def test_pointer_table_fetches_only_sampled_ranges(spark):
         assert sum(n for (_k, _r, n) in log) == sum(
             ln for (_, _, _, _, _, ln) in real
         ) < len(shard)
+        assert heads == [], f"pointer fetch must cost zero HEADs: {heads}"
     finally:
         srv.shutdown()
         srv.server_close()

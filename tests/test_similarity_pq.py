@@ -9,6 +9,8 @@ hold on any data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from duckdb_vortex_spark.catalog import load
@@ -126,3 +128,28 @@ def test_ivfpq_recall_beats_chance_and_respects_probes(spark):
         probed.setdefault(r["vec_id"], set()).add(r["cluster_id"])
     for qid, cid in got:
         assert cand_cl[cid] in probed[qid], (qid, cid)
+
+
+def test_pq_code_budget_breaks_the_recall_plateau(spark):
+    """VERDICT r9 next-round #3: the r9 tuning curve measured IVF-PQ
+    recall@10 FLAT in n_probe at m=4/k_codes=16 — quantization error
+    dominates, so the knob that matters is the code budget, not the
+    probe count. Pin that spending codes actually buys recall at EQUAL
+    n_probe: m=16/k_codes=64 (16 B/vec) must beat the m=4/k_codes=16
+    plateau (4 B/vec), and recall must not DROP along either axis
+    alone (m up at fixed k_codes, k_codes up at fixed m). Swept at
+    sf0.001/sf0.01/sf0.1 in scripts/sweep_pq_params.py (SCALE.md r10
+    table: 0.132 -> 0.324 at sf0.001)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from sweep_pq_params import pq_recall_at_10
+
+    base = pq_recall_at_10(spark, SF_DIR, m=4, k_codes=16, n_probe=4)
+    more_m = pq_recall_at_10(spark, SF_DIR, m=16, k_codes=16, n_probe=4)
+    best = pq_recall_at_10(spark, SF_DIR, m=16, k_codes=64, n_probe=4)
+    assert best["recall_at_10"] > base["recall_at_10"], (base, best)
+    assert more_m["recall_at_10"] >= base["recall_at_10"], (base, more_m)
+    assert best["recall_at_10"] >= more_m["recall_at_10"], (more_m, best)
+    # the trade is real: 4x the code bytes, not free
+    assert best["code_bytes_per_vector"] == 4 * base["code_bytes_per_vector"]

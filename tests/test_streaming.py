@@ -420,7 +420,7 @@ def test_incremental_compaction_rewrites_only_new_batches(spark, tmp_path):
     overwrite_batch_atomic(rows.filter(F.col("k") < 1000), path, 1)
     overwrite_batch_atomic(rows.filter((F.col("k") >= 1000) & (F.col("k") < 2000)), path, 2)
     seg0 = compact_dataset_incremental(spark, path, sort_cols=["k"], chunk_rows=512)
-    assert seg0 and seg0.endswith("compact-00000000-upto-00000002")
+    assert seg0 and seg0.endswith("compact-00000000-from-00000000-upto-00000002")
     assert not g.glob(os.path.join(path, "batch-*")), "consumed batches not GC'd"
     seg0_state = {
         f: os.path.getmtime(f) for f in g.glob(os.path.join(seg0, "*"))
@@ -432,7 +432,7 @@ def test_incremental_compaction_rewrites_only_new_batches(spark, tmp_path):
 
     overwrite_batch_atomic(rows.filter(F.col("k") >= 2000), path, 3)
     seg1 = compact_dataset_incremental(spark, path, sort_cols=["k"], chunk_rows=512)
-    assert seg1 and seg1.endswith("compact-00000001-upto-00000003")
+    assert seg1 and seg1.endswith("compact-00000001-from-00000003-upto-00000003")
     # segment 0 untouched: same files, same mtimes
     assert {
         f: os.path.getmtime(f) for f in g.glob(os.path.join(seg0, "*"))
@@ -568,7 +568,9 @@ def test_compaction_random_interleaving_content_exact(spark, tmp_path):
         path = str(tmp_path / f"soak{h}")
         next_batch, n_appended = 0, 0
         ops = rng.choices(
-            ["batch", "batch", "minor", "major", "minor_crash"], k=10
+            ["batch", "batch", "minor", "major", "leveled", "minor_crash",
+             "leveled_crash"],
+            k=10,
         )
         for op in ops:
             if op == "batch":
@@ -588,12 +590,20 @@ def test_compaction_random_interleaving_content_exact(spark, tmp_path):
                 sinks.compact_dataset_incremental(
                     spark, path, sort_cols=["k"], max_files=2, max_segments=1
                 )
-            else:  # minor_crash: segment commits, ALL GC skipped
+            elif op == "leveled":
+                # r10: bounded live count via tail RUN folds (spares
+                # the giant when the tail is small — see the leveled
+                # trigger), interleaved with the full-fold majors above
+                sinks.compact_dataset_incremental(
+                    spark, path, sort_cols=["k"], max_files=2, max_segments=2
+                )
+            else:  # *_crash: segment commits, ALL GC skipped
                 orig = sinks.shutil.rmtree
                 try:
                     sinks.shutil.rmtree = lambda *a, **kw: None
                     sinks.compact_dataset_incremental(
-                        spark, path, sort_cols=["k"], max_files=2
+                        spark, path, sort_cols=["k"], max_files=2,
+                        max_segments=2 if op == "leveled_crash" else None,
                     )
                 finally:
                     sinks.shutil.rmtree = orig
@@ -624,3 +634,198 @@ def test_as_of_read_refuses_compacted_store(spark, tmp_path):
     sinks.overwrite_batch_atomic(rows, path, 2)  # post-watermark batch exists
     with pytest.raises(ValueError, match="compacted"):
         sinks.read_vortex_as_of(spark, path, 2)
+
+
+def test_as_of_segment_granularity_on_compacted_store(spark, tmp_path):
+    """granularity='segment' (r10): on a maintained store the live
+    segments' upper bounds plus uncompacted batch ids are the
+    surviving snapshot points — reading one returns exactly the rows
+    as of that batch; reading a folded-away point raises listing the
+    available ones."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    path = str(tmp_path / "asof_seg")
+    rows = spark.range(0, 400).select(F.col("id").alias("k"))
+    for b in range(4):
+        sinks.overwrite_batch_atomic(
+            rows.filter((F.col("k") >= b * 100) & (F.col("k") < (b + 1) * 100)),
+            path,
+            b,
+        )
+        if b == 1:  # fold batches 0-1 into segment [0,1]
+            assert sinks.compact_dataset_incremental(spark, path, sort_cols=["k"])
+    # snapshot points: segment hi=1, plus batches 2 and 3
+    assert (
+        sinks.read_vortex_as_of(spark, path, 1, granularity="segment").count() == 200
+    )
+    assert (
+        sinks.read_vortex_as_of(spark, path, 2, granularity="segment").count() == 300
+    )
+    assert (
+        sinks.read_vortex_as_of(spark, path, 3, granularity="segment").count() == 400
+    )
+    with pytest.raises(ValueError, match=r"snapshot point.*\[1, 2, 3\]"):
+        sinks.read_vortex_as_of(spark, path, 0, granularity="segment")
+    # default per-batch granularity still refuses the compacted store
+    with pytest.raises(ValueError, match="compacted"):
+        sinks.read_vortex_as_of(spark, path, 2)
+
+
+def test_maintenance_lease_contention_and_stale_steal(spark, tmp_path):
+    """The single-writer contract is CODE now (VERDICT r9 wrong #5):
+    a pass on a store whose lease is held by a LIVE pid fails loudly;
+    a lease left by a dead pid (crashed pass) is stolen and the pass
+    proceeds; a clean pass leaves no lock behind."""
+    import json
+
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    path = str(tmp_path / "leased")
+    rows = spark.range(0, 100).select(F.col("id").alias("k"))
+    sinks.overwrite_batch_atomic(rows, path, 0)
+
+    lock = os.path.join(path, ".maintenance-lock")
+    os.mkdir(lock)
+    with open(os.path.join(lock, "owner.json"), "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0.0}, f)  # live pid: us
+    with pytest.raises(RuntimeError, match="single-writer"):
+        sinks.compact_dataset_incremental(spark, path, sort_cols=["k"])
+    assert os.path.isdir(lock), "contention must not clobber the live lease"
+
+    # dead-pid lease (a crashed pass): stolen, pass proceeds, lock released
+    dead = 2**22 + 7919  # far above any pid on this box
+    while sinks._pid_alive(dead):  # pragma: no cover — paranoia
+        dead += 1
+    with open(os.path.join(lock, "owner.json"), "w") as f:
+        json.dump({"pid": dead, "ts": 0.0}, f)
+    assert sinks.compact_dataset_incremental(spark, path, sort_cols=["k"])
+    assert not os.path.isdir(lock), "lease must be released on clean exit"
+
+
+def test_maintenance_before_bound_unwedges_batch_retry(spark, tmp_path):
+    """ADVICE r9 (medium): a crash mid-batch-N leaves batch N's state
+    dirs partially landed; maintenance on restart must NOT fold them —
+    with before=N the retry's overwrite replaces them as designed,
+    while an unbounded pass would commit upto=N and wedge every retry
+    of N on the 'still retryable' guard forever."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    rows = spark.range(0, 300).select(F.col("id").alias("k"))
+
+    # the wedge, demonstrated: unbounded maintenance folds the partial batch
+    wedged = str(tmp_path / "wedged")
+    sinks.overwrite_batch_atomic(rows.filter(F.col("k") < 100), wedged, 0)
+    sinks.overwrite_batch_atomic(rows.filter(F.col("k") < 150), wedged, 1)  # partial N=1
+    sinks.compact_dataset_incremental(spark, wedged, sort_cols=["k"])
+    with pytest.raises(ValueError, match="still retryable"):
+        sinks.state_dirs(wedged, 1)  # batch 1's retry is now permanently wedged
+
+    # the fix: before=N keeps batch N invisible to the fold
+    ok = str(tmp_path / "ok")
+    sinks.overwrite_batch_atomic(rows.filter(F.col("k") < 100), ok, 0)
+    sinks.overwrite_batch_atomic(rows.filter(F.col("k") < 150), ok, 1)  # partial N=1
+    seg = sinks.compact_dataset_incremental(spark, ok, sort_cols=["k"], before=1)
+    assert seg and seg.endswith("upto-00000000"), "fold must stop below batch 1"
+    assert sinks.state_dirs(ok, 1), "batch 1 must still be retryable"
+    # the retry replaces its partial first attempt and the stream moves on
+    sinks.overwrite_batch_atomic(rows.filter(F.col("k") >= 100), ok, 1)
+    back = sinks.read_vortex_dataset_tiered(spark, ok)
+    assert back.count() == 300
+
+
+def test_leveled_runfold_spares_the_giant(spark, tmp_path):
+    """The r10 leveled trigger kills the O(history)-every-major curve
+    (CHANGES_r9 §11, measured 4.6→6.7 s): with max_segments=4 and one
+    batch per pass, the oldest (giant) segment must be re-folded only
+    geometrically rarely — most folds touch only the small recent tail
+    — while the live count stays bounded and content stays exact."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.operators.pipeline import snapshot_diff
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    path = str(tmp_path / "leveled")
+    n, per = 24, 50
+    rows = spark.range(0, n * per).select(
+        F.col("id").alias("k"), (F.col("id") * 17 % 389).alias("v")
+    )
+    giant_folds, fold_spans = 0, []
+    for b in range(n):
+        sinks.overwrite_batch_atomic(
+            rows.filter((F.col("k") >= b * per) & (F.col("k") < (b + 1) * per)),
+            path,
+            b,
+        )
+        seg = sinks.compact_dataset_incremental(
+            spark, path, sort_cols=["k"], max_files=2, max_segments=4
+        )
+        assert seg is not None
+        lo, hi = sinks._seg_ranges(path)[seg]
+        fold_spans.append(hi - lo + 1)
+        if lo == 0 and b > 0:
+            giant_folds += 1
+        assert len(sinks._live_segments(path)) <= 4
+    # geometric rarity: the full-prefix fold happened, but only
+    # O(log n) times — r9's all-fold policy would have done it every
+    # pass past the bound (~20 times here)
+    assert 1 <= giant_folds <= 6, (giant_folds, fold_spans)
+    # most passes are cheap: at least half the folds touch <= 1/3 of history
+    small = sum(1 for i, s in enumerate(fold_spans) if s <= max(2, (i + 1) // 3))
+    assert small >= n // 2, fold_spans
+    # write amplification stays O(n log n), not r9's O(n^2 / max_segments)
+    assert sum(fold_spans) <= n * 8, fold_spans
+    back = sinks.read_vortex_dataset_tiered(spark, path)
+    assert back.count() == n * per
+    assert snapshot_diff(rows, back, "k", ["v"]).count() == 0
+
+
+def test_legacy_name_migration_preserves_ranges(tmp_path):
+    """An r9-era store (legacy minor + all-major names, including a
+    crash-leftover superseded segment) migrates to explicit from-lo
+    names with exactly the ranges the r9 rules implied, idempotently;
+    live/watermark math is unchanged across the rename."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+
+    base = str(tmp_path / "legacy")
+    os.makedirs(base)
+    # r9 history: minor [0,2] (seg 0), minor [3,5] (seg 1),
+    # all-major [0,7] (seg 2, supersedes 0-1; GC crashed so seg 1
+    # remains on disk), then minor [8,9] (seg 3)
+    for name in (
+        "compact-00000001-upto-00000005",  # superseded leftover
+        "compact-00000002-all-upto-00000007",
+        "compact-00000003-upto-00000009",
+    ):
+        os.makedirs(os.path.join(base, name))
+    before_live = [os.path.basename(s) for s in sinks._live_segments(base)]
+    assert before_live == [
+        "compact-00000002-all-upto-00000007",
+        "compact-00000003-upto-00000009",
+    ]
+    sinks._migrate_legacy_segment_names(base)
+    ranges = sinks._seg_ranges(base)
+    # live segments renamed with exact ranges; the superseded leftover
+    # keeps its legacy name (it is the GC sweep's job, and deriving its
+    # lo after its predecessor was GC'd could widen the range — dead
+    # segments must not record ranges they never folded)
+    assert {os.path.basename(s): r for s, r in ranges.items()} == {
+        "compact-00000001-upto-00000005": (0, 5),
+        "compact-00000002-from-00000000-upto-00000007": (0, 7),
+        "compact-00000003-from-00000008-upto-00000009": (8, 9),
+    }
+    assert sinks._compact_watermark(base) == 9
+    assert [os.path.basename(s) for s in sinks._live_segments(base)] == [
+        "compact-00000002-from-00000000-upto-00000007",
+        "compact-00000003-from-00000008-upto-00000009",
+    ]
+    # idempotent: a second migration is a no-op
+    sinks._migrate_legacy_segment_names(base)
+    assert {os.path.basename(s) for s in sinks._segments(base)} == {
+        os.path.basename(s) for s in ranges
+    }

@@ -1,11 +1,19 @@
 """Property test for the tiered state-store listing (sinks.state_dirs /
 read path math): under ANY valid interleaving of batch appends and
-incremental compactions, the listing must cover every committed batch
-id strictly below the reader's batch EXACTLY once — either inside one
-segment's folded range or as a live batch dir — and never expose a
-consumed (compacted) batch dir or a same/future batch. Pure directory
-math, no SparkSession needed, so hypothesis can sweep hundreds of
-histories cheaply."""
+incremental compactions — r9-era legacy folds, r10 leveled RUN folds
+(contiguous, possibly mid-list), full majors, and crash variants that
+commit a fold but skip all GC — the listing must cover every committed
+batch id strictly below the reader's batch EXACTLY once (inside one
+live segment's folded range or as a live batch dir) and never expose a
+consumed batch dir, a superseded segment, or a same/future batch. Pure
+directory math, no SparkSession needed, so hypothesis can sweep
+hundreds of histories cheaply.
+
+Histories have two phases, mirroring production: a LEGACY prefix using
+r9 names (``compact-<seg>[-all]-upto-<hi>``), then the name migration
+(exactly what `compact_dataset_incremental` performs first in every
+pass — run folds never coexist with legacy names), then r10 ops using
+explicit-range names (``compact-<seg>-from-<lo>-upto-<hi>``)."""
 
 from __future__ import annotations
 
@@ -17,90 +25,208 @@ from hypothesis import strategies as st
 from duckdb_vortex_spark.streaming.sinks import (
     _compact_watermark,
     _live_segments,
-    _segments,
+    _migrate_legacy_segment_names,
+    _seg_ranges,
     batch_dirs,
     state_dirs,
 )
 
 
-def _materialize_layout(base: str, history: list[tuple[str, int]]) -> tuple[set[int], int]:
-    """Build the on-disk layout a history of ops produces.
+class _Layout:
+    """On-disk layout builder that tracks its own ground truth
+    (committed batch ids; each created segment's folded range) fully
+    independently of the code under test."""
 
-    ops: ("batch", _) appends batch-id; ("compact", _) folds all live
-    batch dirs into the next MINOR segment; ("major", _) folds all
-    live segments + live batch dirs into one MAJOR segment (like
-    compact_dataset_incremental with max_segments, minus the data).
-    The *_crash variants commit the segment but skip ALL GC — consumed
-    batch dirs and superseded segments stay on disk, which the reader
-    must ignore by watermark / seg-id rule alone.
-    Returns (committed batch ids, next batch id)."""
-    os.makedirs(base, exist_ok=True)
-    committed: set[int] = set()
-    live: list[int] = []
-    live_segs: list[tuple[str, int]] = []  # (dirname, upto)
-    seg = 0
-    next_id = 0
-    for op, _ in history:
-        crash = op.endswith("_crash")
-        op = op.removesuffix("_crash")
-        if op == "batch":
-            os.makedirs(os.path.join(base, f"batch-{next_id:08d}"))
-            committed.add(next_id)
-            live.append(next_id)
-            next_id += 1
-        elif op == "compact" and live:
-            upto = max(live)
-            name = f"compact-{seg:08d}-upto-{upto:08d}"
-            os.makedirs(os.path.join(base, name))
-            if not crash:
-                for b in live:
-                    os.rmdir(os.path.join(base, f"batch-{b:08d}"))
-            live.clear()  # consumed either way; crash leaves garbage dirs
-            live_segs.append((name, upto))
-            seg += 1
-        elif op == "major" and (live or live_segs):
-            upto = max([u for _, u in live_segs] + live)
-            name = f"compact-{seg:08d}-all-upto-{upto:08d}"
-            os.makedirs(os.path.join(base, name))
-            if not crash:
-                for b in live:
-                    os.rmdir(os.path.join(base, f"batch-{b:08d}"))
-                for s, _u in live_segs:
-                    os.rmdir(os.path.join(base, s))
-            live.clear()
-            live_segs = [(name, upto)]
-            seg += 1
-    return committed, next_id
+    def __init__(self, base: str):
+        self.base = base
+        os.makedirs(base, exist_ok=True)
+        self.committed: set[int] = set()
+        self.live_batches: list[int] = []
+        self.live: list[tuple[str, int, int]] = []  # (name, lo, hi) range order
+        self.on_disk: dict[str, tuple[int, int]] = {}  # incl. superseded
+        self.seg = 0
+        self.next_id = 0
+
+    # -- primitive steps ---------------------------------------------------
+    def batch(self):
+        os.makedirs(os.path.join(self.base, f"batch-{self.next_id:08d}"))
+        self.committed.add(self.next_id)
+        self.live_batches.append(self.next_id)
+        self.next_id += 1
+
+    def _watermark(self) -> int:
+        return max([hi for _, hi in self.on_disk.values()], default=-1)
+
+    def _commit_fold(self, name: str, lo: int, hi: int, pos: int, n_segs: int,
+                     eat_batches: bool, crash: bool):
+        """Fold self.live[pos:pos+n_segs] (+ live batches if
+        eat_batches) into one new segment dir; crash = skip all GC."""
+        os.makedirs(os.path.join(self.base, name))
+        folded = self.live[pos : pos + n_segs]
+        if not crash:
+            for s, _lo, _hi in folded:
+                os.rmdir(os.path.join(self.base, s))
+                del self.on_disk[s]
+            if eat_batches:
+                for b in self.live_batches:
+                    os.rmdir(os.path.join(self.base, f"batch-{b:08d}"))
+        self.on_disk[name] = (lo, hi)
+        self.live[pos : pos + n_segs] = [(name, lo, hi)]
+        if eat_batches:
+            self.live_batches.clear()  # consumed either way (crash leaves garbage)
+        self.seg += 1
+
+    # -- legacy (r9-named) ops ----------------------------------------------
+    def legacy_minor(self, crash: bool):
+        if not self.live_batches:
+            return
+        hi = max(self.live_batches)
+        lo = self._watermark() + 1
+        self._commit_fold(
+            f"compact-{self.seg:08d}-upto-{hi:08d}", lo, hi,
+            len(self.live), 0, True, crash,
+        )
+
+    def legacy_major(self, crash: bool):
+        if not (self.live or self.live_batches):
+            return
+        hi = max([h for _, _l, h in self.live] + self.live_batches)
+        self._commit_fold(
+            f"compact-{self.seg:08d}-all-upto-{hi:08d}", 0, hi,
+            0, len(self.live), True, crash,
+        )
+
+    # -- r10 (explicit-range) ops --------------------------------------------
+    def _from_name(self, lo: int, hi: int) -> str:
+        return f"compact-{self.seg:08d}-from-{lo:08d}-upto-{hi:08d}"
+
+    def minor(self, crash: bool):
+        if not self.live_batches:
+            return
+        lo, hi = self._watermark() + 1, max(self.live_batches)
+        self._commit_fold(self._from_name(lo, hi), lo, hi,
+                          len(self.live), 0, True, crash)
+
+    def tailfold(self, n: int, crash: bool):
+        """Suffix run of n live segments + live batches — the shape
+        production's leveled trigger emits."""
+        if not self.live_batches and not n:
+            return
+        n = min(n, len(self.live))
+        if self.live_batches:
+            hi = max(self.live_batches)
+        elif n:
+            hi = self.live[-1][2]
+        else:
+            return
+        lo = self.live[len(self.live) - n][1] if n else self._watermark() + 1
+        self._commit_fold(self._from_name(lo, hi), lo, hi,
+                          len(self.live) - n, n, True, crash)
+
+    def runfold(self, i: int, n: int, crash: bool):
+        """Contiguous run of live segments only, possibly MID-LIST —
+        broader than production emits; the reader math must hold."""
+        if not self.live:
+            return
+        i = i % len(self.live)
+        n = max(1, min(n, len(self.live) - i))
+        lo, hi = self.live[i][1], self.live[i + n - 1][2]
+        self._commit_fold(self._from_name(lo, hi), lo, hi, i, n, False, crash)
+
+    def major(self, crash: bool):
+        if not (self.live or self.live_batches):
+            return
+        hi = max([h for _, _l, h in self.live] + self.live_batches)
+        self._commit_fold(self._from_name(0, hi), 0, hi,
+                          0, len(self.live), True, crash)
+
+    def migrate(self):
+        """The production rename, tracked against OUR ranges: every
+        LIVE legacy dir moves to the from-form with the (lo, hi) this
+        builder recorded at its creation — asserting en passant that
+        `_migrate_legacy_segment_names` derives the same. Superseded
+        crash leftovers keep their legacy names (GC's job, not
+        migration's)."""
+        _migrate_legacy_segment_names(self.base)
+        live_names = {name for name, _lo, _hi in self.live}
+        renamed: dict[str, tuple[int, int]] = {}
+        for name, (lo, hi) in self.on_disk.items():
+            if "-from-" in name or name not in live_names:
+                renamed[name] = (lo, hi)
+                continue
+            sid = int(name.split("-", 2)[1])
+            want = f"compact-{sid:08d}-from-{lo:08d}-upto-{hi:08d}"
+            assert os.path.isdir(os.path.join(self.base, want)), (
+                f"migration of {name} produced a different range than the "
+                f"ground truth ({lo},{hi})"
+            )
+            renamed[want] = (lo, hi)
+        self.on_disk = renamed
+        self.live = [
+            (
+                f"compact-{name.split('-', 2)[1]}-from-{lo:08d}-upto-{hi:08d}"
+                if "-from-" not in name
+                else name,
+                lo,
+                hi,
+            )
+            for name, lo, hi in self.live
+        ]
+
+
+LEGACY_OPS = ["batch", "minor", "major", "minor_crash", "major_crash"]
+NEW_OPS = LEGACY_OPS + ["tailfold", "tailfold_crash", "runfold", "runfold_crash"]
 
 
 @settings(max_examples=300, deadline=None)
 @given(
+    legacy=st.lists(st.sampled_from(LEGACY_OPS), max_size=10),
     history=st.lists(
-        st.tuples(
-            st.sampled_from(
-                ["batch", "compact", "major", "compact_crash", "major_crash"]
-            ),
-            st.just(0),
-        ),
+        st.tuples(st.sampled_from(NEW_OPS), st.integers(0, 7), st.integers(0, 7)),
         min_size=1,
-        max_size=24,
-    )
+        max_size=20,
+    ),
 )
-def test_state_listing_covers_every_earlier_batch_exactly_once(tmp_path_factory, history):
+def test_state_listing_covers_every_earlier_batch_exactly_once(
+    tmp_path_factory, legacy, history
+):
     base = str(tmp_path_factory.mktemp("tiered"))
-    committed, next_id = _materialize_layout(base, history)
+    lay = _Layout(base)
+    for op in legacy:
+        crash = op.endswith("_crash")
+        kind = op.removesuffix("_crash")
+        if kind == "batch":
+            lay.batch()
+        elif kind == "minor":
+            lay.legacy_minor(crash)
+        else:
+            lay.legacy_major(crash)
+    lay.migrate()
+    for op, i, n in history:
+        crash = op.endswith("_crash")
+        kind = op.removesuffix("_crash")
+        if kind == "batch":
+            lay.batch()
+        elif kind == "minor":
+            lay.minor(crash)
+        elif kind == "tailfold":
+            lay.tailfold(n, crash)
+        elif kind == "runfold":
+            lay.runfold(i, n, crash)
+        else:
+            lay.major(crash)
+
+    committed, next_id = lay.committed, lay.next_id
 
     def _segment_cover() -> list[int]:
-        # LIVE segments only (a major supersedes smaller seg ids even
-        # while crash-leftover dirs are still on disk); their folded
-        # ranges are consecutive (prev_upto, upto] in seg-id order,
-        # with the leading major covering [0, its upto]
+        # LIVE segments only (containment supersession, even while
+        # crash-leftover dirs are still on disk); each contributes its
+        # full explicit folded range
+        ranges = _seg_ranges(base)
         ids: list[int] = []
-        prev = -1
         for s in _live_segments(base):
-            upto = int(os.path.basename(s).rsplit("-", 1)[1])
-            ids.extend(range(prev + 1, upto + 1))
-            prev = upto
+            lo, hi = ranges[s]
+            ids.extend(range(lo, hi + 1))
         return ids
 
     # the next micro-batch (id = next_id) must see ALL committed
@@ -112,6 +238,12 @@ def test_state_listing_covers_every_earlier_batch_exactly_once(tmp_path_factory,
             covered.append(int(name.split("-", 1)[1]))
     assert sorted(covered) == sorted(committed), (
         f"listing covers {sorted(covered)} but committed {sorted(committed)}"
+    )
+
+    # the live listing the reader takes must be exactly the builder's
+    # ground-truth live set (no superseded segment survives, none lost)
+    assert sorted(os.path.basename(s) for s in _live_segments(base)) == sorted(
+        name for name, _lo, _hi in lay.live
     )
 
     # no listing for the CURRENT batch ever exposes a consumed dir, a
@@ -139,10 +271,20 @@ def test_state_listing_covers_every_earlier_batch_exactly_once(tmp_path_factory,
 
 
 def test_segment_over_retryable_batch_fails_loudly(tmp_path):
+    # legacy name form
     base = str(tmp_path / "bad")
     os.makedirs(os.path.join(base, "compact-00000000-upto-00000003"))
     try:
         state_dirs(base, 3)
+    except ValueError as e:
+        assert "still retryable" in str(e)
+    else:
+        raise AssertionError("expected ValueError for upto >= before")
+    # explicit-range name form
+    base2 = str(tmp_path / "bad2")
+    os.makedirs(os.path.join(base2, "compact-00000000-from-00000000-upto-00000003"))
+    try:
+        state_dirs(base2, 3)
     except ValueError as e:
         assert "still retryable" in str(e)
     else:
