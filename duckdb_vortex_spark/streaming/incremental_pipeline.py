@@ -366,14 +366,31 @@ def incremental_ingest_stream(
     centroids: DataFrame,
     root: str,
     checkpoint: str,
+    maintain_every: int | None = None,
+    maintain_max_segments: int = 4,
     **kwargs,
 ):
     """Start the integrated chain on a streaming DataFrame of
     (doc_id, source, text, vec) with a static offline codebook;
     returns the StreamingQuery. Whole-history manifest = the
-    batch-mode chain under id-ordered ingest (module docstring)."""
+    batch-mode chain under id-ordered ingest (module docstring).
+
+    ``maintain_every`` (r10) builds the 24/7 posture in: every N-th
+    micro-batch, `compact_chain_stores` runs INSIDE the sink BEFORE
+    the batch is processed — the one point in a stream's life where
+    maintenance is safe by construction (the processor is the only
+    reader, no plan spans the pass, and ``before=batch_id`` keeps a
+    crashed predecessor attempt's partial state foldable-proof, the
+    ADVICE r9 wedge). With it set, a batch's state read opens at most
+    (maintain_max_segments + maintain_every) dirs per store no matter
+    how many batches ever landed; without it, callers own maintenance
+    (between sessions, or their own in-sink wiring)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if maintain_every and batch_id >= 1 and batch_id % maintain_every == 0:
+            compact_chain_stores(
+                spark, root, max_segments=maintain_max_segments, before=batch_id
+            )
         ingest_process_batch(batch_df, batch_id, centroids, root, **kwargs)
 
     return (

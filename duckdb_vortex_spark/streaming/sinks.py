@@ -430,6 +430,43 @@ def compact_dataset_incremental(
         )
 
 
+def _pick_fold_run(
+    spans: list[int],
+    new_span: int,
+    max_segments: int,
+    level_ratio: float,
+) -> int:
+    """The leveled fold policy, as a PURE function of the live layout
+    (so its asymptotics are property-testable over thousands of
+    simulated passes without a SparkSession —
+    tests/test_tiered_listing_property.py::test_leveled_policy_asymptotics).
+
+    Given the live segments' spans in RANGE order (oldest first), the
+    span of the new batches (0 if none), and the cap, return how many
+    TAIL segments to fold together with the new batches. Two rules
+    compose:
+
+    - forced inclusions: the fold output is one segment, so folding
+      ``run`` existing segments must leave (k - run) + 1 <=
+      max_segments → run >= k + 1 - max_segments;
+    - geometric extension: keep including the predecessor while its
+      span is <= level_ratio × the span accumulated so far — the
+      size-tiered rule. Spans stay geometrically spaced (each level
+      >~ level_ratio × the sum below it), so the oldest giant is
+      re-folded only when the tail has genuinely caught up
+      (accumulated >= span(giant)/level_ratio), which happens
+      geometrically rarely, and a row is rewritten
+      O(log(history)/log(level_ratio)) times total."""
+    k = len(spans)
+    need = k + 1 - max_segments
+    acc = new_span
+    run = 0
+    while run < k and (run < need or spans[k - run - 1] <= level_ratio * acc):
+        acc += spans[k - run - 1]
+        run += 1
+    return run
+
+
 def _compact_incremental_locked(
     spark,
     path: str,
@@ -486,27 +523,14 @@ def _compact_incremental_locked(
         return None
     from ..sources.vortex import write_sorted
 
-    # Pick the contiguous tail run of live segments to fold with the
-    # new batches: forced inclusions first (post-pass live count must
-    # be <= max_segments: fold output is 1 segment, so folding `run`
-    # existing segments needs run >= k + 1 - max_segments), then
-    # geometric extension (include the predecessor while its span is
-    # <= level_ratio × the span accumulated so far — the size-tiered
-    # rule that keeps spans geometrically spaced and spares the giant
-    # until the tail has genuinely caught up).
     if new_batches:
         hi = max(int(os.path.basename(d).split("-", 1)[1]) for d in new_batches)
-        acc = hi - watermark  # span of the new pseudo-segment
+        new_span = hi - watermark  # span of the new pseudo-segment
     else:
         hi = ranges[live[-1]][1]
-        acc = 0
-    run = 0
-    if over:
-        need = k + 1 - max_segments
-        spans = [ranges[s][1] - ranges[s][0] + 1 for s in live]
-        while run < k and (run < need or spans[k - run - 1] <= level_ratio * acc):
-            acc += spans[k - run - 1]
-            run += 1
+        new_span = 0
+    spans = [ranges[s][1] - ranges[s][0] + 1 for s in live]
+    run = _pick_fold_run(spans, new_span, max_segments, level_ratio) if over else 0
     folded = live[k - run :] if run else []
     lo = ranges[folded[0]][0] if folded else watermark + 1
     inputs = folded + new_batches

@@ -221,7 +221,14 @@ def test_chain_state_file_count_bounded(spark, tmp_path):
 
 def test_real_stream_drive(spark, tmp_path):
     """End-to-end through readStream/foreachBatch over two replayed
-    parquet files; manifest covers every doc exactly once."""
+    parquet files; manifest covers every doc exactly once. Runs with
+    the BUILT-IN maintenance knob (maintain_every=1, r10): the second
+    batch's sink compacts the first batch's state before processing,
+    so the stream exercises the full 24/7 posture — in-sink
+    maintenance with the before=batch_id bound — as a one-parameter
+    product feature, not test-side wiring."""
+    from duckdb_vortex_spark.streaming.sinks import _segments
+
     register(spark)
     corpus = _corpus(spark, limit=60).select("doc_id", "source", "text", "vec")
     emb = load(spark, SF_DIR, "embeddings")
@@ -240,12 +247,16 @@ def test_real_stream_drive(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(src, "*"))
     )
-    q = incremental_ingest_stream(spark, stream, centroids, root, ckpt)
+    q = incremental_ingest_stream(
+        spark, stream, centroids, root, ckpt, maintain_every=1
+    )
     q.awaitTermination()
     q.stop()
     man = _manifest(spark, root)
     assert man.count() == corpus.count()
     assert man.select("doc_id").distinct().count() == corpus.count()
+    # the built-in maintenance actually ran: batch 0's state is folded
+    assert _segments(os.path.join(root, "fp")), "in-sink maintenance did not run"
 
 
 def _replay_files(spark, corpus, src, n_files, order_col="doc_id"):

@@ -289,3 +289,51 @@ def test_segment_over_retryable_batch_fails_loudly(tmp_path):
         assert "still retryable" in str(e)
     else:
         raise AssertionError("expected ValueError for upto >= before")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    batch_spans=st.lists(st.integers(1, 3), min_size=50, max_size=400),
+    max_segments=st.integers(2, 8),
+    level_ratio=st.sampled_from([1.5, 2.0, 3.0]),
+)
+def test_leveled_policy_asymptotics(batch_spans, max_segments, level_ratio):
+    """Pure simulation of `_pick_fold_run` over hundreds of passes
+    (one new pseudo-segment per pass, variable span): the policy must
+    (a) keep the live count <= max_segments after EVERY pass, (b)
+    re-fold the full prefix only O(log total) times — the r9 all-fold
+    did it every pass past the cap — and (c) keep total bytes
+    rewritten (Σ folded spans, the write amplification) within
+    O(total · log total), not r9's O(total² / max_segments)."""
+    import math
+
+    from duckdb_vortex_spark.streaming.sinks import _pick_fold_run
+
+    spans: list[int] = []  # live segment spans, range order
+    total = 0
+    giant_folds = 0
+    rewritten = 0
+    for b in batch_spans:
+        total += b
+        if len(spans) + 1 > max_segments:
+            run = _pick_fold_run(spans, b, max_segments, level_ratio)
+            assert run >= 1, "over the cap, the fold must reduce the count"
+            folded = sum(spans[len(spans) - run :]) + b
+            rewritten += folded
+            if run == len(spans):
+                giant_folds += 1
+            spans = spans[: len(spans) - run] + [folded]
+        else:
+            rewritten += b  # the new minor's own write
+            spans.append(b)
+        assert len(spans) <= max_segments, (spans, max_segments)
+        assert sum(spans) == total  # coverage: every batch in exactly one segment
+    # (b) full-prefix folds are geometrically rare: each one grows the
+    # giant by >= (1 + 1/level_ratio - epsilon), so their count is
+    # logarithmic in total span (+ slack for the cap-forced warm-up)
+    log_bound = math.log(max(total, 2), 1 + 1 / (level_ratio + 1)) + max_segments
+    assert giant_folds <= log_bound, (giant_folds, log_bound, total)
+    # (c) write amplification is O(total · log total): every row sits
+    # in at most ~log_{level_ratio}(total) levels over its lifetime
+    amp_bound = total * (math.log(max(total, 2), 1.5) + 4)
+    assert rewritten <= amp_bound, (rewritten, amp_bound, total)
