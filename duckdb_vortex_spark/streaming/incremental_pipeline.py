@@ -139,6 +139,7 @@ def compact_chain_stores(
     max_segments: int = 4,
     max_files: int = STATE_FILES,
     before: int | None = None,
+    level_ratio: float = 2.0,
 ) -> dict[str, str | None]:
     """Maintenance pass over the chain's four state stores: one
     incremental (tiered) compaction each, bounded to ``max_files``
@@ -174,6 +175,7 @@ def compact_chain_stores(
                 max_files=max_files,
                 max_segments=max_segments,
                 before=before,
+                level_ratio=level_ratio,
             )
     return out
 
