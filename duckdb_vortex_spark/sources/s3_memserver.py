@@ -245,11 +245,23 @@ class S3MemHandler(http.server.BaseHTTPRequestHandler):
                     obj = obj[-int(b):]
                     status = 206
                 # else: fall through — full object, status 200
+            elif b and int(a) > int(b):
+                pass  # invalid byte-range-spec (first > last): full object
+            elif int(a) >= len(obj):
+                # RFC 7233 §4.4: a VALID spec whose first-byte-pos is
+                # at/after the current length is unsatisfiable → 416
+                # (real S3 does this) — the loud signal a corrupt
+                # past-EOF pointer deserves, vs the silent b'' a
+                # lenient server would invent. (An INVALID spec — first
+                # > last — is handled above: header ignored, full 200.)
+                self.send_response(416)
+                self.send_header("Content-Range", f"bytes */{len(obj)}")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             elif not b:
                 obj = obj[int(a):]
                 status = 206  # open-ended 'bytes=a-': a through EOF
-            elif int(a) > int(b):
-                pass
             else:
                 obj = obj[int(a): int(b) + 1]
                 status = 206

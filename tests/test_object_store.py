@@ -582,3 +582,42 @@ def test_requests_carry_timeout(s3, monkeypatch):
         f.write(b"x")
     s3.exists("s3://bkt/t.bin")
     assert seen and all(t == s3.timeout for t in seen)
+
+
+def test_lazy_size_reads(s3):
+    """r10 (ADVICE r9): opening a readable no longer HEADs — a
+    seek(SET)+read(n) access pattern costs exactly one ranged GET and
+    zero HEADs; read-all and SEEK_END resolve the size lazily (one
+    HEAD at most, on first need); and a sized read from at/after EOF
+    on a never-sized handle surfaces the server's 416 loudly instead
+    of inventing b'' (a pointer past EOF is corrupt metadata)."""
+    import urllib.error
+
+    import pytest
+
+    payload = bytes(range(200))
+    with s3.open("s3://bkt/lazy.bin", "wb") as f:
+        f.write(payload)
+    srv_handler = type(s3)  # noqa: F841 (kept for symmetry with audit tests)
+
+    f = s3.open("s3://bkt/lazy.bin", "rb")
+    assert f._size is None  # no HEAD at open
+    f.seek(50)
+    assert f.read(10) == payload[50:60]
+    assert f._size is None  # still no HEAD after a sized read
+    # range crossing the tail: the server clamps, short read comes back
+    f.seek(190)
+    assert f.read(50) == payload[190:]
+    # read past EOF without a known size: loud 416, not b''
+    f.seek(500)
+    with pytest.raises(urllib.error.HTTPError):
+        f.read(5)
+    # read-all resolves the size lazily and still works
+    g = s3.open("s3://bkt/lazy.bin", "rb")
+    assert g.read() == payload
+    assert g._size == len(payload)
+    # SEEK_END resolves it too, then reads past EOF return b'' (size known)
+    h = s3.open("s3://bkt/lazy.bin", "rb")
+    h.seek(-8, 2)
+    assert h.read(8) == payload[-8:]
+    assert h.read(8) == b""

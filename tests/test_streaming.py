@@ -842,3 +842,40 @@ def test_legacy_name_migration_preserves_ranges(tmp_path):
     assert {os.path.basename(s) for s in sinks._segments(base)} == {
         os.path.basename(s) for s in ranges
     }
+
+
+def test_maintenance_lease_unreadable_owner_paths(tmp_path):
+    """The lease's degraded paths, without Spark: a lock dir with NO
+    readable owner.json is stolen only once it is older than
+    stale_after (a fresh one is most likely a concurrent pass between
+    its mkdir and its owner write — loud failure); a clean acquire
+    writes the owner file and removes the lock on exit."""
+    import json
+    import time
+
+    from duckdb_vortex_spark.streaming.sinks import _maintenance_lease
+
+    store = str(tmp_path / "store")
+    lock = os.path.join(store, ".maintenance-lock")
+
+    # fresh, no owner.json -> loud failure, lock untouched
+    os.makedirs(lock)
+    with pytest.raises(RuntimeError, match="no readable owner"):
+        with _maintenance_lease(store):
+            raise AssertionError("must not acquire over a fresh anonymous lock")
+    assert os.path.isdir(lock)
+
+    # same lock, but old -> stolen; owner.json written; released on exit
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    with _maintenance_lease(store, stale_after=3600):
+        with open(os.path.join(lock, "owner.json")) as f:
+            owner = json.load(f)
+        assert owner["pid"] == os.getpid()
+    assert not os.path.isdir(lock)
+
+    # exception inside the pass still releases the lease
+    with pytest.raises(ValueError, match="boom"):
+        with _maintenance_lease(store):
+            raise ValueError("boom")
+    assert not os.path.isdir(lock)
