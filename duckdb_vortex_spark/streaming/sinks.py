@@ -423,6 +423,17 @@ def compact_dataset_incremental(
     plans never span a pass. Decoupled readers need a snapshot layer
     (the full-rewrite `compact_dataset` models it: it returns the
     retired path and lets the caller delete after readers drain)."""
+    if max_segments is not None and max_segments < 1:
+        # max_segments=0 would make EVERY pass — including no-new-data
+        # ones — fold the entire live history into a fresh segment
+        # forever (live count 1 can never satisfy a cap of 0): a silent
+        # full-store rewrite loop, the exact pathology this function
+        # exists to avoid. Refuse the config instead.
+        raise ValueError(
+            f"max_segments must be >= 1 (got {max_segments}): a cap of 0 "
+            "is unsatisfiable and would re-fold the whole store on every "
+            "maintenance pass"
+        )
     with _maintenance_lease(path):
         return _compact_incremental_locked(
             spark, path, sort_cols, chunk_rows, max_files, max_segments,

@@ -879,3 +879,15 @@ def test_maintenance_lease_unreadable_owner_paths(tmp_path):
         with _maintenance_lease(store):
             raise ValueError("boom")
     assert not os.path.isdir(lock)
+
+
+def test_compaction_rejects_unsatisfiable_cap(spark, tmp_path):
+    """max_segments=0 can never be satisfied (a fold leaves one live
+    segment), so every pass — including no-new-data ones — would
+    re-fold the entire store forever; the config is refused loudly."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+
+    with pytest.raises(ValueError, match="max_segments must be >= 1"):
+        sinks.compact_dataset_incremental(
+            spark, str(tmp_path / "x"), sort_cols=["k"], max_segments=0
+        )
