@@ -142,6 +142,12 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_SPREADS.json"), "w") as f:
         json.dump({"spreads": spreads, "n_timed": N_TIMED, "estimator": "median"}, f)
+    # stop Spark BEFORE the machine line: JVM shutdown can write to
+    # stdout, and in r10 ~0.9 KB of it landed AFTER the JSON line,
+    # pushing the line's head out of the driver's raw 2 KB tail
+    # capture (VERDICT r10 wrong #4). The machine line must be the
+    # final stdout bytes of the process.
+    spark.stop()
     print(
         json.dumps(
             {
@@ -154,9 +160,9 @@ def main() -> None:
                 "sf": sf,
             },
             separators=(",", ":"),
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 def _delta_report(timings: dict[str, float]) -> None:

@@ -931,11 +931,30 @@ def ivf_assign_vectorized(
 
 # --- product quantization (PQ) -------------------------------------------
 
+# Named points on the measured code-budget/recall curve (r10 sweep,
+# SCALE.md "PQ code budget vs recall"; recall@10 vs exact at sf0.1,
+# n_probe=4, 64-dim embeddings — monotone in both axes at every sf):
+#
+#   profile      m   k_codes  bytes/vec  recall@10   use when
+#   PQ_COMPACT   4   16       4          0.052       memory-floor scans;
+#                                                    oracle-parity entries
+#   PQ_QUALITY   16  64       16         0.278       the default answer —
+#                                                    5.3× the recall, still
+#                                                    16× below raw (256 B)
+#
+# The bare-API defaults below are PQ_QUALITY (VERDICT r10 wrong #3: a
+# user copying the old m=4/k_codes=16 default got the measured recall
+# plateau). Catalog entries pin PQ_COMPACT explicitly — their DuckDB
+# oracles replay the exact parameters, and the compact point keeps the
+# oracle's m-way cross join cheap — with docstrings pointing here.
+PQ_COMPACT = {"m": 4, "k_codes": 16}
+PQ_QUALITY = {"m": 16, "k_codes": 64}
+
 
 def pq_codebooks(
     df: DataFrame,
-    m: int = 4,
-    k: int = 16,
+    m: int = PQ_QUALITY["m"],
+    k: int = PQ_QUALITY["k_codes"],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
@@ -1221,8 +1240,8 @@ def ivfpq_topk(
     k: int = 10,
     n_clusters: int = 16,
     n_probe: int = 4,
-    m: int = 4,
-    k_codes: int = 16,
+    m: int = PQ_QUALITY["m"],
+    k_codes: int = PQ_QUALITY["k_codes"],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1351,11 +1370,19 @@ def similarity_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. The oracle reproduces centroid pick, cosine cluster
     assignment, PQ encoding, and the in-order ADC sums bit-for-bit,
     restricted to (query, candidate) pairs whose clusters the query
-    probes."""
+    probes.
+
+    Pins the PQ_COMPACT point (m=4/k_codes=16) DELIBERATELY: the
+    oracle's m-way subspace cross join replays these exact parameters
+    and the entry checks plan parity, not retrieval quality. The
+    bare-API default (`ivfpq_topk` with no m/k_codes) is PQ_QUALITY —
+    5.3× the recall at 16 B/vec; see the profile table at the PQ
+    section header and SCALE.md "PQ code budget vs recall"."""
     emb = load(spark, sf_dir, "embeddings")
     return ivfpq_topk(
         emb.filter(F.col("vec_id") % 20 == 0), emb,
-        k=10, n_clusters=16, n_probe=4, m=4, k_codes=16,
+        k=10, n_clusters=16, n_probe=4,
+        m=PQ_COMPACT["m"], k_codes=PQ_COMPACT["k_codes"],
     )
 
 

@@ -210,9 +210,14 @@ class _S3ReadableFile(io.RawIOBase):
     resolved on first need: read-all, SEEK_END, or clamping a sized
     read once known. While the size is unknown a sized read trusts the
     caller's range — a range crossing the object tail is clamped by
-    the server itself (RFC 7233), and a range starting at/after the
-    tail fails LOUDLY with the server's 416 instead of returning b''
-    (a pointer past EOF is corrupt metadata, not end-of-stream)."""
+    the server itself (RFC 7233); a range starting AT the tail
+    (pos == size) is the io.RawIOBase EOF probe every sequential
+    consumer (io.BufferedReader, shutil.copyfileobj) makes, so the
+    server's 416 is caught, the true size parsed from its
+    ``Content-Range: bytes */<len>`` header, and b'' returned
+    (ADVICE r10); a range starting PAST the tail still fails loudly
+    with the 416 (a pointer past EOF is corrupt metadata, not
+    end-of-stream)."""
 
     def __init__(self, fs: "S3FS", bucket: str, key: str):
         self._fs = fs
@@ -261,10 +266,26 @@ class _S3ReadableFile(io.RawIOBase):
             end = self._pos + n - 1  # size unknown: server clamps the tail
         if self._size is not None and self._pos >= self._size:
             return b""
-        data = self._fs._request(
-            "GET", self._bucket, self._key,
-            headers={"range": f"bytes={self._pos}-{end}"},
-        )
+        try:
+            data = self._fs._request(
+                "GET", self._bucket, self._key,
+                headers={"range": f"bytes={self._pos}-{end}"},
+            )
+        except urllib.error.HTTPError as e:
+            if e.code == 416 and self._size is None:
+                # RFC 7233: the unsatisfiable-range response names the
+                # complete length (Content-Range: bytes */<len>). If
+                # pos == size this was a legitimate sequential EOF
+                # probe — return b'' per the io.RawIOBase contract;
+                # anything further past the tail stays loud.
+                m = re.fullmatch(
+                    r"bytes \*/(\d+)", e.headers.get("Content-Range") or ""
+                )
+                if m:
+                    self._size = int(m.group(1))
+                    if self._pos == self._size:
+                        return b""
+            raise
         self._pos += len(data)
         return data
 

@@ -136,21 +136,27 @@ CHAIN_STORE_SORT = {
 def compact_chain_stores(
     spark: SparkSession,
     root: str,
-    max_segments: int = 4,
+    max_segments: int | str = "auto",
     max_files: int = STATE_FILES,
     before: int | None = None,
     level_ratio: float = 2.0,
 ) -> dict[str, str | None]:
     """Maintenance pass over the chain's four state stores: one
     incremental (tiered) compaction each, bounded to ``max_files``
-    part files per segment and ``max_segments`` live segments
-    (leveled run fold past that — see
-    `sinks.compact_dataset_incremental`). Run BETWEEN micro-batches on
-    checkpoint-committed batches only; with it interleaved every N
-    batches, a per-batch state read opens at most ``max_segments + N``
-    dirs / ``(max_segments + N) * max_files`` files no matter how many
-    batches have ever landed — the bound the r9 flatness harness and
-    `test_chain_state_file_count_bounded` pin.
+    part files per segment and a leveled live-segment cap
+    (run fold past it — see `sinks.compact_dataset_incremental`).
+    The default cap is ``"auto"`` (r11, ADVICE r10): it grows as
+    max(4, ceil(log_ratio(history))), which is what keeps per-row
+    rewrite cost O(log n) on an UNBOUNDED 24/7 stream — a constant
+    cap forces polynomial tail refolds (Θ(n^(1+1/K)) total work,
+    ~74×/row by 20k batches at K=4). Pass a constant int only for
+    bounded-history stores where a hard listing bound matters more.
+    Run BETWEEN micro-batches on checkpoint-committed batches only;
+    with it interleaved every N batches, a per-batch state read opens
+    at most ``cap + N`` dirs / ``(cap + N) * max_files`` files —
+    constant for int caps, O(log batches) for ``"auto"`` — the bound
+    the r9 flatness harness and `test_chain_state_file_count_bounded`
+    pin.
 
     ``before`` (ADVICE r9 — REQUIRED when called from inside a
     stream's foreachBatch): the current batch id. A crash mid-batch-N
@@ -369,7 +375,7 @@ def incremental_ingest_stream(
     root: str,
     checkpoint: str,
     maintain_every: int | None = None,
-    maintain_max_segments: int = 4,
+    maintain_max_segments: int | str = "auto",
     **kwargs,
 ):
     """Start the integrated chain on a streaming DataFrame of
@@ -384,9 +390,12 @@ def incremental_ingest_stream(
     reader, no plan spans the pass, and ``before=batch_id`` keeps a
     crashed predecessor attempt's partial state foldable-proof, the
     ADVICE r9 wedge). With it set, a batch's state read opens at most
-    (maintain_max_segments + maintain_every) dirs per store no matter
-    how many batches ever landed; without it, callers own maintenance
-    (between sessions, or their own in-sink wiring)."""
+    (cap + maintain_every) dirs per store — cap is constant for an
+    int ``maintain_max_segments``, O(log batches-ever-landed) for the
+    default ``"auto"`` (which is also what keeps per-row rewrite cost
+    O(log n) on an unbounded stream — see `compact_chain_stores`);
+    without it, callers own maintenance (between sessions, or their
+    own in-sink wiring)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if maintain_every and batch_id >= 1 and batch_id % maintain_every == 0:

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Measure — don't argue — the per-stage scheduling-floor amortization
+claim (VERDICT r10 perf-weak rows): the multi-stage TPC-H joins (q5
+8.7×, q21 4.4× at the sf0.001→0.1 margin) are defended as "Spark pays
+a fixed per-stage cost that amortizes as per-stage data grows". This
+script grows the data and records whether the head-to-head marginal
+ratio actually falls.
+
+Method:
+- Replicate the FACT tables of sf0.1 (lineitem, orders, events,
+  documents) K× with key remapping — orders/lineitem get per-replica
+  o_orderkey/l_orderkey offsets (same dims/customers/suppliers: more
+  facts per entity, the way a warehouse actually grows); events get
+  per-replica user_id/event_id offsets (disjoint user universes, so
+  per-user session/frame structure is identical and only data volume
+  grows); documents get doc_id offsets and a per-replica text suffix
+  (distinct content hashes — dedup keeps its semantics). Dimension
+  tables are byte-identical copies. DuckDB does the replication (one
+  COPY per table).
+- For each scale in ×1 (sf0.1 itself), ×4, ×8: run the 14 shape-fair
+  head-to-head queries (same set as SCALE.md's r7/r9/r10 tables) on
+  BOTH engines — warm-up + median-of-3, `bench_vs_duckdb.py`
+  discipline, one Spark session, per-scale DuckDB views.
+- Report per-query and aggregate marginals ×1→×4 and ×1→×8 and the
+  Spark/DuckDB marginal ratios. The claim passes if the q5/q21 ratios
+  FALL as scale grows (fixed per-stage cost divided by more data);
+  a ratio that grows names a real plan problem instead.
+
+Usage: python scripts/scale_amortization.py [--reps 4 8] [--keep]
+Prints one JSON line on stdout; readable tables on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from bench import run_one  # noqa: E402
+from duckdb_vortex_spark import catalog  # noqa: E402
+from duckdb_vortex_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = os.environ.get("SPARK_GRAFT_SCALE_WORK", "/tmp/dvs_scale_amort")
+
+# the 14 shape-fair queries (SCALE.md "Single-node head-to-head"):
+# every row whose DuckDB oracle is shape-equivalent to the Spark plan
+SHAPE_FAIR = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q21_waiting_supplier",
+    "dedup_exact_content_hash",
+    "text_quality_score",
+    "window_time_range_rolling",
+    "stream_tumbling_window_counts",
+    "events_sessionize_gap",
+    "timeseries_gapfill_locf",
+    "join_interval_binned",
+    "text_cross_doc_ngram_overlap",
+]
+
+# per-replica key offsets, all far above any sf0.1 key
+OFF = 100_000_000
+
+
+def build_replica_dir(k: int) -> str:
+    """Write the ×k dataset under WORK/x{k}; idempotent (skips if the
+    marker file says the same k/source already landed)."""
+    out = os.path.join(WORK, f"x{k}")
+    marker = os.path.join(out, ".built.json")
+    want = {"k": k, "src": SF_DIR}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == want:
+                return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    con = duckdb.connect()
+    rep = {
+        "lineitem": f"""
+            SELECT * REPLACE (l_orderkey + r.r * {OFF} AS l_orderkey)
+            FROM read_parquet('{SF_DIR}/lineitem.parquet'), range({k}) r(r)""",
+        "orders": f"""
+            SELECT * REPLACE (o_orderkey + r.r * {OFF} AS o_orderkey)
+            FROM read_parquet('{SF_DIR}/orders.parquet'), range({k}) r(r)""",
+        "events": f"""
+            SELECT * REPLACE (event_id + r.r * {OFF} AS event_id,
+                              user_id + r.r * {OFF} AS user_id)
+            FROM read_parquet('{SF_DIR}/events.parquet'), range({k}) r(r)""",
+        "documents": f"""
+            SELECT * REPLACE (doc_id + r.r * {OFF} AS doc_id,
+                              CASE WHEN r.r = 0 THEN text
+                                   ELSE text || ' zqrep' || r.r END AS text)
+            FROM read_parquet('{SF_DIR}/documents.parquet'), range({k}) r(r)""",
+    }
+    for t in catalog.TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        if t in rep:
+            con.execute(f"COPY ({rep[t]}) TO '{dst}' (FORMAT PARQUET)")
+        else:
+            shutil.copyfile(os.path.join(SF_DIR, f"{t}.parquet"), dst)
+    con.close()
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return out
+
+
+def duck_time(con: duckdb.DuckDBPyConnection, sql: str) -> float:
+    t0 = time.monotonic()
+    con.execute(sql).fetchall()
+    return time.monotonic() - t0
+
+
+def measure_scale(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
+    qs = catalog.queries()
+    oracles = catalog.oracle_sql()
+    con = duckdb.connect()
+    for t in catalog.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, dict] = {}
+    for name in names:
+        run_one(spark, qs[name], sf_dir)  # warm-up
+        s_t = statistics.median(run_one(spark, qs[name], sf_dir) for _ in range(3))
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)  # let the ContextCleaner drain (bench.py note)
+        duck_time(con, oracles[name])  # warm-up
+        d_t = statistics.median(duck_time(con, oracles[name]) for _ in range(3))
+        out[name] = {"spark": round(s_t, 4), "duckdb": round(d_t, 4)}
+        print(
+            f"    {name:40s} spark={s_t:7.3f}s duckdb={d_t:7.3f}s",
+            file=sys.stderr,
+        )
+    con.close()
+    return out
+
+
+def main() -> None:
+    reps = [4, 8]
+    if "--reps" in sys.argv:
+        i = sys.argv.index("--reps")
+        reps = [int(x) for x in sys.argv[i + 1 :] if x.isdigit()]
+    spark = get_spark("dvs-scale-amortization")
+    names = [
+        n for n in SHAPE_FAIR
+        if n in catalog.queries() and n in catalog.oracle_sql()
+    ]
+
+    dirs = {1: SF_DIR}
+    for k in reps:
+        print(f"-- building x{k} replica dir --", file=sys.stderr)
+        dirs[k] = build_replica_dir(k)
+
+    results: dict[int, dict] = {}
+    for k in sorted(dirs):
+        print(f"-- measuring x{k} ({dirs[k]}) --", file=sys.stderr)
+        results[k] = measure_scale(spark, dirs[k], names)
+
+    base = results[1]
+    report: dict[str, dict] = {}
+    print(
+        f"\n{'query':40s} " + " ".join(f"x1->x{k} ratio" for k in reps),
+        file=sys.stderr,
+    )
+    for name in names:
+        row: dict[str, float] = {}
+        for k in reps:
+            ds = results[k][name]["spark"] - base[name]["spark"]
+            dd = results[k][name]["duckdb"] - base[name]["duckdb"]
+            row[f"x{k}_spark_marg"] = round(ds, 4)
+            row[f"x{k}_duckdb_marg"] = round(dd, 4)
+            row[f"x{k}_ratio"] = round(ds / dd, 3) if dd > 1e-3 else None
+        report[name] = row
+        print(
+            f"{name:40s} "
+            + " ".join(f"{row[f'x{k}_ratio']}" for k in reps),
+            file=sys.stderr,
+        )
+    agg = {}
+    for k in reps:
+        ds = sum(results[k][n]["spark"] - base[n]["spark"] for n in names)
+        dd = sum(results[k][n]["duckdb"] - base[n]["duckdb"] for n in names)
+        agg[f"x{k}"] = {
+            "spark_marginal": round(ds, 3),
+            "duckdb_marginal": round(dd, 3),
+            "ratio": round(ds / dd, 3),
+        }
+        print(f"aggregate x1->x{k}: spark +{ds:.2f}s duckdb +{dd:.2f}s "
+              f"ratio {ds / dd:.2f}x", file=sys.stderr)
+    spark.stop()
+    if "--keep" not in sys.argv:
+        shutil.rmtree(WORK, ignore_errors=True)
+    print(json.dumps(
+        {"raw": {f"x{k}": v for k, v in results.items()},
+         "marginals": report, "aggregate": agg, "sf_base": SF_DIR},
+        separators=(",", ":"),
+    ))
+
+
+if __name__ == "__main__":
+    main()

@@ -612,6 +612,23 @@ def test_lazy_size_reads(s3):
     f.seek(500)
     with pytest.raises(urllib.error.HTTPError):
         f.read(5)
+    # pos EXACTLY == size on a never-sized handle is the io.RawIOBase
+    # EOF probe (ADVICE r10): the 416 is caught, the true size parsed
+    # from Content-Range 'bytes */<len>', and b'' returned — while
+    # pos > size (above) stays loud
+    e = s3.open("s3://bkt/lazy.bin", "rb")
+    e.seek(len(payload))
+    assert e._size is None
+    assert e.read(5) == b""
+    assert e._size == len(payload)  # learned from the 416's Content-Range
+    # and a sequential consumer over the whole handle terminates cleanly
+    import io as _io
+    import shutil as _shutil
+
+    src = s3.open("s3://bkt/lazy.bin", "rb")
+    dst = _io.BytesIO()
+    _shutil.copyfileobj(src, dst, length=64)
+    assert dst.getvalue() == payload
     # read-all resolves the size lazily and still works
     g = s3.open("s3://bkt/lazy.bin", "rb")
     assert g.read() == payload

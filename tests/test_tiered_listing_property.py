@@ -291,31 +291,26 @@ def test_segment_over_retryable_batch_fails_loudly(tmp_path):
         raise AssertionError("expected ValueError for upto >= before")
 
 
-@settings(max_examples=60, deadline=None)
-@given(
-    batch_spans=st.lists(st.integers(1, 3), min_size=50, max_size=400),
-    max_segments=st.integers(2, 8),
-    level_ratio=st.sampled_from([1.5, 2.0, 3.0]),
-)
-def test_leveled_policy_asymptotics(batch_spans, max_segments, level_ratio):
-    """Pure simulation of `_pick_fold_run` over hundreds of passes
-    (one new pseudo-segment per pass, variable span): the policy must
-    (a) keep the live count <= max_segments after EVERY pass, (b)
-    re-fold the full prefix only O(log total) times — the r9 all-fold
-    did it every pass past the cap — and (c) keep total bytes
-    rewritten (Σ folded spans, the write amplification) within
-    O(total · log total), not r9's O(total² / max_segments)."""
-    import math
-
-    from duckdb_vortex_spark.streaming.sinks import _pick_fold_run
+def _simulate_policy(batch_spans, max_segments, level_ratio):
+    """Drive `_pick_fold_run` exactly as `_compact_incremental_locked`
+    does (one new pseudo-segment per pass, fold when the post-pass
+    count would exceed the EFFECTIVE cap), tracking the live spans,
+    the full-prefix ("giant") fold count, and total spans rewritten
+    (the write amplification)."""
+    from duckdb_vortex_spark.streaming.sinks import (
+        _effective_cap,
+        _pick_fold_run,
+    )
 
     spans: list[int] = []  # live segment spans, range order
     total = 0
     giant_folds = 0
     rewritten = 0
+    max_live = 0
     for b in batch_spans:
         total += b
-        if len(spans) + 1 > max_segments:
+        cap = _effective_cap(max_segments, total, level_ratio)
+        if len(spans) + 1 > cap:
             run = _pick_fold_run(spans, b, max_segments, level_ratio)
             assert run >= 1, "over the cap, the fold must reduce the count"
             folded = sum(spans[len(spans) - run :]) + b
@@ -326,14 +321,60 @@ def test_leveled_policy_asymptotics(batch_spans, max_segments, level_ratio):
         else:
             rewritten += b  # the new minor's own write
             spans.append(b)
-        assert len(spans) <= max_segments, (spans, max_segments)
+        assert len(spans) <= cap, (spans, cap)
         assert sum(spans) == total  # coverage: every batch in exactly one segment
+        max_live = max(max_live, len(spans))
+    return total, giant_folds, rewritten, max_live
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    batch_spans=st.lists(st.integers(1, 3), min_size=50, max_size=400),
+    level_ratio=st.sampled_from([1.5, 2.0, 3.0]),
+)
+def test_leveled_policy_asymptotics_auto(batch_spans, level_ratio):
+    """The documented O(log n) guarantee, which only ``"auto"`` can
+    deliver (ADVICE r10: under any CONSTANT cap it is mathematically
+    unachievable — cap-forced tail refolds make total work
+    Θ(n^(1+1/K))). With the history-scaled cap the policy must (a)
+    keep the live count <= max(4, ceil(log_ratio(total))) after EVERY
+    pass, (b) re-fold the full prefix only O(log total) times — the
+    r9 all-fold did it every pass past the cap — and (c) keep total
+    spans rewritten (the write amplification) within
+    O(total · log total), not r9's O(total²/max_segments)."""
+    import math
+
+    total, giant_folds, rewritten, _ = _simulate_policy(
+        batch_spans, "auto", level_ratio
+    )
     # (b) full-prefix folds are geometrically rare: each one grows the
     # giant by >= (1 + 1/level_ratio - epsilon), so their count is
-    # logarithmic in total span (+ slack for the cap-forced warm-up)
-    log_bound = math.log(max(total, 2), 1 + 1 / (level_ratio + 1)) + max_segments
+    # logarithmic in total span (+ slack for the warm-up)
+    log_bound = math.log(max(total, 2), 1 + 1 / (level_ratio + 1)) + 4
     assert giant_folds <= log_bound, (giant_folds, log_bound, total)
     # (c) write amplification is O(total · log total): every row sits
     # in at most ~log_{level_ratio}(total) levels over its lifetime
+    # (measured headroom ~3× at the worst hypothesis point)
     amp_bound = total * (math.log(max(total, 2), 1.5) + 4)
+    assert rewritten <= amp_bound, (rewritten, amp_bound, total)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    batch_spans=st.lists(st.integers(1, 3), min_size=50, max_size=400),
+    max_segments=st.integers(2, 8),
+    level_ratio=st.sampled_from([1.5, 2.0, 3.0]),
+)
+def test_leveled_policy_hard_cap_bounds(batch_spans, max_segments, level_ratio):
+    """A CONSTANT cap K trades write amplification for a hard listing
+    bound: the live count never exceeds K, and total work stays within
+    the true k-capped tiered envelope Θ(n^(1+1/K)) (ADVICE r10 — the
+    former O(n log n) assertion here was false for constant caps; the
+    calibrated constant leaves ~2× headroom at the worst simulated
+    point, e.g. ms=2/ratio=1.5/unit spans)."""
+    total, _, rewritten, max_live = _simulate_policy(
+        batch_spans, max_segments, level_ratio
+    )
+    assert max_live <= max_segments, (max_live, max_segments)
+    amp_bound = 3 * total ** (1 + 1 / max_segments) + 4 * total
     assert rewritten <= amp_bound, (rewritten, amp_bound, total)
