@@ -526,3 +526,105 @@ def test_stores_compactable_between_batches(spark, tmp_path):
     with pytest.raises(ValueError, match="still retryable"):
         state_dirs(os.path.join(compacted_root, "fp"), 3)
     corpus.unpersist()
+
+
+def test_stream_restart_after_crashed_fold_under_lease(spark, tmp_path):
+    """Restart-under-load soak (VERDICT r10 next #8): a maintain_every
+    stream is killed between micro-batches, and the store is left the
+    way a maintenance pass crashed MID-FOLD leaves it — fold segments
+    committed, all GC skipped (superseded segments + consumed batch
+    dirs still on disk), and the lease still held by a DEAD pid. The
+    resumed stream (same checkpoint) must: steal the stale lease in
+    its first in-sink pass, GC the crash leftovers, keep folding, and
+    deliver exactly the batch-mode manifest — the full crash-recovery
+    path of the 24/7 posture driven through a real StreamingQuery."""
+    import duckdb_vortex_spark.streaming.sinks as sinks
+    from duckdb_vortex_spark.streaming.incremental_pipeline import (
+        compact_chain_stores,
+    )
+
+    register(spark)
+    corpus = (
+        _corpus(spark, limit=90).select("doc_id", "source", "text", "vec").persist()
+    )
+    emb = load(spark, SF_DIR, "embeddings")
+    centroids = sample_centroids(emb, 16)
+
+    # batch-mode reference (chopping invariance: 1 batch == any chop)
+    ref_root = str(tmp_path / "ref")
+    ingest_process_batch(corpus, 1, centroids, ref_root)
+    want = {
+        r["doc_id"]: (r["stage"], r["is_kept"])
+        for r in _manifest(spark, ref_root).collect()
+    }
+
+    # stage all 6 replay files, then feed 3 per phase (moves keep the
+    # staged ascending mtimes, so replay order is deterministic)
+    staged = str(tmp_path / "staged")
+    _replay_files(spark, corpus, staged, n_files=6)
+    src = str(tmp_path / "replay")
+    os.makedirs(src)
+    files = sorted(os.listdir(staged))
+    assert len(files) == 6
+
+    root, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = incremental_ingest_stream(
+            spark, stream, centroids, root, ckpt, maintain_every=1
+        )
+        q.awaitTermination()
+        q.stop()
+
+    for f in files[:3]:
+        os.rename(os.path.join(staged, f), os.path.join(src, f))
+    run_stream()  # phase 1: batches 0..2, then the "kill"
+
+    # crash a maintenance pass mid-fold: fold commits on every store,
+    # ALL GC skipped, and the fp store's lease is left held by a pid
+    # that no longer exists (the pass died before releasing)
+    orig = sinks.shutil.rmtree
+    try:
+        sinks.shutil.rmtree = lambda *a, **kw: None
+        compact_chain_stores(spark, root, max_segments=1, before=3)
+    finally:
+        sinks.shutil.rmtree = orig
+    # the lease releases via os.rmdir (decoupled from the disabled GC
+    # machinery by design), so re-create it as the crashed pass left
+    # it: held by a pid that no longer exists
+    fp_lock = os.path.join(root, "fp", ".maintenance-lock")
+    os.makedirs(fp_lock)
+    dead = 2**22 + 7919
+    while sinks._pid_alive(dead):  # pragma: no cover — paranoia
+        dead += 1
+    with open(os.path.join(fp_lock, "owner.json"), "w") as f:
+        json.dump({"pid": dead, "ts": 0.0}, f)
+    leftovers = [
+        s
+        for s in sinks._segments(os.path.join(root, "fp"))
+        if s not in sinks._live_segments(os.path.join(root, "fp"))
+    ]
+    assert leftovers, "crash-sim expected superseded segments on disk"
+
+    # phase 2: resume under load — same checkpoint, 3 more files
+    for f in files[3:]:
+        os.rename(os.path.join(staged, f), os.path.join(src, f))
+    run_stream()
+
+    # the resumed in-sink pass stole the dead lease and GC'd the crash
+    # leftovers; nothing superseded or locked remains
+    assert not os.path.isdir(fp_lock), "stale lease must have been stolen"
+    for store in ("fp", "lsh", "ivf"):
+        p = os.path.join(root, store)
+        assert set(sinks._segments(p)) == set(sinks._live_segments(p)), store
+    got = {
+        r["doc_id"]: (r["stage"], r["is_kept"])
+        for r in _manifest(spark, root).collect()
+    }
+    assert got == want
+    corpus.unpersist()
