@@ -576,7 +576,8 @@ def _pick_fold_run(
     """The leveled fold policy, as a PURE function of the live layout
     (so its asymptotics are property-testable over thousands of
     simulated passes without a SparkSession —
-    tests/test_tiered_listing_property.py::test_leveled_policy_asymptotics).
+    tests/test_tiered_listing_property.py::test_leveled_policy_asymptotics_auto
+    and ::test_leveled_policy_hard_cap_bounds).
 
     Given the live segments' spans in RANGE order (oldest first), the
     span of the new batches (0 if none), and the cap, return how many
