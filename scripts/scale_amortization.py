@@ -19,8 +19,13 @@ Method:
   COPY per table).
 - For each scale in ×1 (sf0.1 itself), ×4, ×8: run the 14 shape-fair
   head-to-head queries (same set as SCALE.md's r7/r9/r10 tables) on
-  BOTH engines — warm-up + median-of-3, `bench_vs_duckdb.py`
-  discipline, one Spark session, per-scale DuckDB views.
+  BOTH engines — 2 warm-ups + median-of-5, per-scale DuckDB views,
+  and ONE FRESH SPARK PROCESS PER SCALE: a shared session ages (heap/
+  JIT state accumulates over 14 queries × 3 scales), and because the
+  scales run in order the aging lands on the biggest scale — the
+  single-session version recorded q21 at ×8 as 4.65 s where a clean
+  warm session measures ~2.0 s, i.e. the 'scale marginal' was mostly
+  session age. DuckDB always got a fresh connection; now both do.
 - Report per-query and aggregate marginals ×1→×4 and ×1→×8 and the
   Spark/DuckDB marginal ratios. The claim passes if the q5/q21 ratios
   FALL as scale grows (fixed per-stage cost divided by more data);
@@ -131,13 +136,17 @@ def measure_scale(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
         )
     out: dict[str, dict] = {}
     for name in names:
-        run_one(spark, qs[name], sf_dir)  # warm-up
-        s_t = statistics.median(run_one(spark, qs[name], sf_dir) for _ in range(3))
+        # two warm-ups: the first pays codegen/JIT, the second gets the
+        # JIT'd code actually hot — a single warm-up left q21's median
+        # ~15% above its steady state in the interleaved A/B diagnosis
+        run_one(spark, qs[name], sf_dir)
+        run_one(spark, qs[name], sf_dir)
+        s_t = statistics.median(run_one(spark, qs[name], sf_dir) for _ in range(5))
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(1.0)  # let the ContextCleaner drain (bench.py note)
         duck_time(con, oracles[name])  # warm-up
-        d_t = statistics.median(duck_time(con, oracles[name]) for _ in range(3))
+        d_t = statistics.median(duck_time(con, oracles[name]) for _ in range(5))
         out[name] = {"spark": round(s_t, 4), "duckdb": round(d_t, 4)}
         print(
             f"    {name:40s} spark={s_t:7.3f}s duckdb={d_t:7.3f}s",
@@ -147,12 +156,29 @@ def measure_scale(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
     return out
 
 
+def measure_one_main(sf_dir: str) -> None:
+    """Subprocess entry: measure ONE scale dir in a fresh process and
+    print its per-query JSON. Each scale gets an identically-aged JVM —
+    the first version measured all scales in one session and recorded
+    q21 at x8 as 4.65 s where a clean warm session measures ~2.0 s:
+    the x8 pass ran LAST under maximal accumulated heap/JIT state, so
+    the 'scale marginal' was really session aging (DuckDB, by contrast,
+    got a fresh connection per scale)."""
+    spark = get_spark("dvs-scale-amortization")
+    names = [
+        n for n in SHAPE_FAIR
+        if n in catalog.queries() and n in catalog.oracle_sql()
+    ]
+    out = measure_scale(spark, sf_dir, names)
+    spark.stop()
+    print(json.dumps(out), flush=True)
+
+
 def main() -> None:
     reps = [4, 8]
     if "--reps" in sys.argv:
         i = sys.argv.index("--reps")
         reps = [int(x) for x in sys.argv[i + 1 :] if x.isdigit()]
-    spark = get_spark("dvs-scale-amortization")
     names = [
         n for n in SHAPE_FAIR
         if n in catalog.queries() and n in catalog.oracle_sql()
@@ -168,10 +194,18 @@ def main() -> None:
         print(f"-- building x{k} replica dir --", file=sys.stderr)
         dirs[k] = build_replica_dir(k)
 
+    import subprocess
+
     results: dict[int, dict] = {}
     for k in sorted(dirs):
-        print(f"-- measuring x{k} ({dirs[k]}) --", file=sys.stderr)
-        results[k] = measure_scale(spark, dirs[k], names)
+        print(f"-- measuring x{k} ({dirs[k]}) in a fresh process --",
+              file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--measure-one", dirs[k]],
+            stdout=subprocess.PIPE, stderr=sys.stderr, check=True,
+        )
+        results[k] = json.loads(proc.stdout.decode().strip().splitlines()[-1])
 
     base = results[1]
     report: dict[str, dict] = {}
@@ -204,7 +238,6 @@ def main() -> None:
         }
         print(f"aggregate x1->x{k}: spark +{ds:.2f}s duckdb +{dd:.2f}s "
               f"ratio {ds / dd:.2f}x", file=sys.stderr)
-    spark.stop()
     if "--keep" not in sys.argv:
         shutil.rmtree(WORK, ignore_errors=True)
     print(json.dumps(
@@ -215,4 +248,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--measure-one" in sys.argv:
+        measure_one_main(sys.argv[sys.argv.index("--measure-one") + 1])
+    else:
+        main()
