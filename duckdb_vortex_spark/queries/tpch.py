@@ -794,7 +794,24 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the right plan at 100 TB (both joins co-partition on l_orderkey).
     """
     li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
+    # The merge hint is load-bearing twice over. orders is a FACT
+    # table (it scales with lineitem, ~1:4), so letting the local
+    # broadcast threshold put it on the build side of a BroadcastHash-
+    # Join is the wrong 100-TB plan — and it is also slower HERE: the
+    # r11 scale-amortization breakdown showed the 1.2M-entry broadcast
+    # probe dominating q21 at 8x sf0.1 (+0.86 s of 1.95 s; random
+    # access into a hash table that long outgrew cache). The merge
+    # hint makes the join a co-partitioned shuffle join on orderkey
+    # whose exchange ALSO satisfies both downstream groupBys and the
+    # per_sup⋈ag self-join (subset rule: HashPartitioning(orderkey)
+    # clusters (orderkey, suppkey)), so the per-side exchange replaces
+    # — not adds to — the explicit repartition the broadcast variant
+    # needed. Measured interleaved A/B at sf0.1/x8-replica: 0.78→0.67 s
+    # and 1.84→1.34 s medians; the x1→x8 head-to-head marginal ratio
+    # vs DuckDB falls from ~6.2x to ~2.9x (CHANGES_r11.md). Sort-merge
+    # over shuffled-hash: measured equal (1.34 vs 1.36 s at x8) and
+    # SMJ spills gracefully when a 1000-executor partition misjudges.
+    o = load(spark, sf_dir, "orders").hint("merge")
     s = load(spark, sf_dir, "supplier")
     lo = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -814,17 +831,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate also removes the second consumer of ``lo``: joining the
     # raw late lines back would re-execute the lineitem⋈orders join
     # (one extra full fact-fact pass); summing n_late_lines from
-    # per_sup yields the identical numwait with lo computed ONCE.
-    #
-    # The explicit repartition on l_orderkey alone is load-bearing:
-    # HashPartitioning(l_orderkey) satisfies ClusteredDistribution for
-    # BOTH groupBys (subset rule) and the per_sup⋈ag join, so the
-    # whole chain runs on ONE fact shuffle. Without it Spark plans an
-    # exchange on (l_orderkey, l_suppkey) for the first aggregate plus
-    # another on l_orderkey for the second — and the per_sup subtree,
-    # having two consumers, is executed twice with two exchange pairs
-    # (5 exchanges vs 3; measured 2.2x at sf0.1).
-    lo = lo.repartition("l_orderkey")
+    # per_sup yields the identical numwait.
     per_sup = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum("late").alias("n_late_lines"),
         F.max("late").alias("sup_late"),
