@@ -138,12 +138,19 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: customer filter first (selective), broadcast the
     filtered customer side into orders, then shuffle-join lineitem on
     orderkey; LIMIT under ORDER BY becomes TakeOrderedAndProject (no
-    full sort materialization).
+    full sort materialization). The merge hint on orders pins that
+    shuffle join: the date filter keeps ~1/3 of orders — still
+    fact-sized, so the local broadcast threshold's auto-BHJ is the
+    wrong 100-TB shape and measurably slower once the hash table
+    outgrows cache (r11 A/B at the 8x sf0.1 replica: 0.80→0.66 s;
+    tie at sf0.1). Contrast q10, whose 3-month orders filter IS
+    dimension-sized — there the auto-broadcast is correct and merge
+    measured 30 % slower.
     """
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp")
-    )
+    ).hint("merge")
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp")
     )
@@ -451,8 +458,12 @@ GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: bilateral trade volume by year between two nations.
 
-    Scale: lineitem is the only big table; every dimension broadcasts;
-    the nation-pair disjunction evaluates post-probe."""
+    Scale: dimensions broadcast; the nation-pair disjunction evaluates
+    post-probe. orders is a FACT table, so its lineitem join is pinned
+    to a co-partitioned merge join — the local broadcast threshold
+    would auto-BHJ it, which is the wrong 100-TB shape and slower here
+    once the hash table outgrows cache (r11 A/B at the 8x sf0.1
+    replica: 1.10→0.83 s; tie at sf0.1)."""
     s = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
@@ -460,7 +471,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1997-12-31").cast("timestamp_ntz"),
         )
     )
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").hint("merge")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
@@ -563,11 +574,14 @@ GROUP BY n_name, EXTRACT(year FROM o_orderdate)
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (adapted: no partsupp table, so supply cost is
     modeled as 0.5 × p_retailprice): profit by nation and year for a
-    part-name pattern."""
+    part-name pattern. orders (fact-sized, unfiltered) joins lineitem
+    via a pinned co-partitioned merge join rather than the local
+    threshold's auto-broadcast (r11 A/B at the 8x sf0.1 replica:
+    1.13→0.79 s; tie at sf0.1)."""
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").hint("merge")
     n = load(spark, sf_dir, "nation")
     j = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -740,10 +754,13 @@ def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFra
     l_shipmode/l_receiptdate, so 'late shipment' is shipdate > 60 days
     after order date and the mode dimension is l_returnflag). Same
     plan shape as canonical Q12: fact-fact equi join + conditional
-    two-way counts. Spark broadcasts neither side (both large) — a
-    shuffled hash join on the order key, which co-partitions with the
-    groupBy key's upstream."""
-    o = load(spark, sf_dir, "orders")
+    two-way counts. Both sides are fact tables, so the join is PINNED
+    to a co-partitioned merge join on the order key — without the hint
+    the local broadcast threshold quietly auto-BHJs orders, the exact
+    shape this docstring always said must not happen at scale (caught
+    and measured in r11: 1.05→0.75 s at the 8x sf0.1 replica, tie at
+    sf0.1)."""
+    o = load(spark, sf_dir, "orders").hint("merge")
     li = load(spark, sf_dir, "lineitem")
     late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")

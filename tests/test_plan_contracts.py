@@ -37,14 +37,41 @@ def test_q6_filter_pushdown_and_pruning(spark):
 
 
 def test_tpch_joins_broadcast_dimensions(spark):
+    # q5/q10: every non-lineitem side is dimension-sized (q5's orders
+    # is one-year-filtered, q10's three-month — both measured FASTER
+    # broadcast than merge at the 8x replica), so no shuffle join may
+    # appear. q3's orders keeps ~1/3 of the table — fact-sized — and
+    # is PINNED to a co-partitioned merge join (r11: broadcasting it
+    # was slower at 8x and the wrong shape at cluster scale), while its
+    # customer side must still broadcast.
     for name in (
-        "tpch_q3_shipping_priority",
         "tpch_q5_local_supplier_volume",
         "tpch_q10_returned_items",
     ):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name  # dims must not shuffle lineitem
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan  # customer dim still broadcasts
+    assert "SortMergeJoin" in plan  # the fact-fact orders join shuffles
+
+
+def test_tpch_fact_fact_joins_never_broadcast_orders(spark):
+    # q7/q9/q12/q21 join lineitem with (near-)unfiltered orders: both
+    # sides are fact tables, so the join must be a co-partitioned
+    # shuffle join even though the LOCAL broadcast threshold would
+    # happily build a hash table from sf0.1's 11 MB orders file. A
+    # BroadcastHashJoin keyed on o_orderkey here is the r11 regression
+    # this test exists to catch (measured 25-30 % slower at the 8x
+    # replica and un-runnable at 100 TB).
+    for name in (
+        "tpch_q7_volume_shipping",
+        "tpch_q9_product_profit",
+        "tpch_q12_late_shipment_priority",
+        "tpch_q21_waiting_supplier",
+    ):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin [l_orderkey" in plan or "SortMergeJoin [o_orderkey" in plan, name
 
 
 def test_q1_partial_aggregation(spark):
