@@ -343,7 +343,15 @@ def contamination_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("source") == "src0"),
         threshold=0.8,
     )
-    src = d.select("doc_id", "source")
+    # corpus ⋈ corpus re-attachment of `source`: BOTH sides are one
+    # row per training doc, so this must shuffle on the id — the r11
+    # audit caught the local threshold broadcasting the (doc_id,
+    # source) map, which is corpus-sized and cannot be resident at
+    # 100 TB. shuffle_hash over merge: the 64-bit id key is
+    # high-cardinality and skew-free, so the per-partition hash build
+    # is bounded and neither side pays a sort (A/B at sf0.1: 1.17 vs
+    # 1.22 vs 1.24 s unpinned — equal within noise, shape is the point).
+    src = d.select("doc_id", "source").hint("shuffle_hash")
     return out.join(src, out.id == src.doc_id).select(
         "doc_id", "source", "max_jaccard", "is_kept"
     )

@@ -402,9 +402,16 @@ def minhash_lsh_pairs(
     )
     sh_a = sig.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return _with_jaccard(cand.join(sh_a, "doc_a").join(sh_b, "doc_b")).filter(
-        F.col("jaccard") >= threshold
-    )
+    # Verification joins build from the CANDIDATE side (bounded by the
+    # collision count) and stream the corpus-sized signature table —
+    # the r11 audit caught the local threshold doing the opposite:
+    # broadcasting the full (id, shingles) table TWICE, the one
+    # structure that cannot be resident at 100 TB. shuffle_hash keyed
+    # on the doc id: sig is high-cardinality and skew-free, candidates
+    # hash small per partition, no sort of the shingle arrays.
+    enriched = cand.hint("shuffle_hash").join(sh_a, "doc_a")
+    pairs = enriched.hint("shuffle_hash").join(sh_b, "doc_b")
+    return _with_jaccard(pairs).filter(F.col("jaccard") >= threshold)
 
 
 MINHASH_ORACLE = f"""

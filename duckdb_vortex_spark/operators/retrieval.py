@@ -237,21 +237,24 @@ def retrieval_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     lab = emb.select("vec_id", "label")
     topk = topk_bruteforce(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
-    j = (
-        topk.join(
-            F.broadcast(
-                lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-                    "label", "qlab"
-                )
+    # Label decoration broadcasts the TOP-K side (|Q|·k rows, bounded
+    # by construction) and streams the corpus-sized label map — the
+    # r11 audit caught the previous form broadcasting the (vec_id,
+    # label) map itself, which scales with the corpus and cannot be
+    # resident at 100 TB. Two map-side passes over the label table,
+    # zero shuffles of it.
+    j = F.broadcast(
+        F.broadcast(topk).join(
+            lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "label", "qlab"
             ),
             "query_id",
         )
-        .join(
-            lab.withColumnRenamed("vec_id", "cand_id").withColumnRenamed(
-                "label", "clab"
-            ),
-            "cand_id",
-        )
+    ).join(
+        lab.withColumnRenamed("vec_id", "cand_id").withColumnRenamed(
+            "label", "clab"
+        ),
+        "cand_id",
     )
     rel_rank = F.min(F.when(F.col("clab") == F.col("qlab"), F.col("rnk"))).alias(
         "_fr"
@@ -343,14 +346,17 @@ def retrieval_recall_curve_by_label(spark: SparkSession, sf_dir: str) -> DataFra
     emb = load(spark, sf_dir, "embeddings")
     lab = emb.select("vec_id", "label")
     topk = topk_bruteforce(emb.filter(F.col("vec_id") % 20 == 0), emb, k=10)
+    # Same label-decoration shape as `retrieval_knn_eval`: broadcast
+    # the bounded top-k side, stream the corpus-sized label map (r11
+    # audit — the map must never be the broadcast build side).
     j = (
-        topk.join(
-            F.broadcast(
+        F.broadcast(
+            F.broadcast(topk).join(
                 lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
                     "label", "qlab"
-                )
-            ),
-            "query_id",
+                ),
+                "query_id",
+            )
         )
         .join(
             lab.withColumnRenamed("vec_id", "cand_id").withColumnRenamed(

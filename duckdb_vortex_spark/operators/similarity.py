@@ -109,8 +109,14 @@ def topk_bruteforce(
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
     )
+    # Broadcast the QUERY side, stream the corpus (r11 audit): the
+    # linear scan is the declared cost of this oracle-tier baseline,
+    # but which side the nested loop BUILDS is still a scale choice —
+    # without the pin, the local threshold broadcast the corpus-sized
+    # candidate table, the one side that must never be resident.
     scored = (
-        q.crossJoin(c)
+        F.broadcast(q)
+        .crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
@@ -237,8 +243,14 @@ def lsh_topk(
         "cand_id",
         "cv",
     )
+    # The bucket join SHUFFLES on sig, as the docstring promises — the
+    # r11 audit caught the local threshold silently broadcasting the
+    # corpus-side signature table instead (corpus-sized build, the
+    # wrong 100-TB shape). shuffle_hash on the query side makes the
+    # per-partition build the |Q|-share of each sig partition.
     cand = (
-        q.join(c, "sig")
+        q.hint("shuffle_hash")
+        .join(c, "sig")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "qv", "cand_id", "cv")
         .distinct()
@@ -1166,7 +1178,12 @@ def pq_adc_topk(
     for s in range(m):
         term = F.element_at(f"__dtab{s}", F.col("codes")[s] + 1)
         ad2 = term if ad2 is None else ad2 + term
-    scored = q.crossJoin(c).select("query_id", "cand_id", ad2.alias("approx_d2"))
+    # Broadcast the query-side distance tables (|Q| × m·k doubles —
+    # bounded by construction), stream the codes: ADC's linear scan is
+    # the declared cost, but the CODES table is the corpus and must
+    # never be the broadcast build side (r11 audit: the local
+    # threshold picked exactly that).
+    scored = F.broadcast(q).crossJoin(c).select("query_id", "cand_id", ad2.alias("approx_d2"))
     w = W.partitionBy("query_id").orderBy("approx_d2", "cand_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -69,3 +69,87 @@ def assert_plan_clean(df: DataFrame, allow: tuple[str, ...] = ()) -> None:
     if findings:
         detail = "; ".join(f"{f.rule} ({f.marker}): {f.why}" for f in findings)
         raise AssertionError(f"plan lint failed: {detail}")
+
+
+# --- fact-table broadcast audit (the r11 q21-class finding) ----------------
+#
+# The three _RULES markers catch nested loops and row-Python, but a
+# BroadcastHashJoin is usually GOOD — except when the build side is an
+# unreduced fact table. Locally that happens silently: Spark estimates
+# the PROJECTED size, so a 2-column slice of a huge table stays under
+# the broadcast threshold long after the table itself cannot possibly
+# be resident (r11: q21's orders build cost +0.86 s of 1.95 s at the
+# 8x replica; q4's pruned lineitem slice broadcast a 4.8M-row build).
+# This check walks each BroadcastExchange subtree and flags builds
+# rooted at a fact-table scan with no data filter (join-key IsNotNull
+# doesn't count) and no reducing operator (aggregate/semi/limit) in
+# between.
+
+import re as _re
+
+_NOTNULL = _re.compile(r"isnotnull\([^)]*\)")
+_CODEGEN = _re.compile(r"^\*\(\d+\) ")
+
+
+def broadcast_subtrees(plan: str) -> list[str]:
+    """The indented subtree under each BroadcastExchange node."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        indent = len(line) - len(line.lstrip(" :+-"))
+        sub = [line]
+        for nxt in lines[i + 1 :]:
+            nindent = len(nxt) - len(nxt.lstrip(" :+-"))
+            if nxt.strip() and nindent <= indent:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def _has_data_filter(subtree: str) -> bool:
+    """A Filter with anything beyond join-key IsNotNull conjuncts."""
+    for line in subtree.splitlines():
+        s = _CODEGEN.sub("", line.strip(" :+-"))
+        if not s.startswith("Filter "):
+            continue
+        residue = _NOTNULL.sub("", s[len("Filter ") :])
+        residue = _re.sub(r"\bAND\b|\bOR\b|[()\s]", "", residue)
+        if residue:
+            return True
+    return False
+
+
+def _is_reduced(subtree: str) -> bool:
+    """Aggregated / semi-joined / limited between scan and broadcast."""
+    return any(
+        k in subtree
+        for k in ("HashAggregate", "SortAggregate", "LeftSemi", "Limit", "TakeOrdered")
+    )
+
+
+def fact_broadcast_findings(
+    df: DataFrame, fact_tables: tuple[str, ...]
+) -> list[str]:
+    """Names of ``fact_tables`` scanned UNREDUCED on a broadcast build
+    side of ``df``'s executed plan. Empty list = clean. Treat any hit
+    as the q21-class scale bug unless the entry deliberately broadcasts
+    a bounded slice the filter heuristic cannot see (declare it where
+    you assert, the way tests/test_catalog_plan_lint.py::FACT_BCAST_OK
+    does)."""
+    plan = formatted_plan(df)
+    hits: list[str] = []
+    for sub in broadcast_subtrees(plan):
+        if _has_data_filter(sub) or _is_reduced(sub):
+            continue
+        for t in fact_tables:
+            if re_scan(sub, t) and t not in hits:
+                hits.append(t)
+    return hits
+
+
+def re_scan(subtree: str, table: str) -> bool:
+    """Does this subtree scan ``table`` (parquet path or vortex paths)?"""
+    return bool(_re.search(rf"FileScan \w+ .*{table}\.parquet|paths.*{table}", subtree))

@@ -319,24 +319,35 @@ def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi join (Spark ``<=>`` ≡ DuckDB ``IS NOT DISTINCT
     FROM``): NULL keys match each other instead of vanishing. Catalyst
     treats EqualNullSafe as an equi-condition, so this stays a hash
-    join (broadcast here — the dim is tiny), NOT a nested loop; at
-    scale the NULL bucket is one key and can skew — salt it like any
-    hot key if the null share is large."""
+    join, NOT a nested loop.
+
+    Scale shape: an outer hash join must BUILD on the non-preserved
+    side, which here is the fact — so the fact is pre-aggregated to
+    one row per key (partial+final count) and the null-safe join runs
+    dim ⋈ bounded aggregate. The r11 audit caught the previous
+    join-then-count form broadcasting the raw fact projection (the
+    only legal hash build side for the outer join — corpus-sized, a
+    shape that cannot run at 100 TB). Aggregate-then-join computes the
+    identical counts. At scale the NULL bucket is one key and can skew
+    the aggregate — salt it like any hot key if the null share is
+    large."""
     o = load(spark, sf_dir, "orders")
     keyed = o.select(
-        F.col("o_orderkey").alias("fact_orderkey"),
         F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
             F.col("o_orderpriority")
         ).alias("fact_prio"),
+    )
+    counts = keyed.groupBy("fact_prio").agg(
+        F.count(F.lit(1)).alias("n_matched")
     )
     dim = (
         o.select(F.col("o_orderpriority").alias("prio_key")).distinct()
         .unionAll(o.sparkSession.createDataFrame([(None,)], "prio_key string"))
     )
     return (
-        dim.join(keyed, F.col("fact_prio").eqNullSafe(F.col("prio_key")), "left")
+        dim.join(counts, F.col("fact_prio").eqNullSafe(F.col("prio_key")), "left")
         .groupBy("prio_key")
-        .agg(F.count("fact_orderkey").alias("n_orders"))
+        .agg(F.sum(F.coalesce(F.col("n_matched"), F.lit(0))).alias("n_orders"))
     )
 
 

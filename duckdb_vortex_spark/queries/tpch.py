@@ -347,8 +347,14 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the HAVING subquery aggregates lineitem once (shuffle on
     l_orderkey), its survivors semi-join back (small set → broadcast
-    under AQE), and only surviving orders shuffle for the final
-    5-key group."""
+    under AQE), and the surviving customer⋈orders rows are explicitly
+    BROADCAST into the final lineitem join — survivors are the orders
+    whose total quantity exceeds 300 (canonically ~0.01 % of orders),
+    so the bounded side is pinned as the build and lineitem never
+    shuffles for this join. Without the pin the local threshold
+    broadcast the pruned lineitem slice instead (corpus-sized build;
+    r11 audit — interleaved A/B at the 8x replica: 2.57→1.11 s, tie
+    at sf0.1; the merge alternative measured 1.24 s)."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -360,7 +366,9 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
     )
     c = load(spark, sf_dir, "customer")
-    j = c.join(o, c.c_custkey == o.o_custkey).join(li, F.col("o_orderkey") == li.l_orderkey)
+    j = F.broadcast(c.join(o, c.c_custkey == o.o_custkey)).join(
+        li, F.col("o_orderkey") == li.l_orderkey
+    )
     return j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice").agg(
         dsum("l_quantity").alias("total_qty")
     )
@@ -420,12 +428,19 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     count over an EXISTS semi-join.
 
     Scale: semi-join probes lineitem once (no row multiplication),
-    quarter predicate pushes to the orders scan."""
+    quarter predicate pushes to the orders scan. The merge hint on
+    lineitem is load-bearing: a LEFT SEMI hash join can only BUILD on
+    the right (lineitem) side, and because Spark estimates the
+    PROJECTED size, the pruned 2-column lineitem slice stays under the
+    broadcast threshold long after the table itself is huge — the r11
+    audit caught it broadcast at the 8x replica (4.8M-row build;
+    interleaved A/B 2.28→0.60 s with the merge pin, 0.61→0.44 s even
+    at sf0.1)."""
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").hint("merge")
     j = o.join(
         li,
         (o.o_orderkey == li.l_orderkey)
@@ -523,11 +538,15 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     a nation's market share of PROMO-part volume sold into ASIA.
 
     Scale: 7-way join where only lineitem and orders are large;
-    dims broadcast; the share division happens after one grouped agg."""
+    dims broadcast; the share division happens after one grouped agg.
+    orders (fact-sized, unfiltered) is pinned to a co-partitioned
+    merge join with lineitem — the r11 audit caught the local
+    threshold auto-broadcasting it, the q21-class shape that cannot
+    run at 100 TB."""
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").hint("merge")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from duckdb_vortex_spark import catalog
-from duckdb_vortex_spark.plans.lint import lint_plan
+from duckdb_vortex_spark.plans.lint import fact_broadcast_findings, lint_plan
 
 from .conftest import SF_DIR
 
@@ -193,6 +193,15 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
 ENTRIES = catalog.entries()
 
 
+# Tables that scale with the corpus: an UNREDUCED scan of one of these
+# on a BroadcastHashJoin build side is the r11 q21-class bug (Spark
+# estimates the PROJECTED size, so a pruned slice of a huge table
+# auto-broadcasts locally long after the table itself could never be
+# resident). Declare deliberate exceptions here with a reason.
+FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+FACT_BCAST_OK: dict[str, str] = {}
+
+
 @pytest.mark.parametrize("name", sorted(ENTRIES))
 def test_catalog_entry_plan_clean(name, spark):
     allow, _why = ALLOWED.get(name, ((), ""))
@@ -202,3 +211,10 @@ def test_catalog_entry_plan_clean(name, spark):
         f"{name}: {[f.rule for f in findings]} — declare in ALLOWED with a "
         "reason if deliberate"
     )
+    if name not in FACT_BCAST_OK:
+        hits = fact_broadcast_findings(df, FACT_TABLES)
+        assert not hits, (
+            f"{name}: fact table(s) {hits} scanned unreduced on a broadcast "
+            "build side — pin the join (merge/shuffle_hash hint, or broadcast "
+            "the bounded side) or declare in FACT_BCAST_OK with a reason"
+        )
