@@ -118,3 +118,50 @@ def test_triangle_counts_on_known_graphs(spark):
     assert got == {1: 2, 2: 1, 3: 2, 4: 1}
     star = mk([(1, 2), (1, 3), (1, 4), (1, 5)])
     assert triangle_counts(star).count() == 0
+
+
+def test_fact_broadcast_findings_parsing():
+    """Pure-string edge cases of the r11 fact-broadcast rule: the
+    codegen ``*(n) `` prefix must not hide a data filter, join-key
+    IsNotNull-only filters must not count as one, and reducing
+    operators between scan and broadcast clear the flag. (The
+    end-to-end form runs on all 250 catalog plans in
+    test_catalog_plan_lint.)"""
+    from duckdb_vortex_spark.plans.lint import (
+        _has_data_filter,
+        _is_reduced,
+        broadcast_subtrees,
+    )
+
+    # codegen prefix + real predicate => data filter detected
+    sub = (
+        "+- BroadcastExchange HashedRelationBroadcastMode, [plan_id=1]\n"
+        "   +- *(1) Filter (isnotnull(vec_id#0L) AND ((vec_id#0L % 20) = 0))\n"
+        "      +- FileScan parquet [vec_id#0L] ... embeddings.parquet"
+    )
+    assert _has_data_filter(sub)
+
+    # IsNotNull-only (what every join injects) is NOT a data filter
+    sub = (
+        "+- BroadcastExchange HashedRelationBroadcastMode, [plan_id=2]\n"
+        "   +- Filter (isnotnull(l_orderkey#1L) AND isnotnull(l_suppkey#2L))\n"
+        "      +- FileScan parquet [l_orderkey#1L] ... lineitem.parquet"
+    )
+    assert not _has_data_filter(sub)
+    assert not _is_reduced(sub)
+
+    # aggregate between scan and broadcast => reduced
+    assert _is_reduced(sub + "\n   +- HashAggregate(keys=[x], functions=[count(1)])")
+
+    # subtree extraction stops at the sibling back-dedent
+    plan = (
+        "Top\n"
+        "+- Join\n"
+        "   :- BroadcastExchange mode, [plan_id=3]\n"
+        "   :  +- FileScan parquet ... orders.parquet\n"
+        "   +- FileScan parquet ... lineitem.parquet"
+    )
+    subs = broadcast_subtrees(plan)
+    assert len(subs) == 1
+    assert "orders.parquet" in subs[0]
+    assert "lineitem.parquet" not in subs[0]
