@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 
 from duckdb_vortex_spark import catalog
+from duckdb_vortex_spark.plans.lint import _is_reduced, broadcast_subtrees, re_scan
 
 from .conftest import SF_DIR
 
@@ -66,12 +67,28 @@ def test_tpch_fact_fact_joins_never_broadcast_orders(spark):
     # replica and un-runnable at 100 TB).
     for name in (
         "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
         "tpch_q9_product_profit",
         "tpch_q12_late_shipment_priority",
         "tpch_q21_waiting_supplier",
     ):
         plan = _plan(spark, name)
         assert "SortMergeJoin [l_orderkey" in plan or "SortMergeJoin [o_orderkey" in plan, name
+    # q4: a LEFT SEMI hash join can only BUILD on lineitem, and column
+    # pruning keeps the 2-col slice under the broadcast threshold even
+    # at 8x (a 4.8M-row build, r11 audit) — pinned to a merge semi join.
+    plan = _plan(spark, "tpch_q4_order_priority")
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" not in plan
+    # q18: the final lineitem join must build from the HAVING>300
+    # survivors (bounded), never from lineitem — lineitem appears only
+    # as a streamed probe side and inside its own aggregate.
+    plan = _plan(spark, "tpch_q18_large_volume_customer")
+    assert "BroadcastHashJoin [o_orderkey" in plan
+    for sub in broadcast_subtrees(plan):
+        assert not re_scan(sub, "lineitem") or _is_reduced(sub), (
+            "q18 broadcast subtree scans lineitem unreduced"
+        )
 
 
 def test_q1_partial_aggregation(spark):
