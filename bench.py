@@ -6,7 +6,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is executed once to warm plan/codegen/page-cache, then
 ``N_TIMED`` more times; the reported value is the MEDIAN of the timed
-runs and the JSON carries a per-query ``spread`` ((max-min)/median).
+runs. Per-query ``spread`` ((max-min)/median) lands in the
+BENCH_SPREADS.json artifact and the delta-vs-last-round table in
+BENCH_DELTA.txt — neither std stream carries anything but the one
+machine line (see the comment in ``main``).
 Medians replaced the earlier best-of-2 estimator in round 4: this
 box's 30-80% run-to-run noise made best-of-2 numbers churn round over
 round (two rounds of flagged-then-cleared movers, including a 1.92x
@@ -28,7 +31,7 @@ N_TIMED = 3  # timed runs per query (after 1 warm-up); median reported
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from duckdb_vortex_spark import catalog
-from duckdb_vortex_spark.session import get_spark
+from duckdb_vortex_spark.session import get_spark, quiet_accumulator_noise
 
 # Headline set: the flagship relational queries + the scale-critical
 # LLM-pipeline operators. Kept explicit so bench time stays bounded as
@@ -100,6 +103,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("dvs-bench")
+    # the forced inter-query GC below makes stragglers of completed
+    # queries log benign accumulator-GC ERROR traces; keep them out of
+    # logs humans grep (see quiet_accumulator_noise docstring)
+    quiet_accumulator_noise(spark)
     qs = catalog.queries()
     names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float] = {}
@@ -132,14 +139,18 @@ def main() -> None:
         # while the prior query's cleanup was still draining).
         time.sleep(1.0)
     total = round(sum(timings.values()), 4)
-    _delta_report(timings)
-    # Per-query spreads go to stderr + a side file, NOT the stdout
-    # machine line: inlining them in round 4 pushed the JSON line past
-    # the driver's ~2.2 KB tail-capture window and BENCH_r04.json came
-    # back `parsed: null` (VERDICT r4 #3). stdout carries exactly one
-    # compact line the driver can always parse.
-    print("spreads " + json.dumps(spreads, separators=(",", ":")), file=sys.stderr)
     here = os.path.dirname(os.path.abspath(__file__))
+    # Per-query spreads and the delta-vs-last-round report go to FILE
+    # ARTIFACTS only (BENCH_SPREADS.json / BENCH_DELTA.txt), never to
+    # stdout OR stderr: the driver's fixed-size tail capture merges
+    # both streams, so a stderr spreads line printed just before the
+    # machine line cropped mid-JSON in the r11 artifact (VERDICT r11
+    # wrong #1; the r4 incident was the stdout variant of the same
+    # bug). After this point the process writes NOTHING to either
+    # stream except the single headline JSON line, so a tail capture
+    # of any size ends in (a suffix of) that one line.
+    with open(os.path.join(here, "BENCH_DELTA.txt"), "w") as f:
+        _delta_report(timings, f)
     with open(os.path.join(here, "BENCH_SPREADS.json"), "w") as f:
         json.dump({"spreads": spreads, "n_timed": N_TIMED, "estimator": "median"}, f)
     # stop Spark BEFORE the machine line: JVM shutdown can write to
@@ -165,9 +176,11 @@ def main() -> None:
     )
 
 
-def _delta_report(timings: dict[str, float]) -> None:
-    """Per-query delta vs the newest prior BENCH_r{N}.json, on stderr
-    (stdout is reserved for the single driver-parsed JSON line)."""
+def _delta_report(timings: dict[str, float], out) -> None:
+    """Per-query delta vs the newest prior BENCH_r{N}.json, written to
+    the BENCH_DELTA.txt artifact (both std streams are reserved: the
+    driver's tail capture merges them, and it must end in the one
+    machine-parsed JSON line)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -181,12 +194,12 @@ def _delta_report(timings: dict[str, float]) -> None:
         old = (doc.get("parsed") or doc).get("queries", {})
     except (OSError, json.JSONDecodeError, AttributeError):
         return
-    print(f"-- delta vs {os.path.basename(prior[-1])} --", file=sys.stderr)
+    print(f"-- delta vs {os.path.basename(prior[-1])} --", file=out)
     for name, t in timings.items():
         if name in old and old[name] > 0:
-            print(f"{name:45s} {old[name]:7.3f}s -> {t:7.3f}s ({t / old[name]:.2f}x)", file=sys.stderr)
+            print(f"{name:45s} {old[name]:7.3f}s -> {t:7.3f}s ({t / old[name]:.2f}x)", file=out)
         else:
-            print(f"{name:45s}    new -> {t:7.3f}s", file=sys.stderr)
+            print(f"{name:45s}    new -> {t:7.3f}s", file=out)
 
 
 if __name__ == "__main__":

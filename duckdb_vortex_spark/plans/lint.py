@@ -44,7 +44,20 @@ class PlanFinding:
 
 
 def formatted_plan(df: DataFrame) -> str:
-    """The executed (post-AQE-planning) physical plan as a string."""
+    """The physical plan as a string, BEFORE execution.
+
+    Limitation (ADVICE r12): with AQE enabled this is the INITIAL
+    adaptive plan (``isFinalPlan=false``) — at runtime AQE may still
+    convert an unpinned shuffle join to a broadcast join once the
+    actual shuffle sizes are known. A static lint therefore certifies
+    the initial plan only; an entry that must hold its join shape at
+    scale should pin it with an explicit hint (merge/shuffle_hash —
+    the way the catalog's contract-pinned entries do) rather than rely
+    on the lint having seen the shape it will run. To re-lint the
+    final adaptive plan, run an action on the SAME DataFrame (e.g.
+    ``df.collect()``) and pass ``formatted_plan(df)`` — now
+    ``isFinalPlan=true`` — to the rule via its ``plan=`` parameter.
+    """
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -109,6 +122,10 @@ def broadcast_subtrees(plan: str) -> list[str]:
     return out
 
 
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
 def _has_data_filter(subtree: str) -> bool:
     """A Filter with anything beyond join-key IsNotNull conjuncts."""
     for line in subtree.splitlines():
@@ -130,26 +147,163 @@ def _is_reduced(subtree: str) -> bool:
     )
 
 
+def _ancestor_paths(subtree: str, table: str) -> list[str]:
+    """For each scan of ``table`` inside this BroadcastExchange
+    subtree: the tree PATH from the subtree root down to that scan
+    line (inclusive), as newline-joined text.
+
+    ADVICE r12: checking filters/reductions on the WHOLE subtree text
+    exonerated an unreduced fact scan whenever a SIBLING branch of the
+    same broadcast build happened to be filtered or aggregated (e.g.
+    fact ⋈ filtered-dim, or fact UNION limited-branch, inside one
+    build). Only operators on the scan's own ancestor chain actually
+    reduce the fact rows before they enter the hash table, so the
+    filter/reduction checks run over this path text instead.
+    """
+    lines = subtree.splitlines()
+    paths: list[str] = []
+    for idx, line in enumerate(lines):
+        if not re_scan(line, table):
+            continue
+        path = [line]
+        cur = _indent(line)
+        for above in reversed(lines[:idx]):
+            ai = _indent(above)
+            if above.strip() and ai < cur:
+                path.append(above)
+                cur = ai
+        paths.append("\n".join(reversed(path)))
+    return paths
+
+
 def fact_broadcast_findings(
-    df: DataFrame, fact_tables: tuple[str, ...]
+    df: DataFrame, fact_tables: tuple[str, ...], plan: str | None = None
 ) -> list[str]:
     """Names of ``fact_tables`` scanned UNREDUCED on a broadcast build
-    side of ``df``'s executed plan. Empty list = clean. Treat any hit
+    side of ``df``'s physical plan. Empty list = clean. Treat any hit
     as the q21-class scale bug unless the entry deliberately broadcasts
     a bounded slice the filter heuristic cannot see (declare it where
     you assert, the way tests/test_catalog_plan_lint.py::FACT_BCAST_OK
-    does)."""
-    plan = formatted_plan(df)
+    does).
+
+    A filter/reduction only clears a scan if it sits on the scan's own
+    ancestor path to the BroadcastExchange root — a filtered sibling
+    branch joined into the same build does not exonerate an unreduced
+    fact scan next to it.
+
+    Under AQE this inspects the INITIAL plan (see ``formatted_plan``):
+    an unpinned shuffle join can still become a broadcast at runtime.
+    Pass ``plan=formatted_plan(df)`` captured AFTER an action to lint
+    the final adaptive plan instead.
+    """
+    if plan is None:
+        plan = formatted_plan(df)
     hits: list[str] = []
     for sub in broadcast_subtrees(plan):
-        if _has_data_filter(sub) or _is_reduced(sub):
-            continue
         for t in fact_tables:
-            if re_scan(sub, t) and t not in hits:
-                hits.append(t)
+            if t in hits:
+                continue
+            for path in _ancestor_paths(sub, t):
+                if not _has_data_filter(path) and not _is_reduced(path):
+                    hits.append(t)
+                    break
     return hits
 
 
-def re_scan(subtree: str, table: str) -> bool:
-    """Does this subtree scan ``table`` (parquet path or vortex paths)?"""
-    return bool(_re.search(rf"FileScan \w+ .*{table}\.parquet|paths.*{table}", subtree))
+_LOCATION = _re.compile(r"Location: \w+\(\d+ paths?\)\[([^\]]*)\]")
+_FILESCAN = _re.compile(r"FileScan \w+ ")
+
+
+def heuristic_broadcast_findings(
+    df: DataFrame | None,
+    min_bytes: int = 256 << 20,
+    plan: str | None = None,
+) -> list[str]:
+    """The fact-table rule WITHOUT a fact-table list, for user
+    pipelines (VERDICT r11 next #7): the API form of
+    ``fact_broadcast_findings`` takes ``fact_tables`` explicitly, so a
+    user who doesn't know which of their tables are facts gets no
+    protection. This variant flags any BroadcastExchange whose build
+    side scans a source of ≥ ``min_bytes`` ON DISK with no data filter
+    and no reducing operator on the scan's ancestor path — "broadcast
+    build scans a >N-byte source unreduced". Returns the offending
+    scan paths (or a scan-line snippet when the path is truncated out
+    of the plan text).
+
+    False-positive behavior (documented, by design): a genuinely
+    large DIMENSION you intend to broadcast — say a 300 MB enrichment
+    table on a cluster with fat executors — is flagged exactly like a
+    fact, because on-disk size is all this heuristic sees. Raise
+    ``min_bytes`` or treat the finding as a declaration prompt, the
+    way FACT_BCAST_OK declarations work in the CI form. Conversely a
+    source smaller than ``min_bytes`` TODAY that grows 1000× in
+    production is missed — the named-fact-table form stays the
+    stronger contract when you do know your facts.
+
+    Like the named form this reads the INITIAL adaptive plan unless
+    you pass ``plan=`` captured after an action (see
+    ``formatted_plan``); size comes from ``os.path`` on the scan's
+    Location paths, so paths truncated by the plan renderer fall back
+    to flagging the snippet (conservative: unknown size ≠ small).
+    """
+    import os
+
+    if plan is None:
+        plan = formatted_plan(df)
+    hits: list[str] = []
+    for sub in broadcast_subtrees(plan):
+        lines = sub.splitlines()
+        for idx, line in enumerate(lines):
+            if not _FILESCAN.search(line):
+                continue
+            # ancestor path from the BroadcastExchange root to this scan
+            path = [line]
+            cur = _indent(line)
+            for above in reversed(lines[:idx]):
+                ai = _indent(above)
+                if above.strip() and ai < cur:
+                    path.append(above)
+                    cur = ai
+            ptext = "\n".join(reversed(path))
+            if _has_data_filter(ptext) or _is_reduced(ptext):
+                continue
+            m = _LOCATION.search(line)
+            if not m:
+                # renderer truncated the location: size unknowable —
+                # conservative flag with a snippet
+                snippet = line.strip(" :+-")[:120]
+                if snippet not in hits:
+                    hits.append(snippet)
+                continue
+            for p in m.group(1).split(","):
+                p = p.strip().removeprefix("file:")
+                if not p:
+                    continue
+                size = 0
+                if os.path.isfile(p):
+                    size = os.path.getsize(p)
+                elif os.path.isdir(p):
+                    size = sum(
+                        os.path.getsize(os.path.join(r, f))
+                        for r, _, fs in os.walk(p)
+                        for f in fs
+                    )
+                if size >= min_bytes and p not in hits:
+                    hits.append(p)
+    return hits
+
+
+def re_scan(text: str, table: str) -> bool:
+    """Does this plan text scan ``table`` (parquet path or vortex
+    ``paths=[...]``)? The name is regex-escaped and must appear as a
+    whole path component (``/table.parquet`` or ``.../table/...``) so
+    a table named ``order`` never aliases into ``orders.parquet``
+    paths (ADVICE r12)."""
+    t = _re.escape(table)
+    return bool(
+        _re.search(
+            rf"FileScan \w+ [^\n]*[/\[]{t}\.parquet"
+            rf"|paths=\[[^\]\n]*/{t}(\.parquet|\.vortex|/)",
+            text,
+        )
+    )

@@ -40,13 +40,21 @@ def main() -> int:
     )
     qs = catalog.queries()
     spark = get_spark("audit-fact-broadcasts")
-    flagged = []
+    flagged, streaming = [], []
+    # No blanket except (ADVICE r12): the old version turned ANY entry
+    # failure into a stderr "skip" while still exiting 0 with "0
+    # flagged", so a bad SF_DIR could report a clean sweep without
+    # analyzing anything. Every builder in the catalog returns a
+    # lintable batch DataFrame (the CI form asserts exactly that on
+    # all entries), so the only legitimate skip is a streaming DF —
+    # detected explicitly — and any exception now propagates and
+    # fails the run loudly.
     for name in names:
-        try:
-            hits = fact_broadcast_findings(qs[name](spark, SF_DIR), FACT_TABLES)
-        except Exception as e:  # streaming-only entries etc.
-            print(f"  skip {name}: {type(e).__name__}", file=sys.stderr)
+        df = qs[name](spark, SF_DIR)
+        if df.isStreaming:
+            streaming.append(name)
             continue
+        hits = fact_broadcast_findings(df, FACT_TABLES)
         if not hits:
             continue
         if name in FACT_BCAST_OK:
@@ -55,7 +63,11 @@ def main() -> int:
         flagged.append((name, hits))
         print(f"  FLAG {name}: unfiltered fact table(s) {hits} on a broadcast build side")
     spark.stop()
-    print(f"\naudited {len(names)} entries; {len(flagged)} flagged")
+    print(
+        f"\naudited {len(names) - len(streaming)} of {len(names)} entries; "
+        f"{len(streaming)} skipped (streaming: {streaming or 'none'}); "
+        f"{len(flagged)} flagged"
+    )
     return 1 if flagged else 0
 
 

@@ -32,7 +32,14 @@ Method:
   a ratio that grows names a real plan problem instead.
 
 Usage: python scripts/scale_amortization.py [--reps 4 8] [--keep]
+                                            [--queries name1 name2 ...]
 Prints one JSON line on stdout; readable tables on stderr.
+
+r12: ``--queries`` restricts the measured set (any catalog entry with
+an oracle, not just SHAPE_FAIR) so the ×16/×32 q21-residual legs
+don't pay for re-measuring all 14 rows at every scale (VERDICT r11
+next #1), and the subset is forwarded to the per-scale subprocesses
+via SPARK_GRAFT_AMORT_QUERIES.
 """
 
 from __future__ import annotations
@@ -156,6 +163,17 @@ def measure_scale(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
     return out
 
 
+def _selected_names() -> list[str]:
+    """The measured query set: SHAPE_FAIR, or the --queries subset
+    (forwarded to subprocesses via SPARK_GRAFT_AMORT_QUERIES)."""
+    want = os.environ.get("SPARK_GRAFT_AMORT_QUERIES", "")
+    pool = want.split(",") if want else SHAPE_FAIR
+    return [
+        n for n in pool
+        if n in catalog.queries() and n in catalog.oracle_sql()
+    ]
+
+
 def measure_one_main(sf_dir: str) -> None:
     """Subprocess entry: measure ONE scale dir in a fresh process and
     print its per-query JSON. Each scale gets an identically-aged JVM —
@@ -165,10 +183,7 @@ def measure_one_main(sf_dir: str) -> None:
     the 'scale marginal' was really session aging (DuckDB, by contrast,
     got a fresh connection per scale)."""
     spark = get_spark("dvs-scale-amortization")
-    names = [
-        n for n in SHAPE_FAIR
-        if n in catalog.queries() and n in catalog.oracle_sql()
-    ]
+    names = _selected_names()
     out = measure_scale(spark, sf_dir, names)
     spark.stop()
     print(json.dumps(out), flush=True)
@@ -179,10 +194,15 @@ def main() -> None:
     if "--reps" in sys.argv:
         i = sys.argv.index("--reps")
         reps = [int(x) for x in sys.argv[i + 1 :] if x.isdigit()]
-    names = [
-        n for n in SHAPE_FAIR
-        if n in catalog.queries() and n in catalog.oracle_sql()
-    ]
+    if "--queries" in sys.argv:
+        i = sys.argv.index("--queries")
+        subset = []
+        for a in sys.argv[i + 1 :]:
+            if a.startswith("--"):
+                break
+            subset.append(a)
+        os.environ["SPARK_GRAFT_AMORT_QUERIES"] = ",".join(subset)
+    names = _selected_names()
 
     # the x1 baseline is ALSO rewritten through the same duckdb COPY
     # (k=1): using the original sf0.1 files for x1 conflates the scale

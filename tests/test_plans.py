@@ -165,3 +165,102 @@ def test_fact_broadcast_findings_parsing():
     assert len(subs) == 1
     assert "orders.parquet" in subs[0]
     assert "lineitem.parquet" not in subs[0]
+
+
+def test_fact_broadcast_sibling_filter_does_not_exonerate():
+    """ADVICE r12 false-negative hole: an unreduced fact scan joined
+    with a FILTERED dimension inside the same broadcast subtree must
+    still flag — the dim's filter sits on a sibling branch, not on the
+    fact scan's ancestor path, so it does not reduce the fact rows
+    entering the hash table."""
+    from duckdb_vortex_spark.plans.lint import fact_broadcast_findings
+
+    plan = (
+        "AdaptiveSparkPlan isFinalPlan=false\n"
+        "+- BroadcastHashJoin [k#0L], [k#9L], Inner, BuildLeft\n"
+        "   :- BroadcastExchange HashedRelationBroadcastMode, [plan_id=9]\n"
+        "   :  +- *(3) BroadcastHashJoin [l_partkey#2L], [p_partkey#9L], Inner, BuildRight\n"
+        "   :     :- *(3) Filter isnotnull(l_partkey#2L)\n"
+        "   :     :  +- FileScan parquet [l_partkey#2L] Location: InMemoryFileIndex(1 paths)[file:/data/lineitem.parquet]\n"
+        "   :     +- BroadcastExchange HashedRelationBroadcastMode, [plan_id=5]\n"
+        "   :        +- *(1) Filter (isnotnull(p_partkey#9L) AND (p_size#10 = 15))\n"
+        "   :           +- FileScan parquet [p_partkey#9L,p_size#10] Location: InMemoryFileIndex(1 paths)[file:/data/part.parquet]\n"
+        "   +- FileScan parquet [k#9L] Location: InMemoryFileIndex(1 paths)[file:/data/events.parquet]"
+    )
+    assert fact_broadcast_findings(None, ("lineitem",), plan=plan) == ["lineitem"]
+    # a filter ON the fact's own path still clears it
+    cleared = plan.replace(
+        "Filter isnotnull(l_partkey#2L)",
+        "Filter (isnotnull(l_partkey#2L) AND (l_quantity#3 > 40.0))",
+    )
+    assert fact_broadcast_findings(None, ("lineitem",), plan=cleared) == []
+    # a reducing op on a SIBLING branch must not exonerate either
+    sib_agg = plan.replace(
+        "Filter (isnotnull(p_partkey#9L) AND (p_size#10 = 15))",
+        "HashAggregate(keys=[p_partkey#9L], functions=[count(1)])",
+    )
+    assert fact_broadcast_findings(None, ("lineitem",), plan=sib_agg) == ["lineitem"]
+    # ... while the same aggregate on the fact's own ancestor path does
+    own_agg = plan.replace(
+        "Filter isnotnull(l_partkey#2L)",
+        "HashAggregate(keys=[l_partkey#2L], functions=[count(1)])",
+    )
+    assert fact_broadcast_findings(None, ("lineitem",), plan=own_agg) == []
+
+
+def test_heuristic_broadcast_findings(tmp_path):
+    """The table-name-free variant (VERDICT r11 next #7): flags a
+    broadcast build scanning a >= min_bytes source unreduced, honors
+    path-scoped filters, and conservatively flags truncated
+    locations whose size it cannot stat."""
+    from duckdb_vortex_spark.plans.lint import heuristic_broadcast_findings
+
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"x" * 4096)
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 10)
+
+    def mk(path, filt="Filter isnotnull(k#0L)"):
+        return (
+            "+- BroadcastExchange HashedRelationBroadcastMode, [plan_id=1]\n"
+            f"   +- *(1) {filt}\n"
+            f"      +- FileScan parquet [k#0L] Location: InMemoryFileIndex"
+            f"(1 paths)[file:{path}]"
+        )
+
+    # unreduced big source over threshold -> flagged with its path
+    assert heuristic_broadcast_findings(None, min_bytes=1024, plan=mk(big)) == [str(big)]
+    # under threshold -> clean (the documented miss direction)
+    assert heuristic_broadcast_findings(None, min_bytes=1024, plan=mk(small)) == []
+    # data filter on the path clears it
+    filtered = mk(big, filt="Filter (isnotnull(k#0L) AND (k#0L > 5))")
+    assert heuristic_broadcast_findings(None, min_bytes=1024, plan=filtered) == []
+    # truncated location (no Location: match) -> conservative snippet flag
+    trunc = (
+        "+- BroadcastExchange HashedRelationBroadcastMode, [plan_id=2]\n"
+        "   +- FileScan parquet [k#0L] Batched: true, ..."
+    )
+    hits = heuristic_broadcast_findings(None, min_bytes=1024, plan=trunc)
+    assert len(hits) == 1 and hits[0].startswith("FileScan")
+
+
+def test_re_scan_escaped_and_anchored():
+    """ADVICE r12: the table name is regex-escaped and must be a whole
+    path component — a future table named 'order' must not alias into
+    'orders.parquet' paths, and dots in names stay literal."""
+    from duckdb_vortex_spark.plans.lint import re_scan
+
+    line = (
+        "+- FileScan parquet [o_orderkey#0L] Location: "
+        "InMemoryFileIndex(1 paths)[file:/data/orders.parquet]"
+    )
+    assert re_scan(line, "orders")
+    assert not re_scan(line, "order")
+    assert not re_scan(line, "rders")
+    assert not re_scan("FileScan parquet [x#0] file:/d/ordersXparquet]", "orders")
+    # pushed-filter text mentioning the name is not a scan of it
+    assert not re_scan(
+        "+- FileScan parquet [x#0] PushedFilters: [IsNotNull(orders_ref)] "
+        "Location: InMemoryFileIndex(1 paths)[file:/data/part.parquet]",
+        "orders",
+    )

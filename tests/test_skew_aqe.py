@@ -1,0 +1,119 @@
+"""AQE skew-join contract pins for the r12 skewed-replica leg
+(VERDICT r11 next #2): the claim "the merge-pinned fact-fact plans
+survive Zipfian keys via AQE skew-split" has two load-bearing engine
+facts, pinned here on synthetics so a Spark upgrade that changes
+either breaks CI, not the 100-TB story:
+
+1. An INNER sort-merge join under a hot key DOES get split by
+   OptimizeSkewedJoin once the hot partition crosses the byte
+   thresholds — the q21/q12 family defense. (Locally the thresholds
+   must be scaled far below the 256 MB default: map-output sizes are
+   compressed, and sf-scale partitions are a few MB at most. The
+   skew_replica_leg harness makes the same scaling argument for its
+   tuned variant.)
+2. A LEFT SEMI join can only split LEFT-side skew. Right-side (build
+   side) skew is structurally un-splittable — duplicating the stream
+   side against build fragments would duplicate semi matches — so
+   q4-shaped plans (lineitem on the semi's right) rely on the sorted
+   stream, not AQE, and extreme cases fall back to
+   ``plans/skew.salted_aggregate`` downstream.
+
+The markers asserted ("SortMergeJoin(skew=true)", "AQEShuffleRead
+skewed") are the ones scripts/skew_replica_leg.py greps for — if the
+plan text changes shape, this file and that harness fail together.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+
+from duckdb_vortex_spark.plans.lint import formatted_plan
+
+# scaled-down skew thresholds (see module docstring point 1)
+_TUNED = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(32 << 10),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(16 << 10),
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@contextmanager
+def _tuned(spark):
+    old = {k: spark.conf.get(k, None) for k in _TUNED}
+    for k, v in _TUNED.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _hot(spark, n=400_000, pct_hot=90):
+    """(k, v, pad) with pct_hot% of rows on k=0; the sha2 pad keeps
+    the hot partition's map-output bytes incompressible so it crosses
+    the scaled thresholds."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 100 < pct_hot, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+
+
+def _uniform(spark, n=400_000):
+    return spark.range(n).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+
+
+def _final_plan(df):
+    """Run the query (small result) and return the FINAL adaptive plan
+    of the same QueryExecution."""
+    agg = df.groupBy().count()
+    agg.collect()
+    return formatted_plan(agg)
+
+
+def test_inner_smj_skew_split_engages(spark):
+    with _tuned(spark):
+        j = _hot(spark).hint("merge").join(_uniform(spark), "k")
+        plan = _final_plan(j)
+    assert "skew=true" in plan and "skewed" in plan, plan[:2000]
+
+
+def test_semi_join_right_side_skew_cannot_split(spark):
+    """q4's shape: the skewed fact sits on the semi join's RIGHT
+    (existence-set) side — Spark must NOT split it (splitting the
+    build of a semi would duplicate stream matches). If an upgrade
+    ever changes this, q4's skew defense should be re-derived."""
+    with _tuned(spark):
+        left = _uniform(spark)
+        right = _hot(spark)
+        j = left.hint("merge").join(
+            right, left["k"] == right["k"], "left_semi"
+        )
+        plan = _final_plan(j)
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan
+    assert "skew=true" not in plan, plan[:2000]
+
+
+def test_semi_join_left_side_skew_does_split(spark):
+    """The complementary direction: LEFT-side skew on a semi join is
+    splittable, so a q4-shaped query with the skew on the PROBE side
+    is still covered by AQE."""
+    with _tuned(spark):
+        left = _hot(spark)
+        right = _uniform(spark)
+        j = left.hint("merge").join(
+            right, left["k"] == right["k"], "left_semi"
+        )
+        plan = _final_plan(j)
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan
+    assert "skew=true" in plan, plan[:2000]
