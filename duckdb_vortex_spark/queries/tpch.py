@@ -13,7 +13,7 @@ at the end — see catalog module docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
@@ -825,9 +825,12 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape — EXISTS (another supplier on the order) + NOT EXISTS
     (another LATE supplier) — but decorrelated by hand into one
     order-level aggregate (supplier count, late-supplier count)
-    joined back to the late lines: the two correlated subqueries
-    become ONE extra pass instead of two self-joins, which is also
-    the right plan at 100 TB (both joins co-partition on l_orderkey).
+    computed as WINDOW functions over the per-(order, supplier) rows:
+    the two correlated subqueries become window columns on the SAME
+    pass instead of an aggregate-and-join-back, which is also the
+    right plan at 100 TB (everything after the fact-fact join rides
+    one l_orderkey clustering; window groups are bounded by suppliers
+    per order, so no skew exposure beyond the join itself).
     """
     li = load(spark, sf_dir, "lineitem")
     # The merge hint is load-bearing twice over. orders is a FACT
@@ -859,27 +862,36 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("late"),
         )
     )
-    # Two stacked groupBys instead of two COUNT(DISTINCT)s: a multi-
-    # distinct aggregate plans as an Expand (row duplication per
-    # distinct column) — collapsing to (order, supplier) first computes
-    # both counts from plain rows, no expansion, same shuffle key.
-    # Carrying the per-supplier late-LINE count through that first
+    # One groupBy to (order, supplier) instead of two COUNT(DISTINCT)s:
+    # a multi-distinct aggregate plans as an Expand (row duplication
+    # per distinct column) — collapsing to (order, supplier) first
+    # computes both counts from plain rows, no expansion, same shuffle
+    # key. Carrying the per-supplier late-LINE count through that
     # aggregate also removes the second consumer of ``lo``: joining the
-    # raw late lines back would re-execute the lineitem⋈orders join
-    # (one extra full fact-fact pass); summing n_late_lines from
-    # per_sup yields the identical numwait.
+    # raw late lines back would re-execute the lineitem⋈orders join.
     per_sup = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum("late").alias("n_late_lines"),
         F.max("late").alias("sup_late"),
     )
-    ag = per_sup.groupBy("l_orderkey").agg(
-        F.count("*").alias("nsup"),
-        F.sum("sup_late").alias("nlate"),
+    # The order-level counts are WINDOW functions over per_sup, not a
+    # second groupBy joined back (the r11 shape). The r12 interleaved
+    # stage breakdown at the x16 replica attributed ~1.1 s of q21's
+    # 2.5 s to that self-join branch: the l_orderkey exchange is
+    # reused, but its SORT + the per_sup aggregate re-EXECUTE for the
+    # ag side, then the join adds a third sort. The window computes
+    # nsup/nlate in one pass over the already-clustered rows — zero
+    # additional exchanges (AQE plan: the window rides the join's
+    # hash(l_orderkey) clustering), groups bounded by suppliers/order.
+    # Interleaved A/B, exact-parity checked: 2.12 -> 1.39 s at x16,
+    # 0.51 -> 0.38 s at x1 (SCALE.md r12 section).
+    w = Window.partitionBy("l_orderkey")
+    cand = per_sup.withColumn("nsup", F.count("*").over(w)).withColumn(
+        "nlate", F.sum("sup_late").over(w)
     )
     return (
-        per_sup.filter(F.col("sup_late") == 1)
-        .join(ag, "l_orderkey")
-        .filter((F.col("nsup") > 1) & (F.col("nlate") == 1))
+        cand.filter(
+            (F.col("sup_late") == 1) & (F.col("nsup") > 1) & (F.col("nlate") == 1)
+        )
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
