@@ -494,11 +494,12 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     The numbers a data curator reads BEFORE choosing mixture weights
     (pipeline_source_mixture_weights consumes exactly these margins).
 
-    Scale: one tokenize pass, one content-hash aggregate for dup
-    counts joined back on the hash key, and one ROLLUP aggregate —
-    Spark computes all three grouping sets in a single Expand+
-    partial-aggregate pass, so the card costs the same one shuffle as
-    any grouped count at 100 TB."""
+    Scale: one tokenize pass, one content-hash WINDOW for dup-cluster
+    sizes (r12 — was an aggregate joined back, which consumed the
+    tokenize+md5 pass twice), and one ROLLUP aggregate — Spark
+    computes all three grouping sets in a single Expand+
+    partial-aggregate pass, so the card costs one h clustering plus
+    one grouped-count shuffle at 100 TB."""
     from .text import tokens
 
     d = load(spark, sf_dir, "documents")
@@ -509,10 +510,15 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).alias("n_toks"),
         F.md5("text").alias("h"),
     )
-    dup = t.groupBy("h").agg(F.count("*").alias("c"))
+    # Duplicate-cluster size as a WINDOW count over the content hash
+    # (r12 q21-family sweep): the previous groupBy(h)-joined-back form
+    # consumed the tokenize+md5 pass twice; the window computes c in
+    # one pass over one h clustering, partitions bounded by duplicate-
+    # cluster size. Interleaved A/B at sf0.1: 0.78 -> 0.61 s, exact
+    # parity.
+    t = t.withColumn("c", F.count("*").over(Window.partitionBy("h")))
     return (
-        t.join(dup, "h")
-        .rollup("lang", "source")
+        t.rollup("lang", "source")
         .agg(
             # GROUPING() (not COALESCE on the key) labels rollup rows:
             # a real NULL lang/source cell stays NULL instead of being

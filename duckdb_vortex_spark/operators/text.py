@@ -634,9 +634,20 @@ def text_tfidf_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nq").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nq").alias("nb"))
+    # The norm decoration builds from the BOUNDED pair set and shuffles
+    # the per-DOCUMENT norm table on the doc key (r12 q21-family
+    # sweep): the previous explicit F.broadcast(na/nb) shipped a
+    # corpus-sized table — aggregated, so the fact-broadcast lint's
+    # reduction heuristic clears it, but per-doc norms cannot be
+    # resident at 100 TB. Interleaved A/B at sf0.1: 17.2 -> 20.3 s
+    # median (~+15% locally for the two extra bounded shuffles) — the
+    # r11 rule applies: the pin binds at scale, where the broadcast
+    # shape simply stops running. (A carry-the-norm-through-the-pair-
+    # aggregate window variant was also A/B'd and rejected: ~20 s too,
+    # with the doc_id window sort replacing the joins it saved.)
     scored = (
-        dots.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        dots.hint("shuffle_hash").join(na, "doc_a")
+        .hint("shuffle_hash").join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
