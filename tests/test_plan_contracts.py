@@ -91,6 +91,32 @@ def test_tpch_fact_fact_joins_never_broadcast_orders(spark):
         )
 
 
+def test_window_one_pass_shapes_r12(spark):
+    """The r12 aggregate-joined-back sweep replaced same-key
+    agg+join-back branches with window functions (q21's order-level
+    counts, q2's per-part min, q17's correlated avg, the dataset
+    card's dup counts). Pin the one-pass shapes so a refactor cannot
+    silently regress to the double-execution form the x16 stage
+    breakdown measured at ~1.1 s of q21's 2.5 s:
+
+    - q21: exactly ONE SortMergeJoin (the fact⋈fact join — the
+      per_sup⋈ag self-join is gone) and a Window node.
+    - q2: no SMJ at all (dims broadcast; mins is a window, not a
+      joined-back aggregate).
+    - q17: ONE hash exchange total (the window clustering) — the old
+      full-lineitem aggregate branch would add a second.
+    - dataset card: no join of any kind (window + rollup only).
+    """
+    p = _plan(spark, "tpch_q21_waiting_supplier")
+    assert p.count("SortMergeJoin") == 1 and "Window" in p
+    p = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert p.count("SortMergeJoin") == 0 and "Window" in p
+    p = _plan(spark, "tpch_q17_small_quantity")
+    assert p.count("Exchange hashpartitioning") == 1 and "Window" in p
+    p = _plan(spark, "pipeline_dataset_card")
+    assert "Join" not in p and "Window" in p
+
+
 def test_q1_partial_aggregation(spark):
     plan = _plan(spark, "tpch_q1_pricing_summary")
     # partial aggregation before the shuffle (map-side combine): the
