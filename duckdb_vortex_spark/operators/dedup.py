@@ -821,24 +821,56 @@ def simhash_neardup_pairs_portable(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 4,
+    banding: str = "block_pair",
 ) -> DataFrame:
     """Near-dup pairs over the PORTABLE (md5-bit) simhash — the same
     Hamming-band pigeonhole shape as simhash_neardup_pairs, but with a
     signature an external SQL engine reproduces bit-for-bit, so the
-    whole pair set is oracle-checkable. Bands are 4-hex-digit (16-bit)
-    substrings of the hex signature; the verify stage recomputes the
-    exact Hamming distance from the two hex strings (4 bits per digit
-    position). Same shuffle shape and Σ-bucket² bound as the fast
-    xxhash64 path."""
-    if max_hamming >= n_bands:
-        raise ValueError("pigeonhole guarantee needs max_hamming < n_bands")
+    whole pair set is oracle-checkable. The verify stage recomputes
+    the exact Hamming distance from the two hex strings (4 bits per
+    digit position), so RESULTS are identical under any banding with
+    recall 1.0 — only the candidate volume differs.
+
+    Banding (r12): the default is BLOCK-PAIR keying (Manku, Jain &
+    Das Sarma, WWW 2007 §3 — the production simhash design): split
+    the 16 hex digits into 6 blocks (3,3,3,3,2,2 digits) and key each
+    of the C(6,2)=15 tables on the CONCATENATION of two blocks
+    (20–24-bit keys). Pigeonhole: ≤3 bit errors damage ≤3 blocks, so
+    ≥3 blocks match exactly and some PAIR of intact blocks agrees —
+    recall stays 1.0 for max_hamming ≤ n_blocks−2 = 4. The old
+    contiguous 4×16-bit banding (``banding="contiguous"``) keys on a
+    FIXED 65k-value space per table, so bucket occupancy — and the
+    Σ bucket² candidate mass — grows QUADRATICALLY with the corpus:
+    measured 4.5 s → 81 s (18× for 8× docs) at the ×8 sf0.1 replica,
+    where block-pair keys' 16–256× larger key space holds the same
+    run to ~linear (SCALE.md r12). 15 exploded rows/doc instead of 4
+    is the linear price for the quadratic term's collapse."""
+    if banding == "contiguous":
+        if max_hamming >= n_bands:
+            raise ValueError("pigeonhole guarantee needs max_hamming < n_bands")
+        width = 16 // n_bands  # hex digits per band
+        band_vals = F.array(
+            *[F.substring("sig", b * width + 1, width) for b in range(n_bands)]
+        )
+    elif banding == "block_pair":
+        blocks = [(0, 3), (3, 3), (6, 3), (9, 3), (12, 2), (14, 2)]
+        if max_hamming > len(blocks) - 2:
+            raise ValueError("block-pair pigeonhole needs max_hamming <= n_blocks - 2")
+        from itertools import combinations
+
+        band_vals = F.array(
+            *[
+                F.concat(
+                    F.substring("sig", si + 1, li), F.substring("sig", sj + 1, lj)
+                )
+                for (si, li), (sj, lj) in combinations(blocks, 2)
+            ]
+        )
+    else:
+        raise ValueError(f"unknown banding {banding!r}")
     # three consumers (bucketing + both verify sides): persist so the
     # 64-aggregate md5 signature pass runs once, same as the fast path
     sig = _portable_simhash_frame(df, text_col, id_col).persist()
-    width = 16 // n_bands  # hex digits per band
-    band_vals = F.array(
-        *[F.substring("sig", b * width + 1, width) for b in range(n_bands)]
-    )
     buckets = sig.select("id", F.posexplode(band_vals).alias("band", "h"))
     a = buckets.select("band", "h", F.col("id").alias("doc_a"))
     b = buckets.select("band", "h", F.col("id").alias("doc_b"))

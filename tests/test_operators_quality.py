@@ -129,6 +129,32 @@ def test_asof_forward_and_edges(spark):
     assert fwd[(2, 5)] == 500.0
 
 
+def test_simhash_block_pair_banding_equals_contiguous(spark):
+    """r12: the portable path's default banding is Manku-style
+    block-pair keying (C(6,2)=15 tables on 20-24-bit keys — the
+    corpus-scalable key space). Both it and the old contiguous 4x16-bit
+    banding guarantee recall 1.0 for hamming <= 3 by pigeonhole, so
+    with the exact verify they MUST emit identical pair sets — this is
+    the local twin of the driver's oracle check (the DuckDB oracle
+    still uses the contiguous scheme on purpose: result equality
+    across different candidate generators is the strongest check)."""
+    from duckdb_vortex_spark.catalog import load
+    from duckdb_vortex_spark.operators.dedup import simhash_neardup_pairs_portable
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").limit(150)
+    dup = docs.limit(1).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    corpus = docs.union(dup)
+    bp = simhash_neardup_pairs_portable(corpus, banding="block_pair")
+    ct = simhash_neardup_pairs_portable(corpus, banding="contiguous")
+    rows_bp = sorted(tuple(r) for r in bp.collect())
+    rows_ct = sorted(tuple(r) for r in ct.collect())
+    assert rows_bp == rows_ct
+    assert any(h == 0 for _, _, h in rows_bp), "planted dup must surface"
+
+
 def test_simhash_neardup_pigeonhole_complete(spark):
     """Band join must find EVERY pair with Hamming ≤ 3 (pigeonhole is
     a guarantee, not a probability): compare against the brute-force
