@@ -31,7 +31,11 @@ N_TIMED = 3  # timed runs per query (after 1 warm-up); median reported
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from duckdb_vortex_spark import catalog
-from duckdb_vortex_spark.session import get_spark, quiet_accumulator_noise
+from duckdb_vortex_spark.session import (
+    get_spark,
+    quiet_accumulator_noise,
+    release_persisted,
+)
 
 # Headline set: the flagship relational queries + the scale-critical
 # LLM-pipeline operators. Kept explicit so bench time stays bounded as
@@ -128,6 +132,7 @@ def main() -> None:
         # are only unlinked once the driver GC collects their handles,
         # and the default periodic GC (30 min) never fires inside a
         # bench run.
+        release_persisted()  # drain the scoped-persist registry (ADVICE r12)
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         # Let the ContextCleaner DRAIN before the next query's timed

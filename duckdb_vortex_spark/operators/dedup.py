@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
+from ..session import scoped_persist
 from .text import tokens
 
 # --- shared shingling ---------------------------------------------------
@@ -174,7 +175,7 @@ def ngram_jaccard_pairs_bruteforce(
     CSE) — measured 2× on the bounded fixture. Built via
     :func:`shingle_table` so the cache BUILD pays tokenize once per
     row, not once per shingle index (round 5: 3.07 → 0.32 s/sf0.1)."""
-    sh = shingle_table(df, text_col, id_col, n).persist()
+    sh = scoped_persist(shingle_table(df, text_col, id_col, n))
     a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return _with_jaccard(a.join(b, F.col("doc_a") < F.col("doc_b"))).filter(
@@ -386,7 +387,7 @@ def minhash_lsh_pairs(
     # sides of the verify join); persist it so shingling+hashing runs
     # once — at 100 TB this is the classic two-phase layout where the
     # signature table would be written out before the join phase.
-    sig = sig.persist()
+    sig = scoped_persist(sig)
     buckets = band_buckets(sig, num_hashes, rows_per_band)
     bucket_sizes = buckets.groupBy("band", "h").agg(F.count("*").alias("bn"))
     # Every (band, h)-keyed join below is pinned shuffle_hash: the
@@ -763,32 +764,69 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 4,
+    banding: str = "block_pair",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Classic Hamming-band trick: split the 64-bit signature into
-    ``n_bands`` contiguous blocks; any pair within Hamming distance
-    d < n_bands must agree exactly on ≥ 1 block (pigeonhole), so
-    block-equality joins find ALL such pairs — recall 1.0, no
-    probabilistic miss. Verification is ``bit_count(xor)`` on the two
-    64-bit signatures. Same shuffle shape as MinHash LSH: per-row
-    signatures, band-bucket equi-join, cheap exact verify (two longs
-    per pair, no arrays shipped).
+    Candidate generation by Hamming-band pigeonhole, exact
+    ``bit_count(xor)`` verify on the two 64-bit signatures — so the
+    RESULT set is identical under any complete banding with recall
+    1.0; only the candidate volume differs. Same shuffle shape as
+    MinHash LSH: per-row signatures, band-bucket equi-join, cheap
+    exact verify (two longs per pair, no arrays shipped).
+
+    Banding (r13, ported from the portable twin's r12 fix): the
+    default is BLOCK-PAIR keying (Manku, Jain & Das Sarma, WWW 2007
+    §3): split the 64-bit signature into 6 blocks (11,11,11,11,10,10
+    bits via shift/mask) and key each of the C(6,2)=15 tables on the
+    CONCATENATION of two blocks (20–22-bit keys). Pigeonhole: ≤4 bit
+    errors damage ≤4 blocks, so ≥2 blocks survive intact and some
+    PAIR of intact blocks agrees — recall 1.0 for
+    max_hamming ≤ n_blocks−2 = 4. The old contiguous 4×16-bit scheme
+    (``banding="contiguous"``) keys on a FIXED ≤65k-value space per
+    table, so bucket occupancy — and the Σ bucket² candidate mass
+    behind the verify join — grows QUADRATICALLY with the corpus:
+    r12 measured 18× wall for 8× docs on the portable twin before
+    fixing only that twin; this port closes the same trap on the
+    native 64-bit path (VERDICT r12 #1). 15 exploded rows/doc
+    instead of 4 is the linear price for the quadratic collapse.
     """
-    if max_hamming >= n_bands:
-        raise ValueError(
-            f"pigeonhole guarantee needs max_hamming < n_bands "
-            f"(got {max_hamming} >= {n_bands})"
+    sig = scoped_persist(simhash(df, text_col, id_col).withColumnRenamed(id_col, "id"))
+    if banding == "contiguous":
+        if max_hamming >= n_bands:
+            raise ValueError(
+                f"pigeonhole guarantee needs max_hamming < n_bands "
+                f"(got {max_hamming} >= {n_bands})"
+            )
+        width = 64 // n_bands
+        mask = (1 << width) - 1
+        band_vals = F.array(
+            *[
+                F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ]
         )
-    sig = simhash(df, text_col, id_col).withColumnRenamed(id_col, "id").persist()
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    band_vals = F.array(
-        *[
-            F.shiftrightunsigned("simhash", b * width).bitwiseAND(F.lit(mask))
-            for b in range(n_bands)
-        ]
-    )
+    elif banding == "block_pair":
+        # (offset, width) in bits, LSB-first; widths sum to 64
+        blocks = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+        if max_hamming > len(blocks) - 2:
+            raise ValueError("block-pair pigeonhole needs max_hamming <= n_blocks - 2")
+        from itertools import combinations
+
+        def _blk(off: int, w: int) -> Column:
+            return F.shiftrightunsigned("simhash", off).bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+
+        # concatenate two blocks into one ≤22-bit long: hi << w_lo | lo
+        band_vals = F.array(
+            *[
+                F.shiftleft(_blk(oi, wi), wj).bitwiseOR(_blk(oj, wj))
+                for (oi, wi), (oj, wj) in combinations(blocks, 2)
+            ]
+        )
+    else:
+        raise ValueError(f"unknown banding {banding!r}")
     buckets = sig.select("id", F.posexplode(band_vals).alias("band", "h"))
     a = buckets.select("band", "h", F.col("id").alias("doc_a"))
     b = buckets.select("band", "h", F.col("id").alias("doc_b"))
@@ -870,7 +908,7 @@ def simhash_neardup_pairs_portable(
         raise ValueError(f"unknown banding {banding!r}")
     # three consumers (bucketing + both verify sides): persist so the
     # 64-aggregate md5 signature pass runs once, same as the fast path
-    sig = _portable_simhash_frame(df, text_col, id_col).persist()
+    sig = scoped_persist(_portable_simhash_frame(df, text_col, id_col))
     buckets = sig.select("id", F.posexplode(band_vals).alias("band", "h"))
     a = buckets.select("band", "h", F.col("id").alias("doc_a"))
     b = buckets.select("band", "h", F.col("id").alias("doc_b"))
@@ -979,7 +1017,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     m = max(1, math.ceil(d.count() / 320.0))
-    sh = shingle_table(d.filter(F.col("doc_id") % m == 0), "text", "doc_id", 3).persist()
+    sh = scoped_persist(shingle_table(d.filter(F.col("doc_id") % m == 0), "text", "doc_id", 3))
     a = sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     sized = (

@@ -470,18 +470,23 @@ WITH t AS (
          len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_toks,
          md5(text) AS h
   FROM documents
-), dup AS (
-  SELECT h, COUNT(*) AS c FROM t GROUP BY h
+), tc AS (
+  -- window, not an inner join back onto GROUP BY h (ADVICE r12): the
+  -- join form silently dropped NULL-text rows from EVERY count (NULL
+  -- never equals NULL in a join); the window keeps them in one NULL
+  -- partition — the same semantics as the Spark side, so parity holds
+  -- even if documents ever carry NULL text
+  SELECT *, COUNT(*) OVER (PARTITION BY h) AS c FROM t
 )
-SELECT CASE WHEN GROUPING(t.lang) = 1 THEN '<all>' ELSE t.lang END AS lang,
-       CASE WHEN GROUPING(t.source) = 1 THEN '<all>' ELSE t.source END AS source,
+SELECT CASE WHEN GROUPING(tc.lang) = 1 THEN '<all>' ELSE tc.lang END AS lang,
+       CASE WHEN GROUPING(tc.source) = 1 THEN '<all>' ELSE tc.source END AS source,
        COUNT(*) AS n_docs,
-       CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
-       CAST(SUM(t.n_chars) AS BIGINT) AS total_chars,
-       COUNT(*) FILTER (WHERE d.c > 1) AS n_exact_dup_docs,
-       COUNT(*) FILTER (WHERE t.n_toks < 20) AS n_short_docs
-FROM t JOIN dup d USING (h)
-GROUP BY ROLLUP (t.lang, t.source)
+       CAST(SUM(tc.n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(tc.n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) FILTER (WHERE tc.c > 1) AS n_exact_dup_docs,
+       COUNT(*) FILTER (WHERE tc.n_toks < 20) AS n_short_docs
+FROM tc
+GROUP BY ROLLUP (tc.lang, tc.source)
 """
 
 
@@ -516,6 +521,15 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one pass over one h clustering, partitions bounded by duplicate-
     # cluster size. Interleaved A/B at sf0.1: 0.78 -> 0.61 s, exact
     # parity.
+    # NULL-text semantics (ADVICE r12, intentional): the old inner
+    # join on h=md5(text) silently DROPPED NULL-text rows from the
+    # dup-cluster count (NULL never equals NULL in a join); the window
+    # keeps them in one NULL partition, so NULL-text docs now count as
+    # an exact-dup cluster when there are ≥2 of them. The window
+    # semantics are the deliberate ones (a missing-text doc is still a
+    # doc, and two of them ARE content-identical); the DuckDB oracle
+    # counts the same way, so parity pins the choice. Current testdata
+    # has no NULL text — this note is the contract if that changes.
     t = t.withColumn("c", F.count("*").over(Window.partitionBy("h")))
     return (
         t.rollup("lang", "source")

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
+from ..session import scoped_persist
 
 # Storage levels for the PQ interpreted-HOF persist barriers (the
 # distance-table / codes subtrees that MUST cache — a repartition
@@ -47,7 +48,7 @@ PQ_QUERY_STORAGE = StorageLevel.MEMORY_AND_DISK
 
 
 def _pq_barrier(df: DataFrame, corpus: bool = False) -> DataFrame:
-    return df.persist(PQ_CODES_STORAGE if corpus else PQ_QUERY_STORAGE)
+    return scoped_persist(df, PQ_CODES_STORAGE if corpus else PQ_QUERY_STORAGE)
 
 
 def _dot(a: Column, b: Column) -> Column:

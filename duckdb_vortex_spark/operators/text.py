@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
+from ..session import scoped_persist
 
 # Stopwords for the quality heuristic: tiny, fixed, English-ish. The
 # point is the Spark plumbing (set-membership ratio over tokens), not
@@ -295,7 +296,7 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     would switch to approx_count_distinct (HLL, no shuffle of raw
     tokens) — kept exact here for the oracle."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens("text").alias("toks")).persist()
+    toks = scoped_persist(d.select("doc_id", tokens("text").alias("toks")))
     counts = toks.select(F.size("toks").cast("bigint").alias("n"))
     vocab = (
         toks.select(F.explode("toks").alias("tok"))

@@ -61,18 +61,66 @@ def formatted_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def lint_plan(df: DataFrame, allow: tuple[str, ...] = ()) -> list[PlanFinding]:
+def lint_plan(
+    df: DataFrame, allow: tuple[str, ...] = (), plan: str | None = None
+) -> list[PlanFinding]:
     """Return scale-killer findings in ``df``'s physical plan.
 
     ``allow`` suppresses rule names that are deliberate for this plan
     (e.g. ``("nested-loop-join",)`` for an intentional theta join).
+    ``plan`` lints a pre-captured plan string instead (e.g. a final
+    adaptive plan captured after an action).
     """
-    plan = formatted_plan(df)
+    if plan is None:
+        plan = formatted_plan(df)
     return [
         PlanFinding(marker, rule, why)
         for marker, rule, why in _RULES
         if rule not in allow and marker in plan
     ]
+
+
+def lint_final_plan(
+    df: DataFrame,
+    fact_tables: tuple[str, ...] = (),
+    min_bytes: int = 256 << 20,
+    allow: tuple[str, ...] = (),
+) -> list[str]:
+    """Execute ``df``'s plan and lint the FINAL adaptive plan
+    (``isFinalPlan=true``) with every rule at once: the scale-killer
+    markers (:func:`lint_plan`), the named fact-table broadcast rule
+    (when ``fact_tables`` is given), and the size-heuristic broadcast
+    rule. One call closes the gap :func:`formatted_plan`'s docstring
+    documents (VERDICT r12 #3): with AQE enabled the static lint sees
+    only the INITIAL plan, and AQE may still convert an unpinned
+    shuffle join to a broadcast join at runtime once actual shuffle
+    sizes are known — exactly the conversion that turns into an OOM
+    or a fact-broadcast at 100 TB when small-scale test sizes lied.
+
+    Cost: one extra execution of the plan (documented, deliberate) —
+    the adaptive plan's intermediate stages (every exchange below the
+    result stage) genuinely run, which is what fixes AQE's runtime
+    join choices in place; the result stage is only planned, and
+    nothing is collected to the driver. A subsequent action on the
+    SAME DataFrame reuses the materialized stages.
+
+    Returns findings as ``"rule: detail"`` strings (empty = clean).
+    """
+    jplan = df._jdf.queryExecution().executedPlan()
+    jplan.execute()  # materialize AQE stages; result stage stays lazy
+    plan = jplan.toString()
+    out = [f"{f.rule}: {f.why}" for f in lint_plan(df, allow=allow, plan=plan)]
+    if fact_tables:
+        out += [
+            f"fact-broadcast: {t}"
+            for t in fact_broadcast_findings(None, fact_tables, plan=plan)
+        ]
+    if "large-unreduced-broadcast" not in allow:
+        out += [
+            f"large-unreduced-broadcast: {p}"
+            for p in heuristic_broadcast_findings(None, min_bytes=min_bytes, plan=plan)
+        ]
+    return out
 
 
 def assert_plan_clean(df: DataFrame, allow: tuple[str, ...] = ()) -> None:
@@ -279,10 +327,21 @@ def heuristic_broadcast_findings(
                 p = p.strip().removeprefix("file:")
                 if not p:
                     continue
-                size = 0
+                # ADVICE r12: Spark's default
+                # maxMetadataStringLength=100 commonly truncates the
+                # path list INSIDE the brackets ("..." mid-list, or a
+                # chopped final path that no longer stats) — a
+                # truncated entry must fall back to the conservative
+                # unknown-size flag, exactly like a missing Location,
+                # or a large source passes unflagged.
+                if "..." in p or not (os.path.isfile(p) or os.path.isdir(p)):
+                    snippet = f"unknown-size scan path (truncated?): {p[:120]}"
+                    if snippet not in hits:
+                        hits.append(snippet)
+                    continue
                 if os.path.isfile(p):
                     size = os.path.getsize(p)
-                elif os.path.isdir(p):
+                else:
                     size = sum(
                         os.path.getsize(os.path.join(r, f))
                         for r, _, fs in os.walk(p)

@@ -87,6 +87,84 @@ def salted_broadcast_left(
     return out.drop("__salt")
 
 
+def window_counts_hot_isolated(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    hot_row_threshold: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Aggregate-valued window (``fn(x) OVER (PARTITION BY key)``
+    attached to every row) with HOT KEYS isolated — the salted-window
+    escape for the q21-class shape (VERDICT r12 next #6).
+
+    The r12 skew leg pinned the dilemma: same-key window consumers
+    cannot take AQE's skew-split (splitting the hot partition breaks
+    the clustering the window needs; a forced split inserts a full
+    extra exchange — measured 1.57 → 2.10 s), so the default plan
+    absorbs one fat task. That holds while the fat task's share of
+    the critical path is small; past it, THIS is the escape:
+
+    1. per-key row counts + partials computed grouped by
+       ``(key, salt)``, combined per key in a second tiny aggregate
+       (n_salts rows/key). Map-side partial aggregation already
+       defuses most of the hot key's reduce-side mass for these
+       algebraic fns; the salt is the guard for the paths where the
+       combiner can't help (partial-agg disabled, or a future
+       non-algebraic fn routed here) and costs one n_salts-rows/key
+       combine.
+    2. keys with ≥ ``hot_row_threshold`` rows — BY DEFINITION few
+       (at most total_rows/threshold of them, each one executor-class
+       or larger) — have their finished totals broadcast and attached
+       to their rows with a broadcast join: the hot rows are NEVER
+       shuffled or sorted on the hot key at all.
+    3. every other row takes the plain window over its (uniform,
+       bounded) key partition, after a broadcast anti-join removes
+       the hot keys.
+
+    Results are row-identical to the plain window (pinned in
+    tests/test_skew_aqe.py). Price: one extra pass over ``df`` to
+    find the hot keys (the salted count), plus the anti-join's
+    broadcast probe per row. Crossover vs absorb measured in SCALE.md
+    (r13 salted-window leg). ``aggs`` maps output column →
+    (input column, fn), fn ∈ {"sum", "count", "min", "max"} — the
+    algebraic window functions, same contract as
+    :func:`salted_aggregate`.
+    """
+    from pyspark.sql import Window
+
+    partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    combine_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    window_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    bad = [fn for _, (_, fn) in aggs.items() if fn not in partial_fns]
+    if bad:
+        raise ValueError(f"unsupported window fns: {bad}")
+    out_cols = [*df.columns, *aggs.keys()]
+    salt_src = sorted({c for _, (c, _) in aggs.items()} | set(df.columns))
+    salted = df.withColumn("__salt", _content_salt(salt_src, n_salts))
+    phase1 = salted.groupBy(*key_cols, "__salt").agg(
+        F.count("*").alias("__n"),
+        *[partial_fns[fn](c).alias(out) for out, (c, fn) in aggs.items()],
+    )
+    hot_totals = (
+        phase1.groupBy(*key_cols)
+        .agg(
+            F.sum("__n").alias("__n"),
+            *[combine_fns[fn](out).alias(out) for out, (_, fn) in aggs.items()],
+        )
+        .filter(F.col("__n") >= hot_row_threshold)
+        .drop("__n")
+    )
+    hot_rows = df.join(F.broadcast(hot_totals), key_cols).select(*out_cols)
+    cold = df.join(
+        F.broadcast(hot_totals.select(*key_cols)), key_cols, "left_anti"
+    )
+    w = Window.partitionBy(*key_cols)
+    for out, (c, fn) in aggs.items():
+        cold = cold.withColumn(out, window_fns[fn](c).over(w))
+    return cold.select(*out_cols).unionByName(hot_rows)
+
+
 # --- driver-visible entry -------------------------------------------------
 
 SALTED_AGG_ORACLE = """

@@ -51,14 +51,73 @@ def quiet_accumulator_noise(spark: SparkSession) -> None:
     ``org.apache.spark.scheduler.DAGScheduler`` logger to FATAL. Real
     job/stage failures still surface loudly as driver-side exceptions
     (py4j re-raises them), which is how every gate detects failure
-    anyway — no gate reads DAGScheduler log lines. Product sessions
-    keep the default level; this is harness-only by convention.
+    anyway — no gate reads DAGScheduler log lines.
+
+    r13 (ADVICE r12): scoped to the MESSAGE, not the logger level.
+    The previous form raised the whole DAGScheduler logger to FATAL,
+    which also suppressed real stage-failure / task-loss ERROR
+    diagnostics from harness logs. Now a log4j2 ``RegexFilter``
+    (DENY on ``Failed to update accumulator``, NEUTRAL otherwise) is
+    attached to a dedicated additive ``LoggerConfig`` for the
+    DAGScheduler logger only — real DAGScheduler ERRORs still print,
+    and no other logger is touched. Idempotent per JVM.
     """
     jvm = spark.sparkContext._jvm
-    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.scheduler.DAGScheduler",
-        jvm.org.apache.logging.log4j.Level.FATAL,
+    ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+    config = ctx.getConfiguration()
+    name = "org.apache.spark.scheduler.DAGScheduler"
+    lc = config.getLoggerConfig(name)
+    if lc.getName() == name and lc.getFilter() is not None:
+        return  # already installed in this JVM
+    Result = jvm.org.apache.logging.log4j.core.Filter.Result
+    flt = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+        ".*Failed to update accumulator.*", None, True, Result.DENY, Result.NEUTRAL
     )
+    if lc.getName() != name:
+        # DAGScheduler inherits an ancestor (usually root) config: make
+        # a dedicated additive LoggerConfig so the filter can't affect
+        # any other logger's events
+        LoggerConfig = jvm.org.apache.logging.log4j.core.config.LoggerConfig
+        lc = LoggerConfig(name, lc.getLevel(), True)
+        config.addLogger(name, lc)
+    lc.addFilter(flt)
+    ctx.updateLoggers()
+
+
+_PERSISTED: list = []
+
+
+def scoped_persist(df, storage_level=None):
+    """``df.persist()`` with eager-release bookkeeping (ADVICE r12).
+
+    The pair-generating operators (MinHash/SimHash/shingle/token
+    frames with 2–3 downstream join consumers) persist intermediates;
+    a bare ``persist()`` with no ``unpersist()`` accumulates cached
+    blocks across repeated calls in one long session. Every such site
+    routes through here, and harnesses (bench.py, the verify gate)
+    call :func:`release_persisted` after materializing each query's
+    result. Caller contract: release AFTER the returned DataFrame is
+    materialized — unpersisting earlier silently degrades the persist
+    to a no-op and recomputes the frame per consumer.
+    """
+    p = df.persist() if storage_level is None else df.persist(storage_level)
+    _PERSISTED.append(p)
+    return p
+
+
+def release_persisted() -> int:
+    """Unpersist every frame registered via :func:`scoped_persist`;
+    returns how many were released. Safe to call at any time (frames
+    already materialized keep their computed results)."""
+    n = 0
+    while _PERSISTED:
+        frame = _PERSISTED.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass  # session gone / already unpersisted: nothing to leak
+    return n
 
 
 def pin_utc(spark: SparkSession) -> SparkSession:

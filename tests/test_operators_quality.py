@@ -155,6 +155,40 @@ def test_simhash_block_pair_banding_equals_contiguous(spark):
     assert any(h == 0 for _, _, h in rows_bp), "planted dup must surface"
 
 
+def test_simhash_native_block_pair_banding_equals_contiguous(spark):
+    """r13 (VERDICT r12 #1): the NATIVE 64-bit path now defaults to
+    Manku block-pair keying (6 shift/mask blocks, C(6,2)=15
+    concatenated ≤22-bit keys) — same port as the portable twin's r12
+    fix. Both bandings guarantee recall 1.0 for hamming ≤ 3 by
+    pigeonhole and share the exact bit_count(xor) verify, so the pair
+    sets MUST be identical; and max_hamming=4 (legal only under
+    block-pair, n_blocks−2=4) must be a superset of the ≤3 set."""
+    from duckdb_vortex_spark.catalog import load
+    from duckdb_vortex_spark.operators.dedup import simhash_neardup_pairs
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text").limit(150)
+    dup = docs.limit(1).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    corpus = docs.union(dup)
+    bp = sorted(tuple(r) for r in simhash_neardup_pairs(corpus, banding="block_pair").collect())
+    ct = sorted(tuple(r) for r in simhash_neardup_pairs(corpus, banding="contiguous").collect())
+    assert bp == ct
+    assert any(h == 0 for _, _, h in bp), "planted dup must surface"
+    h4 = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(corpus, max_hamming=4).collect()
+    }
+    assert {(a, b) for a, b, _ in bp} <= h4
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(corpus, max_hamming=4, banding="contiguous")
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(corpus, max_hamming=5)
+
+
 def test_simhash_neardup_pigeonhole_complete(spark):
     """Band join must find EVERY pair with Hamming ≤ 3 (pigeonhole is
     a guarantee, not a probability): compare against the brute-force

@@ -242,6 +242,80 @@ def test_heuristic_broadcast_findings(tmp_path):
     )
     hits = heuristic_broadcast_findings(None, min_bytes=1024, plan=trunc)
     assert len(hits) == 1 and hits[0].startswith("FileScan")
+    # ADVICE r12: truncation INSIDE the brackets (Spark's default
+    # maxMetadataStringLength=100 chops the path list mid-entry) —
+    # every unstat-able or '...'-bearing entry flags conservatively,
+    # it must NOT silently stat to size 0 and pass
+    mid_trunc = mk(f"{big}, file:/root/testd...")
+    hits = heuristic_broadcast_findings(None, min_bytes=1024, plan=mid_trunc)
+    assert str(big) in hits
+    assert any("unknown-size" in h for h in hits), hits
+    # a chopped final path that no longer exists on disk -> same flag
+    gone = mk(tmp_path / "never_written.parquet")
+    hits = heuristic_broadcast_findings(None, min_bytes=1024, plan=gone)
+    assert len(hits) == 1 and "unknown-size" in hits[0]
+
+
+def test_lint_final_plan_catches_aqe_broadcast_conversion(spark, tmp_path):
+    """r13 (VERDICT r12 #3): `lint_final_plan(df)` is the one-call
+    form of the docstring recipe — execute, then lint the
+    isFinalPlan=true adaptive plan with every rule. The synthetic
+    reproduces the exact gap: static broadcast disabled (initial plan
+    = shuffle join, initial-plan lint clean), AQE's runtime threshold
+    generous (final plan converts to broadcast) — the static lint
+    passes and ONLY the final-plan lint flags the conversion."""
+    from duckdb_vortex_spark.plans.lint import (
+        formatted_plan,
+        heuristic_broadcast_findings,
+        lint_final_plan,
+    )
+
+    left = tmp_path / "left.parquet"
+    right = tmp_path / "right.parquet"
+    spark.range(0, 20_000).selectExpr("id AS k", "id * 2 AS v").write.parquet(str(left))
+    spark.range(0, 20_000).selectExpr("id AS k", "id * 3 AS w").write.parquet(str(right))
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        ),
+        "spark.sql.maxMetadataStringLength": conf.get(
+            "spark.sql.maxMetadataStringLength"
+        ),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+        # long pytest tmp paths get truncated out of Location at the
+        # default 100 — which the size heuristic (correctly,
+        # ADVICE r12) flags as unknown-size; widen so the clean-plan
+        # leg below actually measures sizes
+        conf.set("spark.sql.maxMetadataStringLength", "2000")
+        df = spark.read.parquet(str(left)).join(
+            spark.read.parquet(str(right)), "k"
+        )
+        initial = formatted_plan(df)
+        assert "isFinalPlan=false" in initial
+        assert heuristic_broadcast_findings(None, min_bytes=1, plan=initial) == [], (
+            "static lint must be clean — broadcast is disabled statically"
+        )
+        hits = lint_final_plan(df, min_bytes=1)
+        assert "isFinalPlan=true" in formatted_plan(df)
+        assert any("large-unreduced-broadcast" in h for h in hits), (
+            f"AQE broadcast conversion must be flagged, got {hits}\n"
+            f"{formatted_plan(df)[:2000]}"
+        )
+        # and with a generous threshold the same call reads clean
+        assert lint_final_plan(df, min_bytes=1 << 40) == []
+    finally:
+        for k, v in saved.items():
+            if v:
+                conf.set(k, v)
+            else:
+                conf.unset(k)
 
 
 def test_re_scan_escaped_and_anchored():

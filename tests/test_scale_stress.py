@@ -232,6 +232,72 @@ def test_simhash_block_pair_candidate_mass_linear(spark):
     assert tk / max(t1, 1e-9) <= K * SLACK
 
 
+def test_simhash_native_block_pair_candidate_mass_linear(spark):
+    """r13 (VERDICT r12 #1): the NATIVE 64-bit simhash_neardup_pairs
+    carried the same fixed-key-space trap r12 fixed only in the
+    portable twin — contiguous 4×16-bit bands key into ≤65k buckets
+    per table, so Σ C(bucket,2) candidate mass grows quadratically
+    with the corpus. The ported block-pair default (6 shift/mask
+    blocks of the 64-bit long, C(6,2)=15 concatenated ≤22-bit keys)
+    must hold the candidate mass ~linear. Same mass-not-wall
+    assertion discipline as the portable pin above; the contiguous
+    mass is printed alongside so the gap the port buys is recorded,
+    not asserted (it only diverges at corpus sizes slow-tier won't
+    pay for)."""
+    from itertools import combinations
+
+    from duckdb_vortex_spark.operators.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    K = 6
+    blocks = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+
+    def _blk(off: int, w: int):
+        return F.shiftrightunsigned("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
+
+    bp_vals = F.array(
+        *[
+            F.shiftleft(_blk(oi, wi), wj).bitwiseOR(_blk(oj, wj))
+            for (oi, wi), (oj, wj) in combinations(blocks, 2)
+        ]
+    )
+    ct_vals = F.array(
+        *[
+            F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit((1 << 16) - 1))
+            for b in range(4)
+        ]
+    )
+
+    def cand_mass(docs, band_vals) -> int:
+        row = (
+            simhash(docs)
+            .select(F.posexplode(band_vals).alias("band", "h"))
+            .groupBy("band", "h")
+            .agg(F.count("*").alias("bn"))
+            .agg(F.sum(F.col("bn") * (F.col("bn") - 1) / 2).alias("m"))
+            .first()
+        )
+        return int(row.m or 0)
+
+    d1, _ = _replicate_docs(spark, 1)
+    dk, _ = _replicate_docs(spark, K)
+    m1, mk = cand_mass(d1, bp_vals), cand_mass(dk, bp_vals)
+    c1, ck = cand_mass(d1, ct_vals), cand_mass(dk, ct_vals)
+    t1, n1 = _timed(lambda: simhash_neardup_pairs(d1).count())
+    tk, nk = _timed(lambda: simhash_neardup_pairs(dk).count())
+    print(
+        f"\nSCALE-STRESS simhash_native_block_pair: mass 1x={m1} {K}x={mk} "
+        f"(contiguous {c1}->{ck}) wall 1x={t1:.2f}s {K}x={tk:.2f}s "
+        f"factor={tk / max(t1, 1e-9):.1f}x pairs {n1}->{nk}"
+    )
+    assert mk <= m1 * K * SLACK + 1000, (
+        f"native block-pair candidate mass superlinear: {m1} -> {mk} at {K}x"
+    )
+    assert tk / max(t1, 1e-9) <= K * SLACK
+
+
 def test_ivf_ann_10x(spark):
     e1 = _replicate_embeddings(spark, 1)
     e10 = _replicate_embeddings(spark, REPLICAS)
