@@ -53,6 +53,16 @@ _EXPORTS = {
     "topk_vectorized": ("duckdb_vortex_spark.operators.similarity", "topk_vectorized"),
     "lsh_topk": ("duckdb_vortex_spark.operators.similarity", "lsh_topk"),
     "ivf_topk": ("duckdb_vortex_spark.operators.similarity", "ivf_topk"),
+    "ivf_index": ("duckdb_vortex_spark.operators.similarity", "ivf_index"),
+    "ivf_probe": ("duckdb_vortex_spark.operators.similarity", "ivf_probe"),
+    "ivfpq_topk": ("duckdb_vortex_spark.operators.similarity", "ivfpq_topk"),
+    "ivfpq_index": ("duckdb_vortex_spark.operators.similarity", "ivfpq_index"),
+    "ivfpq_probe": ("duckdb_vortex_spark.operators.similarity", "ivfpq_probe"),
+    "window_counts_hot_isolated": (
+        "duckdb_vortex_spark.plans.skew",
+        "window_counts_hot_isolated",
+    ),
+    "lint_final_plan": ("duckdb_vortex_spark.plans.lint", "lint_final_plan"),
     "ivf_topk_vectorized": (
         "duckdb_vortex_spark.operators.similarity",
         "ivf_topk_vectorized",

@@ -33,7 +33,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load, query
-from .similarity import _sql_cos, ivf_topk, ivfpq_topk, topk_bruteforce
+from .similarity import (
+    _sql_cos,
+    ivf_index,
+    ivf_probe,
+    ivfpq_index,
+    ivfpq_probe,
+    topk_bruteforce,
+)
 from .text import bm25_doc_scores
 
 
@@ -521,7 +528,8 @@ FROM ({union})
 )
 def retrieval_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN parameter TUNING curve (VERDICT r8 #3): recall@k of
-    `ivf_topk` and `ivfpq_topk` against the exact brute-force top-k,
+    `ivf_probe` and `ivfpq_probe` (over once-built indexes) against
+    the exact brute-force top-k,
     for every (method, n_probe ∈ {1,2,4}, k ∈ {1,10}) — the axis an
     operator actually tunes: `retrieval_recall_curve_by_label` answers
     "which slice is weak", this answers "what n_probe buys how much
@@ -535,7 +543,14 @@ def retrieval_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting happens on bounded frames. Each leg is localCheckpointed:
     it feeds two cutoffs, and 7 independent subtrees under one union
     would otherwise make Catalyst re-analysis the dominant cost (the
-    r8 lineage rule, incremental_pipeline.py)."""
+    r8 lineage rule, incremental_pipeline.py).
+
+    r13: each index is BUILT ONCE (ivf_index / ivfpq_index — the
+    assigned corpus localCheckpointed, the PQ codes persisted by the
+    barrier) and the n_probe sweep only re-probes it — the way a real
+    tuning harness works (you tune probes against a stored index, you
+    do not re-train centroids and re-encode the corpus per tuning
+    point). Gate wall for this entry: 45 s → ~17 s at sf0.01."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 20 == 0)
     exact = (
@@ -543,19 +558,20 @@ def retrieval_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", F.col("rnk").alias("e_rnk"))
         .localCheckpoint(eager=True)
     )
+    ividx = ivf_index(emb, n_clusters=16)
+    ividx = ividx._replace(cand=ividx.cand.localCheckpoint(eager=True))
+    pqidx = ivfpq_index(emb, n_clusters=16, m=4, k_codes=16)
     nq = queries.agg(F.count("*").cast("bigint").alias("n_queries"))
     out = None
     for np_ in _TUNING_PROBES:
         ivf = (
-            ivf_topk(queries, emb, k=10, n_clusters=16, n_probe=np_)
+            ivf_probe(ividx, queries, k=10, n_probe=np_)
             .select("query_id", "cand_id", F.col("rnk").alias("a_rnk"))
             .localCheckpoint(eager=True)
         )
         wpq = W.partitionBy("query_id").orderBy("approx_d2", "cand_id")
         pq = (
-            ivfpq_topk(
-                queries, emb, k=10, n_clusters=16, n_probe=np_, m=4, k_codes=16
-            )
+            ivfpq_probe(pqidx, queries, k=10, n_probe=np_)
             .withColumn("a_rnk", F.row_number().over(wpq).cast("bigint"))
             .select("query_id", "cand_id", "a_rnk")
             .localCheckpoint(eager=True)

@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -412,6 +414,38 @@ def ivf_assign(
     )
 
 
+class IvfIndex(NamedTuple):
+    """A built IVF index: broadcastable centroid literals + the
+    corpus assigned to its nearest cluster (norms precomputed). Build
+    ONCE with :func:`ivf_index`, probe many times with
+    :func:`ivf_probe` — sweeping ``n_probe``/``k`` must not re-train
+    centroids or re-assign the corpus (at 100 TB the assigned frame is
+    a persisted bucketed-by-cluster table; re-deriving it per tuning
+    point is the recompute this split exists to forbid — r13,
+    measured 45 s → ~17 s on the driver-gate tuning-curve entry)."""
+
+    centroids: list
+    cand: DataFrame  # (cand_id, cv, cn, cluster_id)
+
+
+def ivf_index(
+    candidates_df: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Build the IVF index: deterministic centroid sample → nearest-
+    centroid partition of the corpus (1 probe), norms riding along."""
+    centroids = sample_centroids(candidates_df, n_clusters, id_col, vec_col)
+    # Norms ride along from assignment (computed once per vector);
+    # each probed pair then costs ONE array fold (the dot), not three.
+    cand = ivf_assign(candidates_df, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        F.col("vnorm").alias("cn"), "cluster_id",
+    )
+    return IvfIndex(centroids, cand)
+
+
 def ivf_topk(
     queries_df: DataFrame,
     candidates_df: DataFrame,
@@ -421,22 +455,30 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: deterministic centroid sample → nearest-
-    centroid partition of the corpus (1 probe) → queries probe their
-    ``n_probe`` nearest clusters → exact cosine re-rank within probed
-    clusters.
+    """IVF approximate top-k: :func:`ivf_index` + :func:`ivf_probe`
+    in one call (build-per-call form for one-shot queries).
 
     The 100 TB shape: centroids broadcast; the corpus shuffles ONCE on
     cluster_id (and would be written bucketed-by-cluster for reuse);
     each query touches n_probe/n_clusters of the data instead of all
     of it. Recall vs brute force asserted in tests."""
-    centroids = sample_centroids(candidates_df, n_clusters, id_col, vec_col)
-    # Norms ride along from assignment (computed once per vector);
-    # each probed pair then costs ONE array fold (the dot), not three.
-    cand = ivf_assign(candidates_df, centroids, 1, id_col, vec_col).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
-        F.col("vnorm").alias("cn"), "cluster_id",
+    return ivf_probe(
+        ivf_index(candidates_df, n_clusters, id_col, vec_col),
+        queries_df, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
     )
+
+
+def ivf_probe(
+    index: IvfIndex,
+    queries_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a built IVF index: queries probe their ``n_probe``
+    nearest clusters → exact cosine re-rank within probed clusters."""
+    centroids, cand = index.centroids, index.cand
     qry = ivf_assign(queries_df, centroids, n_probe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.col("vnorm").alias("qn"), "cluster_id",
@@ -1252,28 +1294,29 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb.filter(F.col("vec_id") % 20 == 0), codes, books, k=10)
 
 
-def ivfpq_topk(
-    queries_df: DataFrame,
+class IvfPqIndex(NamedTuple):
+    """A built IVF-PQ index: centroid + codebook literals and the
+    corpus encoded to PQ codes, cluster-assigned, behind the persist
+    barrier. Build ONCE (:func:`ivfpq_index`), probe many times
+    (:func:`ivfpq_probe`) — the encoded-codes frame IS the stored
+    index (4 B/vector, the point of PQ); re-encoding it per tuning
+    point is the recompute the split forbids (r13)."""
+
+    centroids: list
+    books: list
+    cand: DataFrame  # (cand_id, cluster_id, codes)
+
+
+def ivfpq_index(
     corpus_df: DataFrame,
-    k: int = 10,
     n_clusters: int = 16,
-    n_probe: int = 4,
     m: int = PQ_QUALITY["m"],
     k_codes: int = PQ_QUALITY["k_codes"],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-ADC composition (Jégou et al. 2011 §V — the production ANN
-    layout): the corpus is partitioned by nearest centroid (IVF) and
-    stored as PQ codes; a query probes its ``n_probe`` nearest
-    clusters and runs the ADC kernel ONLY over those clusters' codes.
-
-    This is the 100 TB shape end-to-end: centroids + codebooks are
-    broadcast literals; the corpus shuffles once on cluster_id (and
-    would persist bucketed-by-cluster for reuse); per query the scan
-    cost is n_probe/n_clusters of the codes — 4 bytes per candidate —
-    instead of a full-precision linear scan. pq_adc_topk is the
-    degenerate n_probe = n_clusters case."""
+) -> IvfPqIndex:
+    """Build the IVF-PQ index: centroids, per-subspace codebooks, and
+    the corpus encoded + cluster-assigned behind the persist barrier."""
     centroids = sample_centroids(corpus_df, n_clusters, id_col, vec_col)
     # the SAME collected sample seeds both structures when
     # n_clusters == k_codes: one distributed top-K pass, not two —
@@ -1290,6 +1333,48 @@ def ivfpq_topk(
         ).select(F.col(id_col).alias("cand_id"), "cluster_id", "codes"),
         corpus=True,
     )
+    return IvfPqIndex(centroids, books, cand)
+
+
+def ivfpq_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_QUALITY["m"],
+    k_codes: int = PQ_QUALITY["k_codes"],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC composition (Jégou et al. 2011 §V — the production ANN
+    layout): :func:`ivfpq_index` + :func:`ivfpq_probe` in one call.
+
+    This is the 100 TB shape end-to-end: centroids + codebooks are
+    broadcast literals; the corpus shuffles once on cluster_id (and
+    would persist bucketed-by-cluster for reuse); per query the scan
+    cost is n_probe/n_clusters of the codes — 4 bytes per candidate —
+    instead of a full-precision linear scan. pq_adc_topk is the
+    degenerate n_probe = n_clusters case."""
+    return ivfpq_probe(
+        ivfpq_index(corpus_df, n_clusters, m, k_codes, id_col, vec_col),
+        queries_df, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivfpq_probe(
+    index: IvfPqIndex,
+    queries_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a built IVF-PQ index: a query probes its ``n_probe``
+    nearest clusters and runs the ADC kernel only over those
+    clusters\' codes."""
+    centroids, books, cand = index.centroids, index.books, index.cand
+    m = len(books)
     dsub = len(books[0][0])
     dtab_cols = [
         F.expr(_d2_vec_sql(vec_col, books[s], s, dsub)).alias(f"__dtab{s}")

@@ -93,6 +93,7 @@ def window_counts_hot_isolated(
     aggs: dict[str, tuple[str, str]],
     hot_row_threshold: int,
     n_salts: int = 16,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """Aggregate-valued window (``fn(x) OVER (PARTITION BY key)``
     attached to every row) with HOT KEYS isolated — the salted-window
@@ -123,10 +124,20 @@ def window_counts_hot_isolated(
        the hot keys.
 
     Results are row-identical to the plain window (pinned in
-    tests/test_skew_aqe.py). Price: one extra pass over ``df`` to
-    find the hot keys (the salted count), plus the anti-join's
-    broadcast probe per row. Crossover vs absorb measured in SCALE.md
-    (r13 salted-window leg). ``aggs`` maps output column →
+    tests/test_skew_aqe.py). Price — the minimum for this shape, two
+    passes over ``df`` (r13 A/B: the first cut used a hot/cold
+    union of two consumers plus an anti-join = THREE passes; this
+    form cut the salt arm's wall ~35 %): one pass computes the hot
+    keys' totals (salted two-phase aggregate), one pass attaches them
+    (broadcast left join) and runs a SINGLE window whose partition key
+    is ``(key, salt-for-hot-rows-else-0)`` — the hot partitions split
+    ``n_salts`` ways so the window sort has no fat task, their
+    (wrong) split-window values are discarded in favor of the
+    broadcast totals by a hot-flag ``when``. Crossover vs absorb
+    measured in SCALE.md (r13 salted-window leg): plain absorb rides
+    the join's key clustering with ZERO extra exchange, so salt only
+    wins when the fat task's critical-path share exceeds a full extra
+    pass + exchange of the data. ``aggs`` maps output column →
     (input column, fn), fn ∈ {"sum", "count", "min", "max"} — the
     algebraic window functions, same contract as
     :func:`salted_aggregate`.
@@ -140,29 +151,68 @@ def window_counts_hot_isolated(
     if bad:
         raise ValueError(f"unsupported window fns: {bad}")
     out_cols = [*df.columns, *aggs.keys()]
-    salt_src = sorted({c for _, (c, _) in aggs.items()} | set(df.columns))
+    salt_src = sorted({c for _, (c, _) in aggs.items() if c != "*"} | set(df.columns))
     salted = df.withColumn("__salt", _content_salt(salt_src, n_salts))
-    phase1 = salted.groupBy(*key_cols, "__salt").agg(
-        F.count("*").alias("__n"),
-        *[partial_fns[fn](c).alias(out) for out, (c, fn) in aggs.items()],
-    )
-    hot_totals = (
-        phase1.groupBy(*key_cols)
-        .agg(
-            F.sum("__n").alias("__n"),
-            *[combine_fns[fn](out).alias(out) for out, (_, fn) in aggs.items()],
+    if hot_keys is not None:
+        # caller knows the hot keys (sampled upstream, or operational
+        # knowledge — the production path: at scale you do NOT want a
+        # full-key-space aggregate just to find the handful of hot
+        # keys). Exact totals are computed only for those keys: the
+        # filter is map-side (isin over a literal list), nothing cold
+        # is shuffled. Single-column keys only — the common case.
+        if len(key_cols) != 1:
+            raise ValueError("hot_keys= supports single-column keys")
+        hot_totals = (
+            df.filter(F.col(key_cols[0]).isin(list(hot_keys)))
+            .groupBy(*key_cols)
+            .agg(
+                *[
+                    partial_fns[fn](c).alias(f"__hot_{out}")
+                    for out, (c, fn) in aggs.items()
+                ]
+            )
+            .select(
+                *key_cols,
+                F.lit(True).alias("__is_hot"),
+                *[f"__hot_{o}" for o in aggs],
+            )
         )
-        .filter(F.col("__n") >= hot_row_threshold)
-        .drop("__n")
+    else:
+        phase1 = salted.groupBy(*key_cols, "__salt").agg(
+            F.count("*").alias("__n"),
+            *[
+                partial_fns[fn](c).alias(f"__hot_{out}")
+                for out, (c, fn) in aggs.items()
+            ],
+        )
+        hot_totals = (
+            phase1.groupBy(*key_cols)
+            .agg(
+                F.sum("__n").alias("__n"),
+                *[
+                    combine_fns[fn](f"__hot_{out}").alias(f"__hot_{out}")
+                    for out, (_, fn) in aggs.items()
+                ],
+            )
+            .filter(F.col("__n") >= hot_row_threshold)
+            .select(
+                *key_cols,
+                F.lit(True).alias("__is_hot"),
+                *[f"__hot_{o}" for o in aggs],
+            )
+        )
+    tagged = salted.join(F.broadcast(hot_totals), key_cols, "left").withColumn(
+        "__wsalt", F.when(F.col("__is_hot"), F.col("__salt")).otherwise(F.lit(0))
     )
-    hot_rows = df.join(F.broadcast(hot_totals), key_cols).select(*out_cols)
-    cold = df.join(
-        F.broadcast(hot_totals.select(*key_cols)), key_cols, "left_anti"
-    )
-    w = Window.partitionBy(*key_cols)
+    w = Window.partitionBy(*key_cols, "__wsalt")
     for out, (c, fn) in aggs.items():
-        cold = cold.withColumn(out, window_fns[fn](c).over(w))
-    return cold.select(*out_cols).unionByName(hot_rows)
+        tagged = tagged.withColumn(
+            out,
+            F.when(F.col("__is_hot"), F.col(f"__hot_{out}")).otherwise(
+                window_fns[fn](c).over(w)
+            ),
+        )
+    return tagged.select(*out_cols)
 
 
 # --- driver-visible entry -------------------------------------------------
