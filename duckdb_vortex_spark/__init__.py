@@ -63,6 +63,8 @@ _EXPORTS = {
         "window_counts_hot_isolated",
     ),
     "lint_final_plan": ("duckdb_vortex_spark.plans.lint", "lint_final_plan"),
+    "scoped_persist": ("duckdb_vortex_spark.session", "scoped_persist"),
+    "release_persisted": ("duckdb_vortex_spark.session", "release_persisted"),
     "ivf_topk_vectorized": (
         "duckdb_vortex_spark.operators.similarity",
         "ivf_topk_vectorized",

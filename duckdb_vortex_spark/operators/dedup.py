@@ -763,10 +763,13 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_bands: int = 4,
+    n_bands: int | None = None,
     banding: str = "block_pair",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+    ``n_bands`` applies only to ``banding="contiguous"`` (default 4
+    there); passing it with block-pair banding is an error, not a
+    silent ignore.
 
     Candidate generation by Hamming-band pigeonhole, exact
     ``bit_count(xor)`` verify on the two 64-bit signatures — so the
@@ -791,8 +794,8 @@ def simhash_neardup_pairs(
     native 64-bit path (VERDICT r12 #1). 15 exploded rows/doc
     instead of 4 is the linear price for the quadratic collapse.
     """
-    sig = scoped_persist(simhash(df, text_col, id_col).withColumnRenamed(id_col, "id"))
     if banding == "contiguous":
+        n_bands = 4 if n_bands is None else n_bands
         if max_hamming >= n_bands:
             raise ValueError(
                 f"pigeonhole guarantee needs max_hamming < n_bands "
@@ -807,6 +810,8 @@ def simhash_neardup_pairs(
             ]
         )
     elif banding == "block_pair":
+        if n_bands is not None:
+            raise ValueError("n_bands only applies to banding='contiguous'")
         # (offset, width) in bits, LSB-first; widths sum to 64
         blocks = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
         if max_hamming > len(blocks) - 2:
@@ -827,6 +832,9 @@ def simhash_neardup_pairs(
         )
     else:
         raise ValueError(f"unknown banding {banding!r}")
+    # persist AFTER argument validation: an error path must not leave
+    # a registered cache entry behind (r13 review)
+    sig = scoped_persist(simhash(df, text_col, id_col).withColumnRenamed(id_col, "id"))
     buckets = sig.select("id", F.posexplode(band_vals).alias("band", "h"))
     a = buckets.select("band", "h", F.col("id").alias("doc_a"))
     b = buckets.select("band", "h", F.col("id").alias("doc_b"))
@@ -858,7 +866,7 @@ def simhash_neardup_pairs_portable(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_bands: int = 4,
+    n_bands: int | None = None,
     banding: str = "block_pair",
 ) -> DataFrame:
     """Near-dup pairs over the PORTABLE (md5-bit) simhash — the same
@@ -884,6 +892,7 @@ def simhash_neardup_pairs_portable(
     run to ~linear (SCALE.md r12). 15 exploded rows/doc instead of 4
     is the linear price for the quadratic term's collapse."""
     if banding == "contiguous":
+        n_bands = 4 if n_bands is None else n_bands
         if max_hamming >= n_bands:
             raise ValueError("pigeonhole guarantee needs max_hamming < n_bands")
         width = 16 // n_bands  # hex digits per band
@@ -891,6 +900,8 @@ def simhash_neardup_pairs_portable(
             *[F.substring("sig", b * width + 1, width) for b in range(n_bands)]
         )
     elif banding == "block_pair":
+        if n_bands is not None:
+            raise ValueError("n_bands only applies to banding='contiguous'")
         blocks = [(0, 3), (3, 3), (6, 3), (9, 3), (12, 2), (14, 2)]
         if max_hamming > len(blocks) - 2:
             raise ValueError("block-pair pigeonhole needs max_hamming <= n_blocks - 2")

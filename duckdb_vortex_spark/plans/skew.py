@@ -116,24 +116,22 @@ def window_counts_hot_isolated(
        combine.
     2. keys with ≥ ``hot_row_threshold`` rows — BY DEFINITION few
        (at most total_rows/threshold of them, each one executor-class
-       or larger) — have their finished totals broadcast and attached
-       to their rows with a broadcast join: the hot rows are NEVER
-       shuffled or sorted on the hot key at all.
-    3. every other row takes the plain window over its (uniform,
-       bounded) key partition, after a broadcast anti-join removes
-       the hot keys.
+       or larger) — have their finished totals broadcast and
+       null-safe-attached to every row (a broadcast LEFT join, so the
+       classic NULL hot key is isolated too).
+    3. ONE window over partition key ``(key, hot ? salt : 0)``: cold
+       keys keep their full partition; hot keys' rows spread over
+       ``n_salts`` sub-partitions, so the window sort has no fat
+       task, and their (deliberately wrong) split-window values are
+       discarded in favor of the broadcast totals by a hot-flag
+       ``when``.
 
     Results are row-identical to the plain window (pinned in
     tests/test_skew_aqe.py). Price — the minimum for this shape, two
     passes over ``df`` (r13 A/B: the first cut used a hot/cold
     union of two consumers plus an anti-join = THREE passes; this
     form cut the salt arm's wall ~35 %): one pass computes the hot
-    keys' totals (salted two-phase aggregate), one pass attaches them
-    (broadcast left join) and runs a SINGLE window whose partition key
-    is ``(key, salt-for-hot-rows-else-0)`` — the hot partitions split
-    ``n_salts`` ways so the window sort has no fat task, their
-    (wrong) split-window values are discarded in favor of the
-    broadcast totals by a hot-flag ``when``. Crossover vs absorb
+    keys' totals, one pass attaches them and windows. Crossover vs absorb
     measured in SCALE.md (r13 salted-window leg): plain absorb rides
     the join's key clustering with ZERO extra exchange, so salt only
     wins when the fat task's critical-path share exceeds a full extra
@@ -146,7 +144,7 @@ def window_counts_hot_isolated(
 
     partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     combine_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    window_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    window_fns = partial_fns  # window form of an algebraic fn = its partial
     bad = [fn for _, (_, fn) in aggs.items() if fn not in partial_fns]
     if bad:
         raise ValueError(f"unsupported window fns: {bad}")
@@ -162,8 +160,15 @@ def window_counts_hot_isolated(
         # is shuffled. Single-column keys only — the common case.
         if len(key_cols) != 1:
             raise ValueError("hot_keys= supports single-column keys")
+        # isin() can never match NULL — the classic "null key" hot
+        # spot this module opens with; a None in hot_keys means
+        # "isolate the NULL-key rows" and needs the explicit isNull
+        vals = [v for v in hot_keys if v is not None]
+        pred = F.col(key_cols[0]).isin(vals) if vals else F.lit(False)
+        if any(v is None for v in hot_keys):
+            pred = pred | F.col(key_cols[0]).isNull()
         hot_totals = (
-            df.filter(F.col(key_cols[0]).isin(list(hot_keys)))
+            df.filter(pred)
             .groupBy(*key_cols)
             .agg(
                 *[
@@ -201,7 +206,24 @@ def window_counts_hot_isolated(
                 *[f"__hot_{o}" for o in aggs],
             )
         )
-    tagged = salted.join(F.broadcast(hot_totals), key_cols, "left").withColumn(
+    # eqNullSafe, not a name-equality join: a NULL hot key (the
+    # classic default-value hot spot) must match its totals row —
+    # NULL never equals NULL under a plain join, which would silently
+    # send every NULL-key row down the cold path as ONE fat window
+    # partition (the exact task this helper exists to eliminate).
+    # The totals' key columns are RENAMED before the join (a
+    # drop-by-Column after a join resolves unreliably and can silently
+    # leave the right-side key shadowing the left one — r13 review).
+    ht = hot_totals.select(
+        *[F.col(kc).alias(f"__hk_{i}") for i, kc in enumerate(key_cols)],
+        "__is_hot",
+        *[f"__hot_{o}" for o in aggs],
+    )
+    cond = None
+    for i, kc in enumerate(key_cols):
+        term = F.col(kc).eqNullSafe(F.col(f"__hk_{i}"))
+        cond = term if cond is None else cond & term
+    tagged = salted.join(F.broadcast(ht), cond, "left").withColumn(
         "__wsalt", F.when(F.col("__is_hot"), F.col("__salt")).otherwise(F.lit(0))
     )
     w = Window.partitionBy(*key_cols, "__wsalt")

@@ -47,8 +47,8 @@ def quiet_accumulator_noise(spark: SparkSession) -> None:
     DAGScheduler logs each one as an ERROR stack trace (``Failed to
     update accumulator ... (Unknown class)``) even though nothing is
     wrong: the query's results were already returned. Humans grep gate
-    logs for REAL errors, so harnesses opt in to raising the
-    ``org.apache.spark.scheduler.DAGScheduler`` logger to FATAL. Real
+    logs for REAL errors, so harnesses opt in to suppressing exactly
+    that message on exactly that logger. Real
     job/stage failures still surface loudly as driver-side exceptions
     (py4j re-raises them), which is how every gate detects failure
     anyway — no gate reads DAGScheduler log lines.
@@ -99,6 +99,15 @@ def scoped_persist(df, storage_level=None):
     result. Caller contract: release AFTER the returned DataFrame is
     materialized — unpersisting earlier silently degrades the persist
     to a no-op and recomputes the frame per consumer.
+
+    Library consumers: a long-lived session calling these operators in
+    a loop should call :func:`release_persisted` (exported at package
+    level) at its own operation boundaries — the registry holds strong
+    references on purpose (a weak registry could not drain the JVM
+    cache entries its frames pin), so without a drain call it grows by
+    one small handle per persist, on top of the cached blocks the
+    persist itself already retains (which is the pre-existing persist
+    contract, not new retention).
     """
     p = df.persist() if storage_level is None else df.persist(storage_level)
     _PERSISTED.append(p)

@@ -39,40 +39,70 @@ HOT_PCTS = [0, 15, 30, 50]  # 0 = uniform control (the insurance premium)
 HOT_ROW_THRESHOLD = 100_000  # ×8 hot key holds ≥ 0.15·4.8M ≈ 720k rows
 
 
-def _build_frames(spark, sf_dir: str):
-    from pyspark.sql import Window
+AGGS = {"n_lines": ("*", "count"), "n_late": ("late", "sum")}
+
+
+def _join_output(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     from duckdb_vortex_spark.catalog import load
-    from duckdb_vortex_spark.plans.skew import window_counts_hot_isolated
 
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").hint("merge")
-    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+    return li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
         "l_orderkey",
         "l_suppkey",
         (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90)
         .cast("int")
         .alias("late"),
     )
+
+
+# Each arm builds its OWN frames, and only the persisted arm calls
+# scoped_persist — and only at its own build time (r13 review: a
+# shared _build_frames registered the persist at build of ALL arms,
+# so whichever arm ran FIRST paid the cache build against a cached lo
+# it never asked for, and after the first clean() the persisted arm
+# ran cache-less, measuring identically to plain salt — the arms were
+# mislabeled).
+def _arm_absorb(spark, sf_dir: str):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    lo = _join_output(spark, sf_dir)
     w = Window.partitionBy("l_orderkey")
-    absorb = lo.withColumn("n_lines", F.count("*").over(w)).withColumn(
+    return lo.withColumn("n_lines", F.count("*").over(w)).withColumn(
         "n_late", F.sum("late").over(w)
     )
-    aggs = {"n_lines": ("*", "count"), "n_late": ("late", "sum")}
-    salt = window_counts_hot_isolated(
-        lo, ["l_orderkey"], aggs, hot_row_threshold=HOT_ROW_THRESHOLD
-    )
-    # the practical form: persist the join output so the helper's two
-    # consumers (totals pass + attach pass) pay the skewed join ONCE —
-    # each timed run still pays its own cache build (cleanup drops it)
-    from duckdb_vortex_spark.session import scoped_persist
 
-    salt_persisted = window_counts_hot_isolated(
-        scoped_persist(lo), ["l_orderkey"], aggs,
+
+def _arm_salt(spark, sf_dir: str):
+    from duckdb_vortex_spark.plans.skew import window_counts_hot_isolated
+
+    return window_counts_hot_isolated(
+        _join_output(spark, sf_dir), ["l_orderkey"], AGGS,
         hot_row_threshold=HOT_ROW_THRESHOLD,
     )
-    return absorb, salt, salt_persisted
+
+
+def _arm_salt_persisted(spark, sf_dir: str):
+    # the practical form: persist the join output so the helper's two
+    # consumers (totals pass + attach pass) pay the skewed join ONCE —
+    # each timed run pays its own cache build (cleanup drops it after)
+    from duckdb_vortex_spark.plans.skew import window_counts_hot_isolated
+    from duckdb_vortex_spark.session import scoped_persist
+
+    return window_counts_hot_isolated(
+        scoped_persist(_join_output(spark, sf_dir)), ["l_orderkey"], AGGS,
+        hot_row_threshold=HOT_ROW_THRESHOLD,
+    )
+
+
+ARMS = {
+    "absorb": _arm_absorb,
+    "salt": _arm_salt,
+    "salt_persisted": _arm_salt_persisted,
+}
 
 
 def measure_main(sf_dir: str, rounds: int) -> None:
@@ -102,27 +132,27 @@ def measure_main(sf_dir: str, rounds: int) -> None:
         )
         return df.agg(F.count("*").alias("n"), F.sum(h).alias("h")).collect()[0]
 
-    absorb, salt, salt_persisted = _build_frames(spark, sf_dir)
-    ca, cs, cp = checksum(absorb), checksum(salt), checksum(salt_persisted)
-    assert (ca.n, ca.h) == (cs.n, cs.h) == (cp.n, cp.h), f"arm mismatch: {ca} vs {cs} vs {cp}"
-    clean()
+    # parity across all three arms, each built in isolation
+    sums = {}
+    for name, build in ARMS.items():
+        sums[name] = checksum(build(spark, sf_dir))
+        clean()
+    vals = {(r.n, r.h) for r in sums.values()}
+    assert len(vals) == 1, f"arm mismatch: {sums}"
+    ca = next(iter(sums.values()))
 
-    # arms are BUILDERS, not frames: clean() unpersists between runs,
-    # which silently strips the persisted arm's cache entry from the
-    # CacheManager — a reused DataFrame would degrade to plain salt
-    # after its first run. Rebuilding per run makes every persisted
-    # run pay (and benefit from) its own cache build.
-    def arm_builders():
-        a, s_, p = _build_frames(spark, sf_dir)
-        return {"absorb": a, "salt": s_, "salt_persisted": p}
-
+    # arms are BUILDERS: each timed run builds its own frame (plan
+    # construction is ms), so the persisted arm registers its persist
+    # inside its OWN run and clean() strips it right after — no arm
+    # ever executes against another arm's cache (r13 review).
     for _ in range(2):  # warm all arms
-        for df in arm_builders().values():
-            _materialize(df)
+        for build in ARMS.values():
+            _materialize(build(spark, sf_dir))
             clean()
-    runs: dict[str, list[float]] = {k: [] for k in arm_builders()}
+    runs: dict[str, list[float]] = {k: [] for k in ARMS}
     for _ in range(rounds):
-        for name, df in arm_builders().items():
+        for name, build in ARMS.items():
+            df = build(spark, sf_dir)
             t0 = time.monotonic()
             _materialize(df)
             runs[name].append(round(time.monotonic() - t0, 3))

@@ -166,3 +166,25 @@ def test_window_counts_hot_isolated_matches_plain_window(spark):
         sorted(map(tuple, got_known.collect()))
         == sorted(map(tuple, want.collect()))
     )
+    # the module's own motivating case — the NULL hot key (r13 review:
+    # a plain name-equality attach join can never match NULL, which
+    # would silently send every NULL-key row down the cold path as one
+    # fat partition). Both detection and hot_keys=[None] must isolate
+    # it, and results must still match the plain window.
+    dfn = df.withColumn("k", F.when(F.col("k") == 0, F.lit(None)).otherwise(F.col("k")))
+    wantn = dfn.withColumn("n", F.count("*").over(w)).withColumn(
+        "nlate", F.sum("late").over(w)
+    )
+    gotn = window_counts_hot_isolated(dfn, ["k"], aggs, hot_row_threshold=5_000)
+    rows_n = sorted(repr(tuple(r)) for r in gotn.collect())  # None-safe sort
+    assert rows_n == sorted(repr(tuple(r)) for r in wantn.collect())
+    gotn_known = window_counts_hot_isolated(
+        dfn, ["k"], aggs, hot_row_threshold=0, hot_keys=[None]
+    )
+    assert sorted(repr(tuple(r)) for r in gotn_known.collect()) == rows_n
+    # and the isolation actually happened: the attach join is
+    # null-safe — Catalyst rewrites `a <=> b` equi-join keys into
+    # (coalesce(a, ...), isnull(a)) pairs, so the NULL key matched
+    # its totals row instead of falling to the cold path
+    plan_n = formatted_plan(gotn)
+    assert "<=>" in plan_n or "isnull(" in plan_n, plan_n[:2000]
