@@ -58,6 +58,16 @@ _EXPORTS = {
     "ivfpq_topk": ("duckdb_vortex_spark.operators.similarity", "ivfpq_topk"),
     "ivfpq_index": ("duckdb_vortex_spark.operators.similarity", "ivfpq_index"),
     "ivfpq_probe": ("duckdb_vortex_spark.operators.similarity", "ivfpq_probe"),
+    "write_ivf_index": ("duckdb_vortex_spark.operators.similarity", "write_ivf_index"),
+    "read_ivf_index": ("duckdb_vortex_spark.operators.similarity", "read_ivf_index"),
+    "write_ivfpq_index": (
+        "duckdb_vortex_spark.operators.similarity",
+        "write_ivfpq_index",
+    ),
+    "read_ivfpq_index": (
+        "duckdb_vortex_spark.operators.similarity",
+        "read_ivfpq_index",
+    ),
     "window_counts_hot_isolated": (
         "duckdb_vortex_spark.plans.skew",
         "window_counts_hot_isolated",

@@ -1402,6 +1402,75 @@ def ivfpq_probe(
     )
 
 
+def write_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist a built IVF index as its stored artifact (r13): the
+    assigned corpus written PARTITIONED BY cluster_id — the on-disk
+    form of the bucketed-by-cluster layout, so a probe's cluster_id
+    join prunes to its n_probe cluster directories (statically when
+    the probed ids are literals, via dynamic partition pruning when
+    they come from the query side) — plus the centroid table as a
+    small parquet sidecar. Everything goes through the Hadoop FS
+    layer (no driver-local file I/O), so the same call targets S3/HDFS
+    on a real cluster. At 100 TB this artifact is built once and
+    probed for months; see SCALE.md."""
+    index.cand.write.partitionBy("cluster_id").mode("overwrite").parquet(
+        f"{path}/cand"
+    )
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+
+
+def read_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
+    """Load a :func:`write_ivf_index` artifact. The returned index
+    probes identically to the in-memory one (pinned in
+    tests/test_similarity_ivf.py); the cand scan is partition-pruned
+    by cluster_id."""
+    return IvfIndex(
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/cand"),
+    )
+
+
+def write_ivfpq_index(index: IvfPqIndex, path: str) -> None:
+    """Persist a built IVF-PQ index: PQ codes partitioned by
+    cluster_id (4 B/vector — the artifact IS the compressed corpus),
+    centroids, and the codebooks flattened to (s, c, centroid) rows —
+    parquet doubles round-trip exactly, so the reloaded ADC kernel is
+    bit-identical."""
+    index.cand.write.partitionBy("cluster_id").mode("overwrite").parquet(
+        f"{path}/cand"
+    )
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    spark = index.centroids.sparkSession
+    rows = [
+        (s, c, [float(x) for x in vec])
+        for s, book in enumerate(index.books)
+        for c, vec in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "s int, c int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
+    """Load a :func:`write_ivfpq_index` artifact; probes identically
+    to the in-memory index (pinned in tests/test_similarity_pq.py)."""
+    rows = spark.read.parquet(f"{path}/books").collect()
+    m = max(r.s for r in rows) + 1
+    k = max(r.c for r in rows) + 1
+    books: list = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r.s][r.c] = list(r.centroid)
+    return IvfPqIndex(
+        spark.read.parquet(f"{path}/centroids"),
+        books,
+        spark.read.parquet(f"{path}/cand"),
+    )
+
+
 IVFPQ_ORACLE = f"""
 WITH cent AS (
   SELECT

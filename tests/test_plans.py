@@ -310,6 +310,12 @@ def test_lint_final_plan_catches_aqe_broadcast_conversion(spark, tmp_path):
         )
         # and with a generous threshold the same call reads clean
         assert lint_final_plan(df, min_bytes=1 << 40) == []
+        # the named fact-table rule rides the same final plan: naming
+        # the broadcast side's table flags it even at generous size
+        hits_fact = lint_final_plan(
+            df, fact_tables=("left", "right"), min_bytes=1 << 40
+        )
+        assert any(h.startswith("fact-broadcast:") for h in hits_fact), hits_fact
     finally:
         for k, v in saved.items():
             if v:

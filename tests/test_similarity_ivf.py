@@ -150,3 +150,55 @@ def test_two_level_assignment_probe2_recall_and_plan(spark):
     assert "BroadcastHashJoin [coarse_id" in plan or "coarse_id" in plan
     # the fine phase must not be a nested-loop scan of all centroids
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # coarse phase only
+
+
+def test_ivf_index_roundtrip_probe_identical(spark, tmp_path):
+    """r13 stored-index artifact: write_ivf_index partitions the
+    assigned corpus by cluster_id; a reloaded index must probe
+    IDENTICALLY to the in-memory one, and the cand scan must be
+    partition-pruned on cluster_id (the bucketed-by-cluster layout's
+    whole point)."""
+    from duckdb_vortex_spark.catalog import load
+    from duckdb_vortex_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.limit(20)
+    idx = ivf_index(emb, n_clusters=8)
+    want = sorted(map(tuple, ivf_probe(idx, q, k=5, n_probe=2).collect()))
+    write_ivf_index(idx, str(tmp_path / "ivf"))
+    idx2 = read_ivf_index(spark, str(tmp_path / "ivf"))
+    got_df = ivf_probe(idx2, q, k=5, n_probe=2)
+    assert sorted(map(tuple, got_df.collect())) == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:1500]
+
+
+def test_ivfpq_index_roundtrip_probe_identical(spark, tmp_path):
+    """Same for the IVF-PQ artifact: parquet doubles round-trip
+    exactly, so the reloaded codebooks' ADC kernel is bit-identical."""
+    from duckdb_vortex_spark.catalog import load
+    from duckdb_vortex_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_probe,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.limit(20)
+    idx = ivfpq_index(emb, n_clusters=8, m=4, k_codes=8)
+    want = sorted(map(tuple, ivfpq_probe(idx, q, k=5, n_probe=2).collect()))
+    write_ivfpq_index(idx, str(tmp_path / "pq"))
+    idx2 = read_ivfpq_index(spark, str(tmp_path / "pq"))
+    assert idx2.books == idx.books
+    got = sorted(map(tuple, ivfpq_probe(idx2, q, k=5, n_probe=2).collect()))
+    assert got == want
