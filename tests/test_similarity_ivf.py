@@ -202,6 +202,23 @@ def test_ivfpq_index_roundtrip_probe_identical(spark, tmp_path):
     assert idx2.books == idx.books
     got = sorted(map(tuple, ivfpq_probe(idx2, q, k=5, n_probe=2).collect()))
     assert got == want
+    # r14: the rerank path over the RELOADED index — the stored-artifact
+    # + exact-refetch combination the 100 TB story describes (ADC
+    # shortlist from partition-pruned codes, exact vectors from the raw
+    # table) — must match the in-memory index bit-for-bit too
+    want_rr = sorted(
+        map(
+            tuple,
+            ivfpq_probe(idx, q, k=5, n_probe=2, rerank=20, corpus_df=emb).collect(),
+        )
+    )
+    got_rr = sorted(
+        map(
+            tuple,
+            ivfpq_probe(idx2, q, k=5, n_probe=2, rerank=20, corpus_df=emb).collect(),
+        )
+    )
+    assert got_rr == want_rr
 
 
 def test_lloyd_refine_deterministic_and_exact_means(spark):
