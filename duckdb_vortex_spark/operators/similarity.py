@@ -384,24 +384,65 @@ def lloyd_refine(
 
     Hash-sampled centroids are the recall floor of the whole IVF
     family; one refine pass moves them toward the data's actual
-    density at the cost of one aggregate pass per iteration (ONE
-    shuffle of k×(dim+1) partials — the per-element sums are algebraic,
-    so partial aggregation runs map-side; nothing corpus-sized moves).
+    density at the cost of one aggregate pass per iteration — and that
+    pass is genuinely map-side (r14 review: the first cut assigned via
+    ``ivf_assign``, whose argmin groupBy exchanges one (id, embedding,
+    norm) row PER CORPUS VECTOR — a full corpus shuffle per iteration,
+    exactly the cost the docstring denied). The assignment is instead
+    computed per-row from CENTROID LITERALS (the pq_encode pattern —
+    the k centroids are already collected here; each row evaluates k
+    literal dots + a struct-min, no join, no per-id aggregation),
+    pinned bit-identical to ``ivf_assign``'s rule (csim desc,
+    cluster_id asc) in tests. The only exchange per iteration is the
+    groupBy(cluster) of k×(dim+1) algebraic partials.
 
     Determinism: element sums run in quantized BIGINT arithmetic
     (floor(x·10^6 + 0.5), exact long addition — order-independent,
     unlike a distributed double sum), divided back once per element.
     Same inputs → bit-identical centroids on any partitioning, so a
-    refined index is as replayable as the hash-sampled one.
+    refined index is as replayable as the hash-sampled one. Between
+    iterations the centroid frame is re-collected so literals always
+    reproduce the STORED values (float32 columns round-trip through
+    their exact cast, keeping iteration N+1 consistent with what a
+    written/reloaded index would hold).
     """
     Q = 1_000_000
-    rows = centroids.collect()
-    dim = len(rows[0]["centroid"])
-    old = {r["cluster_id"]: [float(x) for x in r["centroid"]] for r in rows}
     vec_t = dict(centroids.dtypes)["centroid"]
+
+    def _arr(vals: list[float]) -> str:
+        # repr doubles: shortest exact round-trip decimal, value-exact
+        return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
     for _ in range(iters):
-        asg = ivf_assign(df, centroids, 1, id_col, vec_col)
-        sums = asg.groupBy("cluster_id").agg(
+        rows = sorted(
+            ((r["cluster_id"], [float(x) for x in r["centroid"]])
+             for r in centroids.collect()),
+        )
+        if not rows:
+            raise ValueError("lloyd_refine needs a non-empty centroid table")
+        dim = len(rows[0][1])
+        idx_to_cid = [cid for cid, _ in rows]
+        # per-centroid cosine as one SQL expression over literals; the
+        # fold order and casts mirror _dot/_norm exactly (A/B'd
+        # bit-identical to ivf_assign on the driver corpus), and the
+        # literal cnorm constant-folds to the same double the row-wise
+        # form computes
+        csims = [
+            f"(aggregate(zip_with({vec_col}, {_arr(v)}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) "
+            f"/ (__vn * sqrt(aggregate(transform({_arr(v)}, x -> x * x), "
+            f"0.0D, (acc, x) -> acc + x))))"
+            for _, v in rows
+        ]
+        assign = (
+            f"array_min(zip_with(array({','.join(csims)}), "
+            f"sequence(0, {len(rows) - 1}), "
+            f"(s, i) -> struct(CAST(1 AS DOUBLE) - s AS d, i AS i))).i"
+        )
+        asg = df.select(
+            F.col(vec_col), _norm(F.col(vec_col)).alias("__vn")
+        ).withColumn("__ci", F.expr(assign))
+        sums = asg.groupBy("__ci").agg(
             F.count("*").alias("__n"),
             *[
                 F.sum(
@@ -412,15 +453,14 @@ def lloyd_refine(
                 for i in range(dim)
             ],
         ).collect()
-        new = dict(old)
+        new = dict(rows)  # empty clusters keep their old centroid
         for r in sums:
             n = r["__n"]
-            new[r["cluster_id"]] = [r[f"__s{i}"] / (Q * n) for i in range(dim)]
+            new[idx_to_cid[r["__ci"]]] = [r[f"__s{i}"] / (Q * n) for i in range(dim)]
         centroids = df.sparkSession.createDataFrame(
             [(cid, new[cid]) for cid in sorted(new)],
             f"cluster_id int, centroid {vec_t}",
         )
-        old = new
     return centroids
 
 

@@ -19,10 +19,17 @@ dominates (the classic "null key" / "default value" hot spot):
   in one task. Only sensible when the small side fits ``n_salts``×
   in memory; for larger dims prefer AQE.
 
-Salts are derived from row content (xxhash64 % n) rather than rand()
-so results are deterministic and retries/speculative tasks see the
-same salt — nondeterministic salting breaks exactly-once shuffle
-retry semantics.
+Salting discipline: where the OUTPUT depends on per-salt partials
+only through an algebraic combine (``salted_aggregate``), the salt is
+pure row content (xxhash64 % n) — deterministic, so retries and
+speculative tasks see the same salt. Where the output is provably
+independent of salt VALUES (``salted_broadcast_left`` — the small
+side is replicated across every salt; ``window_counts_hot_isolated``
+— hot rows take broadcast totals, cold rows use salt 0), the salt
+additionally mixes a row-unique source so a hot key of EXACT-duplicate
+rows still spreads (ADVICE r13); the resulting nondeterminism is
+covered by Spark's indeterminate-stage rollback on retry
+(SPARK-23207 semantics).
 """
 
 from __future__ import annotations
@@ -118,8 +125,16 @@ def salted_broadcast_left(
             f"Allowed: {sorted(allowed)}. For right/full, flip the sides "
             "(big must be the left/preserved side) or rely on AQE."
         )
+    # row_unique (r14 review): the small side is replicated across ALL
+    # salts, so any salt value joins identically — the output never
+    # depends on which salt a big row draws. A pure content salt would
+    # collapse a hot key of EXACT-duplicate rows (the fixed-payload
+    # default-value hot spot) onto ONE salt, silently defeating the
+    # spread — the same failure window_counts_hot_isolated closed.
     big_salt_src = [c for c in big.columns]
-    big_s = big.withColumn("__salt", _content_salt(big_salt_src, n_salts))
+    big_s = big.withColumn(
+        "__salt", _content_salt(big_salt_src, n_salts, row_unique=True)
+    )
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("__salt", F.col("__salt").cast("bigint"))

@@ -37,9 +37,6 @@ def get_spark(app_name: str = "duckdb_vortex_spark", cpus: int | None = None) ->
     return spark
 
 
-_ACC_FILTER_INSTALLED = False
-
-
 def quiet_accumulator_noise(spark: SparkSession) -> bool:
     """Silence the benign post-GC accumulator-update ERROR traces in
     gate/bench harness logs (VERDICT r11 wrong #3).
@@ -72,30 +69,41 @@ def quiet_accumulator_noise(spark: SparkSession) -> bool:
     this is a documented no-op returning False; True means installed
     (or already present).
     """
-    if "connect" in type(spark).__module__:
-        return False  # Spark Connect: no client-side JVM to configure
     try:
         sc = spark.sparkContext
     except Exception:
         # Connect's sparkContext property raises (a PySpark exception,
-        # not AttributeError — hasattr() would NOT swallow it)
+        # not AttributeError — hasattr() would NOT swallow it). This
+        # capability check is deliberately NOT a module-name sniff: a
+        # Classic session subclassed in some "myapp.connectors" module
+        # must not be misrouted here (r14 review).
         return False
     jvm = sc._jvm
     ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
     config = ctx.getConfiguration()
     name = "org.apache.spark.scheduler.DAGScheduler"
     lc = config.getLoggerConfig(name)
-    # ADVICE r13: the old guard treated ANY pre-existing filter on the
-    # DAGScheduler LoggerConfig as "already installed" and silently
-    # skipped — a user-configured filter would absorb the install. Our
-    # own installs are tracked with a process-local sentinel (one
-    # local JVM per Python process — the only topology where this
-    # client-side JVM manipulation applies at all); a foreign filter
-    # no longer suppresses ours: log4j2's addFilter composes filters,
-    # so both keep running.
-    global _ACC_FILTER_INSTALLED
-    if _ACC_FILTER_INSTALLED:
-        return True  # our filter is already on this JVM's LoggerConfig
+    # ADVICE r13 + r14 review: "already installed" is decided by
+    # PROBING the live JVM filter's behavior, not by the mere presence
+    # of a filter (a user-configured filter must not absorb the
+    # install) and not by a Python-side sentinel (module reload /
+    # gateway restart desyncs it from JVM state). Ours is exactly the
+    # filter that DENYs the accumulator message and stays NEUTRAL on
+    # everything else — if the installed one already behaves that way,
+    # installing again would only stack a CompositeFilter.
+    if lc.getName() == name and lc.getFilter() is not None:
+        flt = lc.getFilter()
+        try:
+            deny = str(
+                flt.filter(None, None, None, "Failed to update accumulator 1", None)
+            ) == "DENY"
+            neutral = str(
+                flt.filter(None, None, None, "a real stage failure", None)
+            ) == "NEUTRAL"
+            if deny and neutral:
+                return True  # functionally our filter — already installed
+        except Exception:
+            pass  # unprobeable foreign filter: install ours alongside
     Result = jvm.org.apache.logging.log4j.core.Filter.Result
     flt = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
         ".*Failed to update accumulator.*", None, True, Result.DENY, Result.NEUTRAL
@@ -109,7 +117,6 @@ def quiet_accumulator_noise(spark: SparkSession) -> bool:
         config.addLogger(name, lc)
     lc.addFilter(flt)
     ctx.updateLoggers()
-    _ACC_FILTER_INSTALLED = True
     return True
 
 

@@ -35,12 +35,9 @@ def main() -> None:
     spark = get_spark("refine-ab", cpus=8)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 20 == 0)
-    base = {
-        qid: set()
-        for qid in [r.query_id for r in topk_bruteforce(q, emb, k=10).collect()]
-    }
+    base: dict = {}
     for r in topk_bruteforce(q, emb, k=10).collect():
-        base[r.query_id].add(r.cand_id)
+        base.setdefault(r.query_id, set()).add(r.cand_id)
 
     def recall(df) -> float:
         got: dict = {}

@@ -80,6 +80,24 @@ def test_salted_broadcast_left_left_join_matches_plain(spark):
         )
 
 
+def test_salted_broadcast_left_spreads_exact_duplicate_rows(spark):
+    """r14 review: a hot key of byte-identical rows must still spread
+    over multiple salts (pure content hashing would put them all in
+    one — the fixed-payload default-value hot spot), and the join
+    output is unchanged because the small side is replicated across
+    every salt value."""
+    from duckdb_vortex_spark.plans.skew import _content_salt
+
+    big = spark.range(20_000).select(F.lit(1).alias("k"), F.lit("x").alias("p"))
+    small = spark.createDataFrame([(1, "one")], ["k", "name"])
+    out = salted_broadcast_left(big, small, "k", n_salts=8)
+    assert out.count() == 20_000
+    salts = big.select(
+        _content_salt(["k", "p"], 8, row_unique=True).alias("s")
+    ).distinct().count()
+    assert salts > 1, "duplicate big-side rows must not collapse onto one salt"
+
+
 def test_salted_broadcast_left_rejects_unhonorable_how(spark):
     """VERDICT r13 wrong #1: right/full joins against the replicated
     small side would emit n_salts-1 spurious null-extended clones per
