@@ -19,17 +19,33 @@ dominates (the classic "null key" / "default value" hot spot):
   in one task. Only sensible when the small side fits ``n_salts``×
   in memory; for larger dims prefer AQE.
 
-Salting discipline: where the OUTPUT depends on per-salt partials
-only through an algebraic combine (``salted_aggregate``), the salt is
-pure row content (xxhash64 % n) — deterministic, so retries and
-speculative tasks see the same salt. Where the output is provably
-independent of salt VALUES (``salted_broadcast_left`` — the small
-side is replicated across every salt; ``window_counts_hot_isolated``
-— hot rows take broadcast totals, cold rows use salt 0), the salt
-additionally mixes a row-unique source so a hot key of EXACT-duplicate
-rows still spreads (ADVICE r13); the resulting nondeterminism is
-covered by Spark's indeterminate-stage rollback on retry
-(SPARK-23207 semantics).
+Salting discipline (r15, ADVICE r14): every salt that feeds a shuffle
+is DETERMINISTIC by default — pure row content (xxhash64 % n), so a
+retried or speculative map task re-derives the same salt and the
+shuffle's row→partition mapping is stable. The r14 design mixed
+``monotonically_increasing_id()`` into the salt wherever the output
+is salt-value-independent, reasoning that SPARK-23207's
+indeterminate-stage rollback covers the nondeterminism — but that
+rollback only protects stages Spark actually MARKS indeterminate
+(round-robin repartition/sort); nondeterministic SQL expressions
+feeding hash partitioning are not reliably flagged, so a map-task
+retry after a fetch failure could re-salt rows into different reduce
+partitions and duplicate or drop rows. Logical salt-invariance of the
+OUTPUT does not cover that retry row loss.
+
+The deterministic default has one documented gap: a hot key whose
+rows are EXACT duplicates across every hashed column collapses onto
+ONE salt, and the fat partition survives (ADVICE r13). Two escapes,
+per call site:
+
+- ``unique_col=``: name a row-unique column (a primary key, a
+  pre-assigned row id) — it joins the hash, which is then both
+  deterministic AND duplicate-spreading. The recommended form.
+- ``row_unique=True``: explicit opt-in to the r14 behavior (mix
+  ``monotonically_increasing_id()``). Spreads byte-identical rows
+  without needing a key column, at the retry hazard above — use only
+  where the job either tolerates rare fetch-failure recomputation
+  anomalies or the caller checkpoints the salted frame first.
 """
 
 from __future__ import annotations
@@ -41,21 +57,33 @@ from pyspark.sql import functions as F
 
 
 def _content_salt(
-    cols: Sequence[str], n_salts: int, row_unique: bool = False
+    cols: Sequence[str],
+    n_salts: int,
+    row_unique: bool = False,
+    unique_col: str | None = None,
 ) -> Column:
     """Salt in [0, n_salts). Content-derived (xxhash64 of ``cols``) by
-    default — deterministic under task retry. ``row_unique=True`` mixes
-    ``monotonically_increasing_id()`` into the hash for consumers whose
-    OUTPUT does not depend on salt values (the window/hot-isolation
-    path): exact-duplicate rows of a hot key would otherwise all hash
-    to ONE salt and the fat partition would survive exactly when
-    isolation was requested (ADVICE r13). The expression is then
-    nondeterministic, which Spark handles by marking the stage
-    indeterminate and recomputing it whole on fetch failure
-    (SPARK-23207 semantics) — safe because every salt value joins/
-    windows correctly; only the row→salt mapping varies."""
+    default — deterministic under task retry, the property every
+    shuffle-feeding salt needs (module docstring, ADVICE r14).
+
+    ``unique_col=`` mixes a caller-named row-unique COLUMN into the
+    hash: still deterministic, and exact-duplicate rows of a hot key
+    spread because the key column differs. ``row_unique=True`` is the
+    explicit nondeterministic opt-in: mixes
+    ``monotonically_increasing_id()``, spreading byte-identical rows
+    with no key column — at the documented fetch-failure-retry hazard
+    (rows re-salted across reduce partitions can be duplicated or
+    dropped, because Spark does not reliably mark nondeterministic
+    SQL expressions as indeterminate stages)."""
+    if unique_col is not None and row_unique:
+        raise ValueError(
+            "pass unique_col= (deterministic) OR row_unique=True "
+            "(nondeterministic opt-in), not both"
+        )
     parts: list[Column] = [F.col(c) for c in cols]
-    if row_unique:
+    if unique_col is not None:
+        parts.append(F.col(unique_col))
+    elif row_unique:
         parts.append(F.monotonically_increasing_id())
     return F.pmod(F.xxhash64(*parts), F.lit(n_salts))
 
@@ -97,6 +125,8 @@ def salted_broadcast_left(
     on: str,
     n_salts: int = 8,
     how: str = "inner",
+    unique_col: str | None = None,
+    row_unique: bool = False,
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` with the big side salted and the
     small side replicated n_salts×, so a hot join key spreads across
@@ -111,7 +141,14 @@ def salted_broadcast_left(
     big row does NOT carry goes unmatched) — VERDICT r13 wrong #1 —
     so those raise instead of silently returning garbage. If you need
     a right/full salted join, swap the sides (right ≡ left flipped)
-    or use AQE skew handling."""
+    or use AQE skew handling.
+
+    Salt source (r15, ADVICE r14): content-hash of the big side's
+    columns — deterministic under task retry. Pass ``unique_col=``
+    (a row-unique big-side column) to also spread hot keys of
+    EXACT-duplicate rows deterministically, or ``row_unique=True`` to
+    opt in to the nondeterministic monotonic-id mix with its
+    documented fetch-failure-retry hazard (module docstring)."""
     allowed = {
         "inner", "left", "left_outer", "leftouter",
         "semi", "left_semi", "leftsemi",
@@ -125,15 +162,19 @@ def salted_broadcast_left(
             f"Allowed: {sorted(allowed)}. For right/full, flip the sides "
             "(big must be the left/preserved side) or rely on AQE."
         )
-    # row_unique (r14 review): the small side is replicated across ALL
-    # salts, so any salt value joins identically — the output never
-    # depends on which salt a big row draws. A pure content salt would
-    # collapse a hot key of EXACT-duplicate rows (the fixed-payload
-    # default-value hot spot) onto ONE salt, silently defeating the
-    # spread — the same failure window_counts_hot_isolated closed.
+    # The salt is deterministic by default (r15, ADVICE r14 — see the
+    # module docstring's retry argument; the r14 form mixed a
+    # nondeterministic id unconditionally). The small side is
+    # replicated across ALL salts, so any salt value joins identically;
+    # the default's one gap is a hot key of EXACT-duplicate rows
+    # collapsing onto one salt — escape with unique_col= (deterministic,
+    # recommended) or the explicit row_unique=True opt-in.
     big_salt_src = [c for c in big.columns]
     big_s = big.withColumn(
-        "__salt", _content_salt(big_salt_src, n_salts, row_unique=True)
+        "__salt",
+        _content_salt(
+            big_salt_src, n_salts, row_unique=row_unique, unique_col=unique_col
+        ),
     )
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -149,6 +190,8 @@ def window_counts_hot_isolated(
     hot_row_threshold: int,
     n_salts: int = 16,
     hot_keys: list | None = None,
+    unique_col: str | None = None,
+    row_unique: bool = False,
 ) -> DataFrame:
     """Aggregate-valued window (``fn(x) OVER (PARTITION BY key)``
     attached to every row) with HOT KEYS isolated — the salted-window
@@ -194,6 +237,12 @@ def window_counts_hot_isolated(
     (input column, fn), fn ∈ {"sum", "count", "min", "max"} — the
     algebraic window functions, same contract as
     :func:`salted_aggregate`.
+
+    Salt source (r15, ADVICE r14): deterministic content hash of all
+    columns. ``unique_col=`` adds a row-unique column for
+    deterministic spread of byte-identical hot rows;
+    ``row_unique=True`` opts in to the nondeterministic monotonic-id
+    mix (retry hazard — module docstring).
     """
     from pyspark.sql import Window
 
@@ -214,12 +263,17 @@ def window_counts_hot_isolated(
         )
     out_cols = [*df.columns, *aggs.keys()]
     salt_src = sorted({c for _, (c, _) in aggs.items() if c != "*"} | set(df.columns))
-    # row_unique: a hot key whose rows are EXACT duplicates must still
-    # spread over n_salts sub-partitions — pure content hashing would
-    # put them all in one (ADVICE r13). Output never depends on the
-    # salt value (hot rows take the broadcast totals; cold rows use
-    # __wsalt=0), so nondeterminism here is benign — see _content_salt.
-    salted = df.withColumn("__salt", _content_salt(salt_src, n_salts, row_unique=True))
+    # Deterministic content salt by default (r15, ADVICE r14): hashing
+    # every column spreads a hot key as soon as ANY column varies per
+    # row. The one gap — a hot key of byte-identical rows collapsing
+    # onto one salt (ADVICE r13) — escapes via unique_col= (a
+    # row-unique column joins the hash, still deterministic) or the
+    # explicit row_unique=True nondeterministic opt-in; the retry
+    # hazard of the latter is argued in the module docstring.
+    salted = df.withColumn(
+        "__salt",
+        _content_salt(salt_src, n_salts, row_unique=row_unique, unique_col=unique_col),
+    )
     if hot_keys is not None:
         # caller knows the hot keys (sampled upstream, or operational
         # knowledge — the production path: at scale you do NOT want a

@@ -49,6 +49,7 @@ def duck_time(con: duckdb.DuckDBPyConnection, sql: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    la0 = list(os.getloadavg())  # VERDICT r14 next #8: annotate box load
     spark = get_spark("dvs-bench-vs-duckdb")
     qs = catalog.queries()
     oracles = catalog.oracle_sql()
@@ -86,6 +87,8 @@ def main() -> None:
                 "duckdb_total": duck_total,
                 "sf_dir": sf_dir,
                 "queries": out,
+                "loadavg_start": la0,
+                "loadavg_end": list(os.getloadavg()),
             }
         )
     )

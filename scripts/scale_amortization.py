@@ -182,10 +182,18 @@ def measure_one_main(sf_dir: str) -> None:
     the x8 pass ran LAST under maximal accumulated heap/JIT state, so
     the 'scale marginal' was really session aging (DuckDB, by contrast,
     got a fresh connection per scale)."""
+    # loadavg bracketing (VERDICT r14 next #8): the bench artifact's
+    # loadavg fields settled r14's phantom +4 % in one lookup; the
+    # ladder's ×4 small-denominator spread needs the same annotation.
+    # Underscore keys ride in the leg dict — every consumer iterates
+    # the explicit query-name list, never dict keys.
+    la0 = list(os.getloadavg())
     spark = get_spark("dvs-scale-amortization")
     names = _selected_names()
     out = measure_scale(spark, sf_dir, names)
     spark.stop()
+    out["_loadavg_start"] = la0
+    out["_loadavg_end"] = list(os.getloadavg())
     print(json.dumps(out), flush=True)
 
 

@@ -149,6 +149,7 @@ def measure_variant_main(sf_dir: str, tuned: str) -> None:
     from duckdb_vortex_spark.plans.lint import formatted_plan
     from duckdb_vortex_spark.session import get_spark, quiet_accumulator_noise
 
+    la0 = list(os.getloadavg())  # VERDICT r14 next #8: load-annotate legs
     spark = get_spark("dvs-skew-leg")
     quiet_accumulator_noise(spark)
     if tuned == "1":
@@ -179,6 +180,8 @@ def measure_variant_main(sf_dir: str, tuned: str) -> None:
             file=sys.stderr,
         )
     spark.stop()
+    out["_loadavg_start"] = la0
+    out["_loadavg_end"] = list(os.getloadavg())
     print(json.dumps(out), flush=True)
 
 

@@ -80,22 +80,45 @@ def test_salted_broadcast_left_left_join_matches_plain(spark):
         )
 
 
-def test_salted_broadcast_left_spreads_exact_duplicate_rows(spark):
-    """r14 review: a hot key of byte-identical rows must still spread
-    over multiple salts (pure content hashing would put them all in
-    one — the fixed-payload default-value hot spot), and the join
-    output is unchanged because the small side is replicated across
-    every salt value."""
+def test_salted_broadcast_left_salt_modes_spread_and_determinism(spark):
+    """r15 (ADVICE r14): the DEFAULT salt is deterministic content
+    hashing — stable under task retry, the property the shuffle's
+    row→partition mapping needs — which means a hot key of
+    byte-identical rows collapses onto one salt (documented gap).
+    ``unique_col=`` spreads those rows DETERMINISTICALLY via a
+    caller-named row-unique column; ``row_unique=True`` is the
+    explicit nondeterministic opt-in (the r14 default). Join output
+    is identical in every mode because the small side is replicated
+    across all salts."""
     from duckdb_vortex_spark.plans.skew import _content_salt
 
-    big = spark.range(20_000).select(F.lit(1).alias("k"), F.lit("x").alias("p"))
+    big = spark.range(20_000).select(
+        F.col("id").alias("rid"), F.lit(1).alias("k"), F.lit("x").alias("p")
+    )
     small = spark.createDataFrame([(1, "one")], ["k", "name"])
-    out = salted_broadcast_left(big, small, "k", n_salts=8)
-    assert out.count() == 20_000
-    salts = big.select(
+    for kw in ({}, {"unique_col": "rid"}, {"row_unique": True}):
+        assert salted_broadcast_left(big, small, "k", n_salts=8, **kw).count() == 20_000
+
+    dup = big.drop("rid")  # byte-identical rows
+    # default: deterministic, so duplicates collapse (the documented gap)
+    assert dup.select(
+        _content_salt(["k", "p"], 8).alias("s")
+    ).distinct().count() == 1
+    # unique_col: deterministic AND spreads
+    spread = big.select(
+        _content_salt(["k", "p"], 8, unique_col="rid").alias("s")
+    )
+    assert spread.distinct().count() == 8
+    a = sorted(r["s"] for r in spread.collect())
+    b = sorted(r["s"] for r in spread.collect())
+    assert a == b, "unique_col salt must be deterministic across runs"
+    # row_unique opt-in: spreads without a key column
+    assert dup.select(
         _content_salt(["k", "p"], 8, row_unique=True).alias("s")
-    ).distinct().count()
-    assert salts > 1, "duplicate big-side rows must not collapse onto one salt"
+    ).distinct().count() > 1
+    # both at once is contradictory — refuse
+    with pytest.raises(ValueError, match="not both"):
+        _content_salt(["k"], 8, row_unique=True, unique_col="rid")
 
 
 def test_salted_broadcast_left_rejects_unhonorable_how(spark):

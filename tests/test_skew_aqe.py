@@ -191,33 +191,45 @@ def test_window_counts_hot_isolated_matches_plain_window(spark):
 
 
 def test_window_hot_isolation_spreads_exact_duplicate_rows(spark):
-    """ADVICE r13: a hot key whose rows are EXACT duplicates (identical
-    across every column) must still spread over n_salts sub-partitions
-    — a pure content-derived salt would hash them all to ONE salt and
-    the fat window partition would survive exactly when isolation was
-    requested. The salt now mixes a row-unique source; results stay
-    row-identical to the plain window (output never depends on salt
-    values: hot rows take the broadcast totals)."""
+    """ADVICE r13 + r14: a hot key whose rows are EXACT duplicates
+    must still spread over n_salts sub-partitions — but the spread
+    source must not silently make the shuffle's row→partition mapping
+    nondeterministic (the r14 form's retry hazard). r15 contract:
+    ``unique_col=`` spreads deterministically via a caller-named
+    row-unique column; ``row_unique=True`` is the explicit
+    nondeterministic opt-in. Results are row-identical to the plain
+    window in every mode (output never depends on salt values: hot
+    rows take the broadcast totals)."""
     from duckdb_vortex_spark.plans.skew import (
         _content_salt,
         window_counts_hot_isolated,
     )
 
-    # 50k copies of the SAME row — the pathological duplicate hot key
+    # 50k copies of the SAME row (plus a row id for unique_col) — the
+    # pathological duplicate hot key
     df = spark.range(50_000).select(
-        F.lit(0).alias("k"), F.lit(7).alias("v")
+        F.col("id").alias("rid"), F.lit(0).alias("k"), F.lit(7).alias("v")
     )
     salts = df.select(
+        _content_salt(["k", "v"], 16, unique_col="rid").alias("s")
+    ).distinct().count()
+    assert salts == 16, "unique_col must spread duplicate rows deterministically"
+    salts_nd = df.select(
         _content_salt(["k", "v"], 16, row_unique=True).alias("s")
     ).distinct().count()
-    assert salts > 1, "duplicate rows must not collapse onto one salt"
+    assert salts_nd > 1, "row_unique opt-in must spread duplicate rows"
 
-    got = window_counts_hot_isolated(
-        df, ["k"], {"n": ("*", "count"), "sv": ("v", "sum")}, hot_row_threshold=1_000
-    )
-    rows = got.collect()
-    assert len(rows) == 50_000
-    assert all(r["n"] == 50_000 and r["sv"] == 350_000 for r in rows)
+    for kw in ({}, {"unique_col": "rid"}, {"row_unique": True}):
+        got = window_counts_hot_isolated(
+            df.drop("rid") if not kw.get("unique_col") else df,
+            ["k"],
+            {"n": ("*", "count"), "sv": ("v", "sum")},
+            hot_row_threshold=1_000,
+            **kw,
+        )
+        rows = got.collect()
+        assert len(rows) == 50_000
+        assert all(r["n"] == 50_000 and r["sv"] == 350_000 for r in rows)
 
 
 def test_window_hot_isolation_rejects_colliding_agg_names(spark):
