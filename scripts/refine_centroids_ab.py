@@ -1,12 +1,16 @@
-"""Measure what Lloyd refinement buys the IVF family (VERDICT r13
-next #3): recall@10 vs brute force at FIXED n_probe, for
-refine_iters in {0, 1, 2}, on the driver testdata embeddings.
+"""The standing ANN quality sweep (VERDICT r13 next #3; r14 next #5):
+recall@10 vs brute force over the FULL knob grid — refine_iters ×
+n_probe for IVF, refine_iters × n_probe × rerank for IVF-PQ — on the
+driver testdata embeddings, so every recall claim in SCALE.md is
+re-derivable from this one script.
 
 Run:  python scripts/refine_centroids_ab.py [sf_dir]
-Emits one JSON line per (family, refine_iters, n_probe) point; the
-r14 table lands in SCALE.md. Uses the same query set as the catalog
-entries (vec_id % 20 == 0) and the brute-force cosine top-10 as
-ground truth.
+Emits one JSON line per grid point (axes named in the line; rerank=0
+means ADC-only). Uses the same query set as the catalog entries
+(vec_id % 20 == 0) and the brute-force cosine top-10 as ground truth.
+Each index is built ONCE per refine setting and probed across all
+(n_probe, rerank) points — the build-once/probe-forever shape the
+stored artifact has in production.
 """
 
 from __future__ import annotations
@@ -57,19 +61,22 @@ def main() -> None:
             }), flush=True)
     for refine in (0, 1):
         pidx = ivfpq_index(emb, n_clusters=16, refine_iters=refine)
-        for n_probe in (4,):
-            rec = recall(ivfpq_probe(pidx, q, k=10, n_probe=n_probe))
-            rec_rr = recall(
-                ivfpq_probe(
-                    pidx, q, k=10, n_probe=n_probe, rerank=50, corpus_df=emb
+        for n_probe in (2, 4):
+            for rerank in (0, 20, 50):
+                out = (
+                    ivfpq_probe(pidx, q, k=10, n_probe=n_probe)
+                    if rerank == 0
+                    else ivfpq_probe(
+                        pidx, q, k=10, n_probe=n_probe,
+                        rerank=rerank, corpus_df=emb,
+                    )
                 )
-            )
-            print(json.dumps({
-                "family": "ivfpq", "refine_iters": refine,
-                "n_probe": n_probe, "recall_at_10": round(rec, 4),
-                "recall_at_10_rerank50": round(rec_rr, 4),
-                "sf_dir": sf_dir,
-            }), flush=True)
+                print(json.dumps({
+                    "family": "ivfpq", "refine_iters": refine,
+                    "n_probe": n_probe, "rerank": rerank,
+                    "recall_at_10": round(recall(out), 4),
+                    "sf_dir": sf_dir,
+                }), flush=True)
     spark.stop()
 
 
