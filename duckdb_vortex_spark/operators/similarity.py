@@ -546,10 +546,15 @@ def ivf_assign(
     if n_probe == 1:
         # argmin via groupBy min-of-struct: partial aggregation happens
         # map-side (each task reduces its |C| candidate rows per vector
-        # before any shuffle), unlike a window which must sort. Ordering
-        # matches the window form: csim desc, cluster_id asc.
+        # before any shuffle), unlike a window which must sort. Key is
+        # -csim, not 1 - csim (r15, generalizing ADVICE r14's
+        # lloyd_refine finding): negation is exact and order-reversing
+        # for every double, while 1 - csim is only exact on [0.5, 2]
+        # (Sterbenz) — distinct near-zero/negative cosines could round
+        # equal and silently switch the tie-break to cluster index,
+        # diverging from the window form's csim desc, cluster_id asc.
         best = scored.groupBy(id_col).agg(
-            F.min(F.struct((1 - F.col("csim")).alias("d"), F.col("cluster_id"))).alias("b"),
+            F.min(F.struct((-F.col("csim")).alias("d"), F.col("cluster_id"))).alias("b"),
             F.first(vec_col).alias(vec_col),
             F.first("vnorm").alias("vnorm"),
         )
@@ -1688,7 +1693,10 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
     small parquet sidecar. Everything goes through the Hadoop FS
     layer (no driver-local file I/O), so the same call targets S3/HDFS
     on a real cluster. At 100 TB this artifact is built once and
-    probed for months; see SCALE.md."""
+    probed for months; see SCALE.md. (No raw-vector sidecar option
+    here, unlike :func:`write_ivfpq_index`: IVF's ``cand`` already
+    stores the full vectors + norms cluster-partitioned — probes are
+    exact within probed clusters, so there is nothing to re-rank.)"""
     index.cand.write.partitionBy("cluster_id").mode("overwrite").parquet(
         f"{path}/cand"
     )
@@ -2166,7 +2174,8 @@ def ivf_assign_two_level(
         ).alias("csim"),
     )
     best = scored.groupBy(id_col).agg(
-        F.min(F.struct((1 - F.col("csim")).alias("d"), F.col("fine_id"))).alias("b"),
+        # -csim, not 1 - csim: exact argmin key (see ivf_assign)
+        F.min(F.struct((-F.col("csim")).alias("d"), F.col("fine_id"))).alias("b"),
         F.first(vec_col).alias(vec_col),
         F.first("vnorm").alias("vnorm"),
     )

@@ -169,6 +169,11 @@ def salted_broadcast_left(
     # the default's one gap is a hot key of EXACT-duplicate rows
     # collapsing onto one salt — escape with unique_col= (deterministic,
     # recommended) or the explicit row_unique=True opt-in.
+    if unique_col is not None and unique_col not in big.columns:
+        raise ValueError(
+            f"unique_col={unique_col!r} is not a column of the big side "
+            f"(columns: {big.columns}); name a row-unique BIG-side column"
+        )
     big_salt_src = [c for c in big.columns]
     big_s = big.withColumn(
         "__salt",
@@ -262,6 +267,11 @@ def window_counts_hot_isolated(
             "rename the outputs"
         )
     out_cols = [*df.columns, *aggs.keys()]
+    if unique_col is not None and unique_col not in df.columns:
+        raise ValueError(
+            f"unique_col={unique_col!r} is not a column of df "
+            f"(columns: {df.columns}); name a row-unique column"
+        )
     salt_src = sorted({c for _, (c, _) in aggs.items() if c != "*"} | set(df.columns))
     # Deterministic content salt by default (r15, ADVICE r14): hashing
     # every column spreads a hot key as soon as ANY column varies per

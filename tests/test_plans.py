@@ -416,3 +416,12 @@ def test_re_scan_escaped_and_anchored():
         "Location: InMemoryFileIndex(1 paths)[file:/data/part.parquet]",
         "orders",
     )
+
+
+def test_salted_broadcast_left_validates_unique_col(spark):
+    """r15: a typo'd unique_col must fail at call time with a clear
+    message, not as an unresolved-column error deep in analysis."""
+    big = spark.createDataFrame([(1, "a")], ["k", "payload"])
+    small = spark.createDataFrame([(1, "one")], ["k", "name"])
+    with pytest.raises(ValueError, match="not a column of the big side"):
+        salted_broadcast_left(big, small, "k", unique_col="nope")
