@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 from pyspark import StorageLevel
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -421,8 +422,10 @@ def lloyd_refine(
     Bounds (r15): the literal-embedded assignment is refused loudly
     when k*(dim+1) exceeds :data:`LLOYD_LITERAL_BUDGET` (plan/codegen
     size is the binding limit, not data — see SCALE.md). Rows whose
-    embedding is null or dim-mismatched assign to no cluster and are
-    skipped (they previously crashed the build with a null group).
+    embedding is null, dim-mismatched, or carries null elements assign
+    to no cluster and are skipped (they previously crashed the build
+    with a null group, an array-index overflow, or — for null
+    elements — silently biased cluster 0's mean).
     """
     Q = 1_000_000
     vec_t = dict(centroids.dtypes)["centroid"]
@@ -482,16 +485,24 @@ def lloyd_refine(
             f"(s, i) -> struct(-s AS d, i AS i))).i"
         )
         asg = (
-            # null/dim-mismatched embeddings crash the build (ADVICE
-            # r14): a null vector nulls the assignment (idx_to_cid[None]
-            # TypeError), and a SHORT vector nulls every csim — the
-            # struct-argmin can then still emit an index, and the sums
-            # loop's vec[i] throws INVALID_ARRAY_INDEX. Only rows with
-            # exactly the centroids' dim participate; the residual
-            # __ci-null filter drops vectors with null ELEMENTS (their
-            # csim is null), which would otherwise bias a mean's count
-            # without contributing element sums.
-            df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
+            # Invalid embeddings crash or bias the build (ADVICE r14 +
+            # r15 self-review): a null vector nulls the assignment
+            # (idx_to_cid[None] TypeError); a SHORT vector nulls every
+            # csim and the sums loop's vec[i] throws
+            # INVALID_ARRAY_INDEX; a vector with a null ELEMENT also
+            # nulls every csim, and the struct-argmin then FORCE-PICKS
+            # cluster index 0 (a struct whose d field is NULL compares
+            # SMALLEST, so array_min returns it — the __ci-null filter
+            # alone never fires), inflating cluster 0's count while
+            # the element sums skip nulls: a silently biased mean.
+            # Participation therefore requires exactly the centroids'
+            # dim AND no null elements; the residual __ci filter is
+            # belt-and-suspenders only.
+            df.filter(
+                F.col(vec_col).isNotNull()
+                & (F.size(F.col(vec_col)) == dim)
+                & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+            )
             .select(F.col(vec_col), _norm(F.col(vec_col)).alias("__vn"))
             .withColumn("__ci", F.expr(assign))
             .filter(F.col("__ci").isNotNull())
@@ -1586,10 +1597,13 @@ def ivfpq_probe(
     pruning restricts the scan to the shortlist's clusters: a genuine
     point-read against the stored artifact (plan-pinned —
     ``dynamicpruning`` on the vectors scan in
-    tests/test_similarity_ivf.py). A plain un-partitioned
-    ``corpus_df`` falls back to joining on ``cand_id`` alone — one
-    map-side pass over the corpus, filtered after the scan, still
-    with no shuffle of corpus-sized data. The query side is
+    tests/test_similarity_ivf.py). An EXPLICIT ``corpus_df`` always
+    fetches by ``cand_id`` alone — one map-side pass over the corpus,
+    filtered after the scan, no shuffle of corpus-sized data — even
+    if it happens to carry a ``cluster_id`` column: a caller-side
+    label is not trusted to match THIS index's assignment (a stale
+    one would silently drop shortlist candidates in the two-key
+    join). Pruning engages only for the index's own sidecar. The query side is
     broadcast-attached the same way. The only exchange this path adds
     is the final top-k window's hash-partition of the BOUNDED |Q|·R
     exact frame (the prior "no new shuffle at any corpus size" claim
@@ -1597,8 +1611,19 @@ def ivfpq_probe(
     exact dots.
     """
     if rerank:
+        # Partition-pruned fetch ONLY against the index's own sidecar
+        # (r15 self-review): deciding by a column literally named
+        # cluster_id in a caller-passed corpus_df would let a STALE
+        # assignment (a prior ivf_assign with different clusters, an
+        # older index's sidecar) silently drop shortlist candidates in
+        # the (cluster_id, cand_id) join — wrong top-k, no error. The
+        # sidecar is the one frame whose labels are this index's by
+        # construction; an explicit corpus_df always fetches by
+        # cand_id alone.
+        pruned = corpus_df is None or corpus_df is index.vectors
         if corpus_df is None:
             corpus_df = index.vectors  # cluster-partitioned sidecar
+        pruned = pruned and corpus_df is not None
         if corpus_df is None:
             raise ValueError(
                 "rerank=R needs exact vectors for the ADC shortlist — "
@@ -1644,7 +1669,6 @@ def ivfpq_probe(
     shortlist = ranked.filter(F.col("rn") <= rerank).select(
         "query_id", "cand_id", "cluster_id"
     )
-    pruned = "cluster_id" in corpus_df.columns
     cv = corpus_df.select(
         *(["cluster_id"] if pruned else []),
         F.col(id_col).alias("cand_id"),
@@ -1754,8 +1778,15 @@ def write_ivfpq_index(
         rows, "s int, c int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
     if corpus_df is not None:
+        # The index's own assignment is authoritative: a cluster_id
+        # already on corpus_df (e.g. the frame came through ivf_assign,
+        # or is an older index's sidecar) would duplicate the column in
+        # the join below — an analysis error at write time at best, a
+        # sidecar partitioned by a STALE assignment at worst (r15
+        # self-review). Drop it before tagging.
         (
-            corpus_df.join(
+            corpus_df.drop("cluster_id")
+            .join(
                 index.cand.select(
                     F.col("cand_id").alias(id_col), "cluster_id"
                 ),
@@ -1781,7 +1812,15 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
         books[r.s][r.c] = list(r.centroid)
     try:
         vectors = spark.read.parquet(f"{path}/vectors")
-    except Exception:  # no sidecar landed — rerank needs corpus_df
+    except AnalysisException as e:
+        # Only ABSENCE degrades to vectors=None (the artifact was
+        # written without corpus_df=). A sidecar that EXISTS but fails
+        # to read (permissions, corruption, transient object-store
+        # error) must surface loudly — swallowing it would make a
+        # later rerank probe claim "no sidecar, pass corpus_df" while
+        # the real failure is infrastructure (r15 self-review).
+        if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+            raise
         vectors = None
     return IvfPqIndex(
         spark.read.parquet(f"{path}/centroids"),

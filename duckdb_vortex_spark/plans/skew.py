@@ -34,18 +34,28 @@ partitions and duplicate or drop rows. Logical salt-invariance of the
 OUTPUT does not cover that retry row loss.
 
 The deterministic default has one documented gap: a hot key whose
-rows are EXACT duplicates across every hashed column collapses onto
-ONE salt, and the fat partition survives (ADVICE r13). Two escapes,
-per call site:
+rows are EXACT duplicates across every column collapses onto ONE
+salt, and the fat partition survives (ADVICE r13). That gap is
+FUNDAMENTAL, not an implementation choice: any deterministic per-row
+function assigns equal rows equal salts — "hash a unique id column"
+only helps when such a column exists, and then the rows aren't
+byte-identical and the default content salt (which hashes every
+column) already spreads them. The real escapes, in preference order:
 
-- ``unique_col=``: name a row-unique column (a primary key, a
-  pre-assigned row id) — it joins the hash, which is then both
-  deterministic AND duplicate-spreading. The recommended form.
-- ``row_unique=True``: explicit opt-in to the r14 behavior (mix
-  ``monotonically_increasing_id()``). Spreads byte-identical rows
-  without needing a key column, at the retry hazard above — use only
-  where the job either tolerates rare fetch-failure recomputation
-  anomalies or the caller checkpoints the salted frame first.
+1. Give rows identity upstream: a stored surrogate key / row id in
+   the data itself. The default content salt then spreads with no
+   extra parameter — this is the production answer (at 100 TB, rows
+   without identity are a lineage problem before they are a skew
+   problem).
+2. ``row_unique=True``: explicit opt-in mixing
+   ``monotonically_increasing_id()`` (partition id + per-partition
+   counter). Retry-stable in practice when the salted frame derives
+   from deterministic lineage — a straight file scan with no
+   preceding shuffle re-reads the same split in the same order on
+   retry — and hazardous when a shuffle precedes it (reduce-input
+   arrival order varies across attempts). The caller owns that
+   lineage judgment; checkpointing the salted frame before the
+   shuffle removes the hazard at the cost of a materialization.
 """
 
 from __future__ import annotations
@@ -57,33 +67,20 @@ from pyspark.sql import functions as F
 
 
 def _content_salt(
-    cols: Sequence[str],
-    n_salts: int,
-    row_unique: bool = False,
-    unique_col: str | None = None,
+    cols: Sequence[str], n_salts: int, row_unique: bool = False
 ) -> Column:
     """Salt in [0, n_salts). Content-derived (xxhash64 of ``cols``) by
     default — deterministic under task retry, the property every
     shuffle-feeding salt needs (module docstring, ADVICE r14).
 
-    ``unique_col=`` mixes a caller-named row-unique COLUMN into the
-    hash: still deterministic, and exact-duplicate rows of a hot key
-    spread because the key column differs. ``row_unique=True`` is the
-    explicit nondeterministic opt-in: mixes
-    ``monotonically_increasing_id()``, spreading byte-identical rows
-    with no key column — at the documented fetch-failure-retry hazard
-    (rows re-salted across reduce partitions can be duplicated or
-    dropped, because Spark does not reliably mark nondeterministic
-    SQL expressions as indeterminate stages)."""
-    if unique_col is not None and row_unique:
-        raise ValueError(
-            "pass unique_col= (deterministic) OR row_unique=True "
-            "(nondeterministic opt-in), not both"
-        )
+    ``row_unique=True`` is the explicit opt-in for spreading
+    BYTE-IDENTICAL rows (no deterministic per-row function can — equal
+    inputs hash equal): mixes ``monotonically_increasing_id()``, whose
+    retry stability is a property of the frame's lineage, not of the
+    expression — see the module docstring's escape #2 for when that
+    is safe."""
     parts: list[Column] = [F.col(c) for c in cols]
-    if unique_col is not None:
-        parts.append(F.col(unique_col))
-    elif row_unique:
+    if row_unique:
         parts.append(F.monotonically_increasing_id())
     return F.pmod(F.xxhash64(*parts), F.lit(n_salts))
 
@@ -125,7 +122,6 @@ def salted_broadcast_left(
     on: str,
     n_salts: int = 8,
     how: str = "inner",
-    unique_col: str | None = None,
     row_unique: bool = False,
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` with the big side salted and the
@@ -144,11 +140,12 @@ def salted_broadcast_left(
     or use AQE skew handling.
 
     Salt source (r15, ADVICE r14): content-hash of the big side's
-    columns — deterministic under task retry. Pass ``unique_col=``
-    (a row-unique big-side column) to also spread hot keys of
-    EXACT-duplicate rows deterministically, or ``row_unique=True`` to
-    opt in to the nondeterministic monotonic-id mix with its
-    documented fetch-failure-retry hazard (module docstring)."""
+    columns — deterministic under task retry, and already
+    duplicate-spreading whenever any column (a key, a row id) varies
+    per row. Byte-identical hot rows need ``row_unique=True`` (no
+    deterministic per-row function can spread equal rows); its retry
+    caveat and the preferred upstream-row-id alternative are in the
+    module docstring."""
     allowed = {
         "inner", "left", "left_outer", "leftouter",
         "semi", "left_semi", "leftsemi",
@@ -166,20 +163,12 @@ def salted_broadcast_left(
     # module docstring's retry argument; the r14 form mixed a
     # nondeterministic id unconditionally). The small side is
     # replicated across ALL salts, so any salt value joins identically;
-    # the default's one gap is a hot key of EXACT-duplicate rows
-    # collapsing onto one salt — escape with unique_col= (deterministic,
-    # recommended) or the explicit row_unique=True opt-in.
-    if unique_col is not None and unique_col not in big.columns:
-        raise ValueError(
-            f"unique_col={unique_col!r} is not a column of the big side "
-            f"(columns: {big.columns}); name a row-unique BIG-side column"
-        )
+    # the default's one gap is a hot key of BYTE-IDENTICAL rows
+    # collapsing onto one salt — the explicit row_unique=True opt-in
+    # (or an upstream row id, which makes the default spread) escapes.
     big_salt_src = [c for c in big.columns]
     big_s = big.withColumn(
-        "__salt",
-        _content_salt(
-            big_salt_src, n_salts, row_unique=row_unique, unique_col=unique_col
-        ),
+        "__salt", _content_salt(big_salt_src, n_salts, row_unique=row_unique)
     )
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -195,7 +184,6 @@ def window_counts_hot_isolated(
     hot_row_threshold: int,
     n_salts: int = 16,
     hot_keys: list | None = None,
-    unique_col: str | None = None,
     row_unique: bool = False,
 ) -> DataFrame:
     """Aggregate-valued window (``fn(x) OVER (PARTITION BY key)``
@@ -244,10 +232,11 @@ def window_counts_hot_isolated(
     :func:`salted_aggregate`.
 
     Salt source (r15, ADVICE r14): deterministic content hash of all
-    columns. ``unique_col=`` adds a row-unique column for
-    deterministic spread of byte-identical hot rows;
-    ``row_unique=True`` opts in to the nondeterministic monotonic-id
-    mix (retry hazard — module docstring).
+    columns — already duplicate-spreading whenever any column varies
+    per row. Byte-identical hot rows need ``row_unique=True`` (no
+    deterministic per-row function can spread equal rows); retry
+    caveat and the preferred upstream-row-id alternative in the
+    module docstring.
     """
     from pyspark.sql import Window
 
@@ -267,22 +256,15 @@ def window_counts_hot_isolated(
             "rename the outputs"
         )
     out_cols = [*df.columns, *aggs.keys()]
-    if unique_col is not None and unique_col not in df.columns:
-        raise ValueError(
-            f"unique_col={unique_col!r} is not a column of df "
-            f"(columns: {df.columns}); name a row-unique column"
-        )
     salt_src = sorted({c for _, (c, _) in aggs.items() if c != "*"} | set(df.columns))
     # Deterministic content salt by default (r15, ADVICE r14): hashing
     # every column spreads a hot key as soon as ANY column varies per
     # row. The one gap — a hot key of byte-identical rows collapsing
-    # onto one salt (ADVICE r13) — escapes via unique_col= (a
-    # row-unique column joins the hash, still deterministic) or the
-    # explicit row_unique=True nondeterministic opt-in; the retry
-    # hazard of the latter is argued in the module docstring.
+    # onto one salt (ADVICE r13) — escapes via the explicit
+    # row_unique=True opt-in (or an upstream row id, which makes the
+    # default spread); the retry semantics are in the module docstring.
     salted = df.withColumn(
-        "__salt",
-        _content_salt(salt_src, n_salts, row_unique=row_unique, unique_col=unique_col),
+        "__salt", _content_salt(salt_src, n_salts, row_unique=row_unique)
     )
     if hot_keys is not None:
         # caller knows the hot keys (sampled upstream, or operational

@@ -84,41 +84,40 @@ def test_salted_broadcast_left_salt_modes_spread_and_determinism(spark):
     """r15 (ADVICE r14): the DEFAULT salt is deterministic content
     hashing — stable under task retry, the property the shuffle's
     row→partition mapping needs — which means a hot key of
-    byte-identical rows collapses onto one salt (documented gap).
-    ``unique_col=`` spreads those rows DETERMINISTICALLY via a
-    caller-named row-unique column; ``row_unique=True`` is the
-    explicit nondeterministic opt-in (the r14 default). Join output
-    is identical in every mode because the small side is replicated
-    across all salts."""
+    byte-identical rows collapses onto one salt (self-review r15: that
+    gap is FUNDAMENTAL — any deterministic per-row function assigns
+    equal rows equal salts, so the round's first-cut ``unique_col=``
+    escape was vacuous and was removed; a row that HAS identity
+    spreads under the default already). ``row_unique=True`` is the
+    explicit opt-in for identity-less duplicates. BOTH modes are
+    pinned row-identical to the plain join (not just count-equal) —
+    the small side is replicated across all salts."""
     from duckdb_vortex_spark.plans.skew import _content_salt
 
     big = spark.range(20_000).select(
         F.col("id").alias("rid"), F.lit(1).alias("k"), F.lit("x").alias("p")
     )
     small = spark.createDataFrame([(1, "one")], ["k", "name"])
-    for kw in ({}, {"unique_col": "rid"}, {"row_unique": True}):
-        assert salted_broadcast_left(big, small, "k", n_salts=8, **kw).count() == 20_000
+    plain = _rows(big.join(small, "k"))
+    for kw in ({}, {"row_unique": True}):
+        assert _rows(salted_broadcast_left(big, small, "k", n_salts=8, **kw)) == plain
 
     dup = big.drop("rid")  # byte-identical rows
     # default: deterministic, so duplicates collapse (the documented gap)
     assert dup.select(
         _content_salt(["k", "p"], 8).alias("s")
     ).distinct().count() == 1
-    # unique_col: deterministic AND spreads
-    spread = big.select(
-        _content_salt(["k", "p"], 8, unique_col="rid").alias("s")
-    )
+    # a row id in the DATA spreads under the default salt — the
+    # preferred escape needs no parameter at all
+    spread = big.select(_content_salt(["rid", "k", "p"], 8).alias("s"))
     assert spread.distinct().count() == 8
     a = sorted(r["s"] for r in spread.collect())
     b = sorted(r["s"] for r in spread.collect())
-    assert a == b, "unique_col salt must be deterministic across runs"
+    assert a == b, "content salt must be deterministic across runs"
     # row_unique opt-in: spreads without a key column
     assert dup.select(
         _content_salt(["k", "p"], 8, row_unique=True).alias("s")
     ).distinct().count() > 1
-    # both at once is contradictory — refuse
-    with pytest.raises(ValueError, match="not both"):
-        _content_salt(["k"], 8, row_unique=True, unique_col="rid")
 
 
 def test_salted_broadcast_left_rejects_unhonorable_how(spark):
@@ -418,10 +417,17 @@ def test_re_scan_escaped_and_anchored():
     )
 
 
-def test_salted_broadcast_left_validates_unique_col(spark):
-    """r15: a typo'd unique_col must fail at call time with a clear
-    message, not as an unresolved-column error deep in analysis."""
+def test_salted_broadcast_left_row_unique_is_keyword_only_opt_in(spark):
+    """r15: the nondeterministic salt must never engage implicitly —
+    the default call path carries no monotonically_increasing_id in
+    its plan, the opt-in does."""
     big = spark.createDataFrame([(1, "a")], ["k", "payload"])
     small = spark.createDataFrame([(1, "one")], ["k", "name"])
-    with pytest.raises(ValueError, match="not a column of the big side"):
-        salted_broadcast_left(big, small, "k", unique_col="nope")
+    from duckdb_vortex_spark.plans.lint import formatted_plan
+
+    default_plan = formatted_plan(salted_broadcast_left(big, small, "k"))
+    assert "monotonically_increasing_id" not in default_plan
+    opted = formatted_plan(
+        salted_broadcast_left(big, small, "k", row_unique=True)
+    )
+    assert "monotonically_increasing_id" in opted

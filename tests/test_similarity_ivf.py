@@ -264,6 +264,30 @@ def test_ivfpq_rerank_sidecar_partition_prunes(spark, tmp_path):
     )
     assert got == want, "sidecar fetch must be bit-identical to corpus_df fetch"
 
+    # r15 self-review hardening: an EXPLICIT corpus_df carrying a
+    # cluster_id column must NOT be trusted for pruning — a stale
+    # label (every row 999 here) would drop every shortlist candidate
+    # in a (cluster_id, cand_id) join. Results must equal the plain
+    # corpus fetch.
+    stale = emb.withColumn("cluster_id", F.lit(999))
+    got_stale = sorted(
+        map(
+            tuple,
+            ivfpq_probe(
+                idx2, q, k=5, n_probe=2, rerank=20, corpus_df=stale
+            ).collect(),
+        )
+    )
+    assert got_stale == want, "stale caller-side cluster_id must be ignored"
+    # and a sidecar WRITE from a frame that already has cluster_id
+    # drops it — the index's own assignment is authoritative
+    write_ivfpq_index(idx, str(tmp_path / "pq_stale"), corpus_df=stale)
+    idx3 = read_ivfpq_index(spark, str(tmp_path / "pq_stale"))
+    got3 = sorted(
+        map(tuple, ivfpq_probe(idx3, q, k=5, n_probe=2, rerank=20).collect())
+    )
+    assert got3 == want
+
     # an artifact written WITHOUT the sidecar keeps the r14 contract:
     # vectors is None and rerank without corpus_df refuses loudly
     import pytest as _pytest
@@ -347,10 +371,11 @@ def test_lloyd_refine_deterministic_and_exact_means(spark):
 
 def test_lloyd_refine_null_embeddings_and_literal_budget(spark):
     """r15 hardening (ADVICE r14 + VERDICT r14 wrong #2):
-    (a) rows with null or dim-mismatched embeddings assign to no
-    cluster and are SKIPPED — they previously produced a null __ci
-    group and crashed ``idx_to_cid[None]`` mid-build; the refined
-    means must equal a refine over only the valid rows;
+    (a) rows with null, dim-mismatched, or null-element embeddings
+    assign to no cluster and are SKIPPED — null crashed
+    ``idx_to_cid[None]``, short vectors crashed the sums loop's
+    vec[i], and null elements silently biased cluster 0's mean; the
+    refined means must equal a refine over only the valid rows;
     (b) the literal-embedded assignment refuses loudly when
     k*(dim+1) exceeds LLOYD_LITERAL_BUDGET, naming the bound."""
     import pytest as _pytest
@@ -363,6 +388,12 @@ def test_lloyd_refine_null_embeddings_and_literal_budget(spark):
         (2, [0.0, 0.0, 1.0, 0.0]),
         (3, None),               # null embedding
         (4, [1.0, 0.0]),         # dim-mismatched (zip_with null-pads)
+        # null ELEMENT (r15 self-review): every csim nulls, and a
+        # struct with d=NULL compares SMALLEST, so the argmin would
+        # FORCE-assign this row to cluster index 0 — inflating its
+        # count while the element sums skip nulls, silently biasing
+        # cluster 0's mean. Must be skipped like the others.
+        (5, [None, 0.0, 1.0, 0.0]),
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     cents = spark.createDataFrame(

@@ -192,36 +192,42 @@ def test_window_counts_hot_isolated_matches_plain_window(spark):
 
 def test_window_hot_isolation_spreads_exact_duplicate_rows(spark):
     """ADVICE r13 + r14: a hot key whose rows are EXACT duplicates
-    must still spread over n_salts sub-partitions — but the spread
-    source must not silently make the shuffle's row→partition mapping
-    nondeterministic (the r14 form's retry hazard). r15 contract:
-    ``unique_col=`` spreads deterministically via a caller-named
-    row-unique column; ``row_unique=True`` is the explicit
-    nondeterministic opt-in. Results are row-identical to the plain
-    window in every mode (output never depends on salt values: hot
+    must still be spreadable over n_salts sub-partitions — but the
+    spread source must not silently make the shuffle's row→partition
+    mapping nondeterministic (the r14 form's retry hazard). r15
+    contract: the default salt is deterministic content hashing (a
+    row id IN the data spreads under it with no parameter — the
+    preferred escape); ``row_unique=True`` is the explicit opt-in for
+    identity-less duplicates, since no deterministic per-row function
+    can spread equal rows. Results are row-identical to the plain
+    window in both modes (output never depends on salt values: hot
     rows take the broadcast totals)."""
     from duckdb_vortex_spark.plans.skew import (
         _content_salt,
         window_counts_hot_isolated,
     )
 
-    # 50k copies of the SAME row (plus a row id for unique_col) — the
+    # 50k copies of the SAME row (plus a row id variant) — the
     # pathological duplicate hot key
     df = spark.range(50_000).select(
         F.col("id").alias("rid"), F.lit(0).alias("k"), F.lit(7).alias("v")
     )
     salts = df.select(
-        _content_salt(["k", "v"], 16, unique_col="rid").alias("s")
+        _content_salt(["rid", "k", "v"], 16).alias("s")
     ).distinct().count()
-    assert salts == 16, "unique_col must spread duplicate rows deterministically"
+    assert salts == 16, "a row id in the data must spread under the default salt"
     salts_nd = df.select(
         _content_salt(["k", "v"], 16, row_unique=True).alias("s")
     ).distinct().count()
     assert salts_nd > 1, "row_unique opt-in must spread duplicate rows"
 
-    for kw in ({}, {"unique_col": "rid"}, {"row_unique": True}):
+    for frame, kw in (
+        (df, {}),  # row id present: default salt spreads
+        (df.drop("rid"), {"row_unique": True}),  # identity-less opt-in
+        (df.drop("rid"), {}),  # collapsed salt still gives right answers
+    ):
         got = window_counts_hot_isolated(
-            df.drop("rid") if not kw.get("unique_col") else df,
+            frame,
             ["k"],
             {"n": ("*", "count"), "sv": ("v", "sum")},
             hot_row_threshold=1_000,
