@@ -383,6 +383,41 @@ def sample_centroids(
 LLOYD_LITERAL_BUDGET = 65_536
 
 
+def _arr_sql(vals: list[float]) -> str:
+    """One SQL array literal of doubles. repr doubles: shortest exact
+    round-trip decimal, so SQL-text construction is value-exact."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
+
+
+def _centroid_literal_argmin(
+    rows: list[tuple[int, list[float]]], vec_col: str, vnorm_col: str
+) -> str:
+    """SQL expression: 0-based index (in ``rows`` order) of the
+    nearest centroid by cosine — per-row from CENTROID LITERALS, no
+    join, no shuffle. The fold order and casts mirror _dot/_norm
+    exactly (A/B'd bit-identical to the crossJoin+groupBy argmin on
+    the driver corpus), and the literal cnorm constant-folds to the
+    same double the row-wise form computes.
+
+    Argmin key is -s, NOT 1 - s (ADVICE r14): negation is exact and
+    order-reversing for EVERY double, while 1 - s is only exact on
+    [0.5, 2] (Sterbenz) — distinct near-zero/negative cosines could
+    round 1-s equal and silently hand the tie-break to cluster index,
+    breaking the "csim desc, cluster_id asc" rule."""
+    csims = [
+        f"(aggregate(zip_with({vec_col}, {_arr_sql(v)}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) "
+        f"/ ({vnorm_col} * sqrt(aggregate(transform({_arr_sql(v)}, x -> x * x), "
+        f"0.0D, (acc, x) -> acc + x))))"
+        for _, v in rows
+    ]
+    return (
+        f"array_min(zip_with(array({','.join(csims)}), "
+        f"sequence(0, {len(rows) - 1}), "
+        f"(s, i) -> struct(-s AS d, i AS i))).i"
+    )
+
+
 def lloyd_refine(
     df: DataFrame,
     centroids: DataFrame,
@@ -430,10 +465,6 @@ def lloyd_refine(
     Q = 1_000_000
     vec_t = dict(centroids.dtypes)["centroid"]
 
-    def _arr(vals: list[float]) -> str:
-        # repr doubles: shortest exact round-trip decimal, value-exact
-        return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
-
     for _ in range(iters):
         rows = sorted(
             ((r["cluster_id"], [float(x) for x in r["centroid"]])
@@ -461,29 +492,7 @@ def lloyd_refine(
                 "for coarse quantizers this large."
             )
         idx_to_cid = [cid for cid, _ in rows]
-        # per-centroid cosine as one SQL expression over literals; the
-        # fold order and casts mirror _dot/_norm exactly (A/B'd
-        # bit-identical to ivf_assign on the driver corpus), and the
-        # literal cnorm constant-folds to the same double the row-wise
-        # form computes
-        csims = [
-            f"(aggregate(zip_with({vec_col}, {_arr(v)}, "
-            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) "
-            f"/ (__vn * sqrt(aggregate(transform({_arr(v)}, x -> x * x), "
-            f"0.0D, (acc, x) -> acc + x))))"
-            for _, v in rows
-        ]
-        # argmin key is -s, NOT 1 - s (ADVICE r14): negation is exact
-        # and order-reversing for EVERY double, while 1 - s is only
-        # exact on [0.5, 2] (Sterbenz) — distinct near-zero/negative
-        # cosines could round 1-s equal and silently hand the
-        # tie-break to cluster index, breaking the "bit-identical to
-        # ivf_assign (csim desc, cluster_id asc)" rule.
-        assign = (
-            f"array_min(zip_with(array({','.join(csims)}), "
-            f"sequence(0, {len(rows) - 1}), "
-            f"(s, i) -> struct(-s AS d, i AS i))).i"
-        )
+        assign = _centroid_literal_argmin(rows, vec_col, "__vn")
         asg = (
             # Invalid embeddings crash or bias the build (ADVICE r14 +
             # r15 self-review): a null vector nulls the assignment
@@ -539,6 +548,37 @@ def ivf_assign(
     """Assign each vector to its ``n_probe`` nearest centroids by
     cosine. Centroids are broadcast (|C| is small by construction), so
     assignment is a map-side-only pass — no shuffle of the vectors."""
+    if n_probe == 1:
+        # r15 optimization (guide §2.4, remove shuffles outright): the
+        # 1-probe argmin is computed per-row from CENTROID LITERALS
+        # (the lloyd_refine machinery, pinned bit-identical to the
+        # prior crossJoin+groupBy form in tests/test_similarity_ivf) —
+        # no |C|-way row explosion, no exchange, no SortAggregate
+        # pair. The previous groupBy-min(struct) shape exchanged one
+        # (id, vec, norm, struct) row per corpus vector at every index
+        # build; this is now a pure map-side projection. The join form
+        # below remains the fallback for centroid tables past the
+        # literal plan-size budget (same bound as lloyd_refine).
+        crows = sorted(
+            (r["cluster_id"], [float(x) for x in r["centroid"]])
+            for r in centroids.select("cluster_id", "centroid").collect()
+        )
+        dims = {len(v) for _, v in crows}
+        if (
+            crows
+            and len(dims) == 1
+            and len(crows) * (len(crows[0][1]) + 1) <= LLOYD_LITERAL_BUDGET
+        ):
+            cid_t = dict(centroids.dtypes)["cluster_id"]
+            idx_arr = "array(" + ",".join(
+                f"CAST({cid} AS {cid_t})" for cid, _ in crows
+            ) + ")"
+            assign = _centroid_literal_argmin(crows, vec_col, "vnorm")
+            return df.select(
+                F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vnorm")
+            ).withColumn(
+                "cluster_id", F.expr(f"element_at({idx_arr}, ({assign}) + 1)")
+            )
     c = centroids.select(
         F.col("cluster_id"), F.col("centroid"), _norm(F.col("centroid")).alias("cnorm")
     )
@@ -665,8 +705,14 @@ def ivf_probe(
     # partition) and a query probes n_probe DISTINCT clusters, so each
     # (query, cand) pair appears at most once — a dedup here would be
     # a second full shuffle of the scored pairs for nothing.
+    # r15: broadcast the BOUNDED query side (|Q|*n_probe rows) so the
+    # corpus-sized cand frame is never exchanged/sorted on the
+    # low-cardinality cluster_id key (guide §3.1/§2.4 — same fix as
+    # ivfpq_probe; the before-plan showed the planner falling to
+    # sort-merge when cand comes from a reloaded/persisted artifact
+    # with no usable size estimate).
     scored = (
-        qry.join(cand, "cluster_id")
+        F.broadcast(qry).join(cand, "cluster_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
@@ -1642,7 +1688,13 @@ def ivfpq_probe(
         F.expr(_d2_vec_sql(vec_col, books[s], s, dsub)).alias(f"__dtab{s}")
         for s in range(m)
     ]
-    qry = _pq_barrier(
+    # r15: no persist barrier on the probe side — the broadcast below
+    # IS the materialization barrier (the relation is built once and
+    # the per-pair ADC sum references its materialized __dtab columns;
+    # A/B'd with no re-evaluation blowup and one fewer cached frame +
+    # cache-write job per probe). pq_adc_topk's crossJoin keeps its
+    # persist: that is the shape the r5 inlining blowup was measured on.
+    qry = (
         ivf_assign(queries_df, centroids, n_probe, id_col, vec_col)
         .select(F.col(id_col).alias("query_id"), "cluster_id", F.col(vec_col))
         .select("query_id", "cluster_id", *dtab_cols)
@@ -1651,8 +1703,16 @@ def ivfpq_probe(
     for s in range(m):
         term = F.element_at(f"__dtab{s}", F.col("codes")[s] + 1)
         ad2 = term if ad2 is None else ad2 + term
+    # r15 optimization (guide §3.1/§2.4): the probe side is BOUNDED
+    # (|Q|*n_probe rows of m*k-double distance tables) while cand is
+    # the corpus-sized codes frame. Without the hint the persisted
+    # probe frame's unknown size estimate made the planner SORT-MERGE
+    # this join — exchanging + sorting the ENTIRE codes frame on a
+    # 16-value cluster_id key (r15 before-plan): a skewed corpus
+    # shuffle at any scale. Broadcasting the query side makes the scan
+    # of the codes map-side: zero corpus-sized exchange in the probe.
     scored = (
-        qry.join(cand, "cluster_id")
+        F.broadcast(qry).join(cand, "cluster_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", "cluster_id", ad2.alias("approx_d2"))
     )
@@ -2030,7 +2090,9 @@ def adc_topk_over_codes(
         F.expr(_d2_vec_sql(vec_col, codebooks[s], s, dsub)).alias(f"__dtab{s}")
         for s in range(m)
     ]
-    qry = _pq_barrier(
+    # no probe-side persist: the broadcast is the barrier (see
+    # ivfpq_probe — same r15 change, same A/B)
+    qry = (
         ivf_assign(queries_df, centroids, n_probe, id_col, vec_col)
         .select(F.col(id_col).alias("query_id"), "cluster_id", F.col(vec_col))
         .select("query_id", "cluster_id", *dtab_cols)
@@ -2042,8 +2104,12 @@ def adc_topk_over_codes(
     for s in range(m):
         term = F.element_at(f"__dtab{s}", F.col("codes")[s] + 1)
         ad2 = term if ad2 is None else ad2 + term
+    # broadcast the bounded probe side (same r15 optimization as
+    # ivfpq_probe — see the comment there): the stored codes frame is
+    # the corpus-sized side and must not be exchanged/sorted on the
+    # low-cardinality cluster_id key.
     scored = (
-        qry.join(cand, "cluster_id")
+        F.broadcast(qry).join(cand, "cluster_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", ad2.alias("approx_d2"))
     )

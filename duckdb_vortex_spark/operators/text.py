@@ -946,29 +946,36 @@ def text_cross_doc_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id", "gram"])
     )
     wgram = W.partitionBy("gram")
-    shared = (
-        posting.select("doc_id", F.count("*").over(wgram).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
+    # r15 (guide §2.4): n_grams and n_shared come out of ONE doc-key
+    # aggregate over the windowed postings, instead of two separate
+    # aggregation branches (slim + shared) joined back one at a time —
+    # the prior shape built the tokenize → doc-window → dedup leg
+    # TWICE (the slim branch bypassed the gram window, so its subtree
+    # canonicalized differently and nothing was reused), plus paid an
+    # extra broadcast join. sum(is_shared) == count-after-filter
+    # row-for-row: a posting either has gram doc-frequency >= 2 or it
+    # does not.
+    combined = (
+        posting.select(
+            "doc_id",
+            F.when(F.count("*").over(wgram) >= 2, 1).otherwise(0).alias("is_shared"),
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    slim = posting.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_grams")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("is_shared").alias("n_shared"),
+        )
     )
     base = t.select("doc_id")
     n_grams = F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint"))
     n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
-    return (
-        base.join(slim, "doc_id", "left")
-        .join(shared, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_grams.alias("n_grams"),
-            n_shared.alias("n_shared"),
-            F.when(n_grams > 0, n_shared.cast("double") / n_grams)
-            .otherwise(F.lit(0.0))
-            .alias("shared_frac"),
-        )
+    return base.join(combined, "doc_id", "left").select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_shared.alias("n_shared"),
+        F.when(n_grams > 0, n_shared.cast("double") / n_grams)
+        .otherwise(F.lit(0.0))
+        .alias("shared_frac"),
     )
 
 

@@ -421,3 +421,59 @@ def test_lloyd_refine_null_embeddings_and_literal_budget(spark):
             sim.LLOYD_LITERAL_BUDGET = orig
     # real constant untouched and generous enough for the repo's sizes
     assert sim.LLOYD_LITERAL_BUDGET == 65_536
+
+
+def test_ivf_assign_literal_path_equals_join_form(spark):
+    """r15 optimization pin: the map-side centroid-literal 1-probe
+    assignment (no crossJoin, no groupBy exchange) is ROW-IDENTICAL —
+    every column, including vnorm bits and the cluster_id tie rule —
+    to the crossJoin+groupBy argmin it replaced (which remains in
+    place as the over-budget fallback), on the real corpus AND on
+    degenerate rows (null vector, short vector, null element): both
+    forms assign every degenerate row to the lowest cluster_id, since
+    all csims go null and the struct argmin falls through to the
+    index/cluster tie-break."""
+    from duckdb_vortex_spark.operators import similarity
+    from duckdb_vortex_spark.operators.similarity import (
+        LLOYD_LITERAL_BUDGET,
+        ivf_assign,
+        sample_centroids,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    degenerate = spark.createDataFrame(
+        [
+            (900001, None, 0),
+            (900002, [1.0] * 3, 0),
+            (900003, [1.0] * 63 + [None], 0),
+        ],
+        emb.schema,
+    )
+    corpus = emb.unionByName(degenerate)
+    cents = sample_centroids(emb, 8)
+
+    lit = ivf_assign(corpus, cents, n_probe=1)
+    # force the fallback (join+groupBy) form by shrinking the budget
+    orig = similarity.LLOYD_LITERAL_BUDGET
+    similarity.LLOYD_LITERAL_BUDGET = 0
+    try:
+        join_form = ivf_assign(corpus, cents, n_probe=1)
+    finally:
+        similarity.LLOYD_LITERAL_BUDGET = orig
+    assert LLOYD_LITERAL_BUDGET == orig
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], tuple(r["embedding"] or []), r["vnorm"], r["cluster_id"])
+            for r in df.collect()
+        )
+
+    a, b = rows(lit), rows(join_form)
+    assert len(a) == corpus.count()
+    assert a == b
+    # the literal plan is genuinely map-side: no exchange anywhere
+    plan = lit._sc._jvm.PythonSQLUtils.explainString(
+        lit._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "SortAggregate" not in plan, plan
