@@ -389,28 +389,37 @@ def _arr_sql(vals: list[float]) -> str:
     return "array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")"
 
 
-def _centroid_literal_argmin(
+def _centroid_csim_sqls(
     rows: list[tuple[int, list[float]]], vec_col: str, vnorm_col: str
-) -> str:
-    """SQL expression: 0-based index (in ``rows`` order) of the
-    nearest centroid by cosine — per-row from CENTROID LITERALS, no
-    join, no shuffle. The fold order and casts mirror _dot/_norm
-    exactly (A/B'd bit-identical to the crossJoin+groupBy argmin on
-    the driver corpus), and the literal cnorm constant-folds to the
-    same double the row-wise form computes.
-
-    Argmin key is -s, NOT 1 - s (ADVICE r14): negation is exact and
-    order-reversing for EVERY double, while 1 - s is only exact on
-    [0.5, 2] (Sterbenz) — distinct near-zero/negative cosines could
-    round 1-s equal and silently hand the tie-break to cluster index,
-    breaking the "csim desc, cluster_id asc" rule."""
-    csims = [
+) -> list[str]:
+    """One SQL cosine expression PER centroid in ``rows`` order, each
+    computed per-row from CENTROID LITERALS — no join, no shuffle. The
+    fold order and casts mirror _dot/_norm exactly (A/B'd bit-identical
+    to the crossJoin+groupBy argmin on the driver corpus), and the
+    literal cnorm constant-folds to the same double the row-wise form
+    computes."""
+    return [
         f"(aggregate(zip_with({vec_col}, {_arr_sql(v)}, "
         f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) "
         f"/ ({vnorm_col} * sqrt(aggregate(transform({_arr_sql(v)}, x -> x * x), "
         f"0.0D, (acc, x) -> acc + x))))"
         for _, v in rows
     ]
+
+
+def _centroid_literal_argmin(
+    rows: list[tuple[int, list[float]]], vec_col: str, vnorm_col: str
+) -> str:
+    """SQL expression: 0-based index (in ``rows`` order) of the
+    nearest centroid by cosine — per-row from centroid literals via
+    :func:`_centroid_csim_sqls`.
+
+    Argmin key is -s, NOT 1 - s (ADVICE r14): negation is exact and
+    order-reversing for EVERY double, while 1 - s is only exact on
+    [0.5, 2] (Sterbenz) — distinct near-zero/negative cosines could
+    round 1-s equal and silently hand the tie-break to cluster index,
+    breaking the "csim desc, cluster_id asc" rule."""
+    csims = _centroid_csim_sqls(rows, vec_col, vnorm_col)
     return (
         f"array_min(zip_with(array({','.join(csims)}), "
         f"sequence(0, {len(rows) - 1}), "
@@ -2254,6 +2263,66 @@ def ivf_assign_two_level(
             range(n_coarse), key=lambda j: (_cos(cvec, reps[j][1]), -j)
         )
         fine_rows.append((int(cid), int(best), list(cvec)))
+
+    # r15 optimization (guide §2.4, OPTIMIZATION_r15 deferred item #1):
+    # BOTH phases as one map-side projection from CENTROID LITERALS —
+    # the join form below paid TWO corpus exchanges (phase 1's
+    # row_number window partitioned by id over the |corpus|·n_coarse
+    # crossJoin, then phase 2's groupBy argmin over the probed-cell
+    # fan-out). Per row: score the n_coarse reps (literal csims, the
+    # _centroid_csim_sqls machinery already pinned bit-identical to
+    # the join arithmetic), keep the n_probe_coarse best cells by the
+    # window's exact order (csim desc → -s asc, coarse id asc), then
+    # CASE-dispatch on each probed cell id to THAT cell's literal
+    # member-csim structs only — the evaluated work per row stays
+    # n_coarse + Σ|probed cells|, the same n·√k·(1+probe) the join
+    # form does, with zero exchange. array_min over the flattened
+    # (d=-csim, fine_id) structs is the same lexicographic rule as
+    # the groupBy min(struct). The join form remains the fallback
+    # past the literal budget, for a degenerate probe count, or if a
+    # duplicate rep leaves a coarse cell EMPTY (the inner join drops
+    # pairings there; the literal form cannot).
+    members: dict[int, list[tuple[int, list[float]]]] = {
+        j: [] for j in range(n_coarse)
+    }
+    for cid, cj, cvec in fine_rows:
+        members[cj].append((cid, cvec))
+    dims = {len(v) for _, v in crows}
+    if (
+        crows
+        and n_probe_coarse >= 1
+        and len(dims) == 1
+        and all(members[j] for j in range(n_coarse))
+        and (len(crows) + n_coarse) * (len(crows[0][1]) + 1)
+        <= LLOYD_LITERAL_BUDGET
+    ):
+        rep_csims = _centroid_csim_sqls(
+            [(j, list(reps[j][1])) for j in range(n_coarse)], vec_col, "vnorm"
+        )
+        rep_structs = ",".join(
+            f"struct(-({s}) AS d, {j} AS i)" for j, s in enumerate(rep_csims)
+        )
+        probed = (
+            f"transform(slice(array_sort(array({rep_structs})), "
+            f"1, {n_probe_coarse}), pp -> pp.i)"
+        )
+        cells = []
+        for j in range(n_coarse):
+            mem_csims = _centroid_csim_sqls(members[j], vec_col, "vnorm")
+            cells.append(
+                "array(" + ",".join(
+                    f"struct(-({s}) AS d, CAST({cid} AS INT) AS i)"
+                    for (cid, _), s in zip(members[j], mem_csims)
+                ) + ")"
+            )
+        dispatch = "CASE p " + " ".join(
+            f"WHEN {j} THEN {cells[j]}" for j in range(n_coarse)
+        ) + " END"
+        best_s = f"array_min(flatten(transform({probed}, p -> {dispatch})))"
+        return df.select(
+            F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vnorm")
+        ).withColumn("cluster_id", F.expr(f"({best_s}).i"))
+
     spark = df.sparkSession
     elem = dict(df.dtypes)[vec_col].split("<")[1]
     fine = spark.createDataFrame(

@@ -124,9 +124,10 @@ def test_two_level_assignment_probe2_recall_and_plan(spark):
     """The production setting (n_probe_coarse=2 of 4 coarse cells):
     (a) every vector gets exactly one assignment, (b) agreement with
     flat assignment is high on the near-orthogonal synthetic
-    embeddings, (c) the fine phase is an EQUI broadcast join on
-    coarse_id — the whole point is that no vector ever cross-joins
-    the full centroid set."""
+    embeddings, (c) r15: the whole assignment is a MAP-SIDE literal
+    projection — no join, no exchange; no vector ever cross-joins the
+    full centroid set, and the probed-cell dispatch means per-row work
+    stays n_coarse + the probed cells' members."""
     from duckdb_vortex_spark.operators.similarity import (
         ivf_assign,
         ivf_assign_two_level,
@@ -147,9 +148,9 @@ def test_two_level_assignment_probe2_recall_and_plan(spark):
     assert agree >= 0.5, f"probe-2 agreement collapsed: {agree:.2f}"
 
     plan = two._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin [coarse_id" in plan or "coarse_id" in plan
-    # the fine phase must not be a nested-loop scan of all centroids
-    assert plan.count("BroadcastNestedLoopJoin") <= 1  # coarse phase only
+    # r15: fully map-side — no join of any kind, no exchange
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
 
 
 def test_ivf_index_roundtrip_probe_identical(spark, tmp_path):
@@ -477,3 +478,62 @@ def test_ivf_assign_literal_path_equals_join_form(spark):
     )
     assert "Exchange" not in plan, plan
     assert "SortAggregate" not in plan, plan
+
+
+def test_two_level_literal_path_equals_join_form(spark):
+    """r15 optimization pin: the fully map-side two-level assignment
+    (phase 1 rep-scoring + phase 2 CASE-dispatched probed-cell argmin,
+    both from centroid literals — no crossJoin window, no equi-join,
+    no groupBy exchange) is ROW-IDENTICAL — every column, vnorm bits,
+    and the (csim desc, id asc) tie rules of BOTH phases — to the
+    join+window+groupBy form it replaced (which remains in place as
+    the over-budget fallback), on the real corpus AND on degenerate
+    rows (null vector, short vector, null element: all csims go null,
+    both forms fall through to the lowest probed-cell fine id)."""
+    from duckdb_vortex_spark.operators import similarity
+    from duckdb_vortex_spark.operators.similarity import (
+        LLOYD_LITERAL_BUDGET,
+        ivf_assign_two_level,
+        sample_centroids,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    degenerate = spark.createDataFrame(
+        [
+            (900001, None, 0),
+            (900002, [1.0] * 3, 0),
+            (900003, [1.0] * 63 + [None], 0),
+        ],
+        emb.schema,
+    )
+    corpus = emb.unionByName(degenerate)
+    cents = sample_centroids(emb, 16)
+
+    lit = ivf_assign_two_level(corpus, cents, n_coarse=4, n_probe_coarse=2)
+    # force the fallback (window + equi-join + groupBy) form
+    orig = similarity.LLOYD_LITERAL_BUDGET
+    similarity.LLOYD_LITERAL_BUDGET = 0
+    try:
+        join_form = ivf_assign_two_level(
+            corpus, cents, n_coarse=4, n_probe_coarse=2
+        )
+    finally:
+        similarity.LLOYD_LITERAL_BUDGET = orig
+    assert LLOYD_LITERAL_BUDGET == orig
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], tuple(r["embedding"] or []), r["vnorm"], r["cluster_id"])
+            for r in df.collect()
+        )
+
+    a, b = rows(lit), rows(join_form)
+    assert len(a) == corpus.count()
+    assert a == b
+    # genuinely map-side: no exchange, no join, no aggregate anywhere
+    plan = lit._sc._jvm.PythonSQLUtils.explainString(
+        lit._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Aggregate" not in plan, plan
