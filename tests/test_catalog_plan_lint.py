@@ -123,14 +123,15 @@ ALLOWED: dict[str, tuple[tuple[str, ...], str]] = {
     ),
     "similarity_assign_two_level": (
         ("nested-loop-join",),
-        "4-ROW coarse-cell broadcast (the point: the n-x-k centroid "
-        "cross is REPLACED by n-x-sqrt(k)); the fine phase is an equi "
-        "broadcast join on coarse_id",
+        "r15: fully map-side from centroid literals (zero joins in the "
+        "plan); the allowance covers only the over-budget fallback "
+        "form's 4-ROW coarse-cell broadcast",
     ),
     "dedup_semantic_cluster_two_level": (
         ("nested-loop-join",),
-        "inherits similarity_assign_two_level's 4-ROW coarse broadcast; "
-        "the pair prune joins hash-wise on cluster_id",
+        "r15: the assignment is map-side (similarity_assign_two_level); "
+        "the pair prune joins hash-wise on cluster_id; the allowance "
+        "covers only the over-budget fallback form",
     ),
     "basket_brand_affinity": (
         ("nested-loop-join",),

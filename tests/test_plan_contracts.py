@@ -186,8 +186,8 @@ _NESTED_LOOP_OK = {
     "similarity_pq_adc_topk",  # ADC IS a linear scan over compressed codes; scale path is IVF-ADC per probed cluster
     "similarity_ivfpq_ann",  # 16-row centroid broadcast for assignment; candidate scan joins hash-wise on cluster_id
     "similarity_adc_stored_codes",  # same 16-row centroid broadcast; stored-codes scan joins hash-wise on cluster_id
-    "similarity_assign_two_level",  # 4-row coarse-cell broadcast replaces the n*k centroid cross; fine phase equi-joins on coarse_id
-    "dedup_semantic_cluster_two_level",  # inherits the 4-row coarse broadcast; pair prune joins hash-wise on cluster_id
+    "similarity_assign_two_level",  # r15: map-side literal assignment (no joins); 4-row coarse broadcast only in the over-budget fallback
+    "dedup_semantic_cluster_two_level",  # r15: map-side assignment; pair prune joins hash-wise on cluster_id
     "sketch_hll_distinct",  # 1-row HLL-estimate broadcast joined to the exact count
     "sketch_histogram_quantile",  # 1-row extent + ≤1024-row sketch × 3 probes, all constant-size
     "sketch_histogram_grouped_quantiles",  # per-group sketch × 2 probes, constant-size build sides
