@@ -220,12 +220,38 @@ _F64_POW10 = [10.0**e for e in range(19)]
 def _encode_alp(arr, f32: bool) -> tuple[dict, bytes] | None:
     import numpy as np
 
-    a64 = arr.astype(np.float64)
+    a64 = np.asarray(arr, dtype=np.float64)  # no copy when already f64
     n = a64.size
     if n == 0:
         return {"e": 0, "ref": 0, "width": 0, "n_exc": 0, "f32": f32}, b""
     finite = np.isfinite(a64)
-    best_e, best_ok, best_n = 0, None, -1
+    # r15 perf: sampled REJECT pre-screen. Full-precision float chunks
+    # (embeddings — the writer's heaviest input) round-trip at no
+    # exponent, and the exact search below paid 15 full-array
+    # round+divide passes to learn that before falling back to flat.
+    # A deterministic strided sample bounds the achievable rate first:
+    # acceptance needs best_n >= n/2, so if EVERY exponent round-trips
+    # < 1/4 of a >=1024-point sample, the full search cannot reach 1/2
+    # (Hoeffding: P < 15·exp(-2·1024·0.25²) ≈ 1e-55) and flat wins
+    # without touching the full array. Any sample rate >= 1/4 falls
+    # through to the UNCHANGED exact search — every accepted chunk and
+    # its bytes are bit-identical to the pre-screen encoder. np.rint
+    # is safe here because the screen only ever rejects: it never
+    # picks e or writes bytes.
+    if n >= 4096:
+        s = a64[:: n // 1024]
+        s_finite = np.isfinite(s)
+        screen_best = 0.0
+        for e in range(0, 15):
+            ints = np.rint(s * _F64_POW10[e])
+            with np.errstate(invalid="ignore"):
+                ok = s_finite & (np.abs(ints) < 2**52) & ((ints / _F64_POW10[e]) == s)
+            screen_best = max(screen_best, int(ok.sum()) / s.size)
+            if screen_best >= 0.25:
+                break
+        if screen_best < 0.25:
+            return None  # mostly-exception chunk: flat wins
+    best_e, best_ok, best_ints, best_n = 0, None, None, -1
     for e in range(0, 15):
         ints = np.round(a64 * _F64_POW10[e])
         with np.errstate(invalid="ignore"):
@@ -234,14 +260,14 @@ def _encode_alp(arr, f32: bool) -> tuple[dict, bytes] | None:
                 ok &= (ints / _F64_POW10[e]).astype(np.float32) == arr
         n_ok = int(ok.sum())
         if n_ok > best_n:
-            best_e, best_ok, best_n = e, ok, n_ok
+            best_e, best_ok, best_ints, best_n = e, ok, ints, n_ok
         if n_ok == n:
             break  # fully round-trips; smallest such exponent = tightest ints
     e, ok = best_e, best_ok
     n_exc = n - best_n
     if n_exc > n // 2:
         return None  # mostly-exception chunk: flat wins
-    ints = np.round(a64 * _F64_POW10[e])
+    ints = best_ints  # the loop's winning array — same expression, one less pass
     ints[~ok] = 0
     meta, packed = _pack_ints(ints.astype(np.int64))
     exc_pos = np.flatnonzero(~ok).astype(np.uint32)
@@ -354,6 +380,18 @@ def fsst_decode(buf: bytes, symbols: list[bytes]) -> bytes:
 
 def _cascade(meta: dict, buf: bytes) -> tuple[dict, bytes]:
     if len(buf) >= 64:
+        if len(buf) > 262144:
+            # r15 perf: probe a 64 KiB prefix before paying the full
+            # zlib pass — packed full-precision float buffers
+            # (flat_float embeddings, ~0.5 MiB per 64 k-row chunk
+            # column) are incompressible and the full compress was
+            # pure waste. Skip only when the probe is FAR from the
+            # keep threshold (0.98 vs 0.95) so borderline buffers
+            # still get the exact full-buffer decision; a skipped
+            # buffer stores raw (no z flag), which every reader
+            # already handles.
+            if len(zlib.compress(buf[:65536], 6)) > 65536 * 0.98:
+                return meta, buf
         z = zlib.compress(buf, 6)
         if len(z) <= len(buf) * 0.95:
             meta = dict(meta, z=1)

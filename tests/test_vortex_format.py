@@ -65,6 +65,69 @@ def test_alp_falls_back_when_mostly_exceptions():
     assert np.array_equal(np.asarray(arr).view(np.uint64), np.asarray(back).view(np.uint64))
 
 
+def test_alp_sampled_screen_large_chunks():
+    """r15 perf: chunks of >= 4096 values hit the strided-sample
+    reject pre-screen before the exact exponent search. The screen
+    must (a) reject full-precision chunks fast, (b) fall through to
+    the UNCHANGED exact search for clean-decimal chunks, and (c) not
+    accept what the full search rejects in the 25–50 % ok-rate band
+    (screen passes there, the exact n_exc > n//2 rule still decides)."""
+    rng = np.random.default_rng(42)
+    n = 20000
+    noise = rng.normal(size=n)  # (a) full-precision: reject via screen
+    enc, back = _roundtrip_column(pa.array(noise))
+    assert enc == "flat_float"
+    assert np.array_equal(
+        np.asarray(pa.array(noise)).view(np.uint64), np.asarray(back).view(np.uint64)
+    )
+    clean = np.round(rng.uniform(-100, 100, n), 2)  # (b) 2-decimal: accept
+    arr = pa.array(clean)
+    enc, back = _roundtrip_column(arr)
+    assert enc == "alp"
+    # value equality, not bitwise: ALP canonicalizes -0.0 to +0.0 (the
+    # ok-check compares 0.0 == -0.0 true) — pre-existing codec behavior
+    assert np.array_equal(np.asarray(arr), np.asarray(back))
+    # (c) 40 % clean / 60 % noise, interleaved so the strided sample
+    # sees the true mix: screen rate ~0.4 >= 0.25 -> full search runs
+    # and rejects (best_n < n/2), same as the pre-screen encoder
+    mixed = noise.copy()
+    mixed[::5] = clean[::5]
+    mixed[1::5] = clean[1::5]
+    arr = pa.array(mixed)
+    enc, back = _roundtrip_column(arr)
+    assert enc == "flat_float"
+    assert np.array_equal(np.asarray(arr).view(np.uint64), np.asarray(back).view(np.uint64))
+    # 60 % clean / 40 % noise: full search accepts with exceptions
+    mixed2 = clean.copy()
+    mixed2[::3] = noise[::3]
+    arr = pa.array(mixed2)
+    enc, back = _roundtrip_column(arr)
+    assert enc == "alp"
+    assert np.array_equal(np.asarray(arr), np.asarray(back))
+
+
+def test_cascade_probe_skips_incompressible_large_buffers():
+    """r15 perf: buffers > 256 KiB get a 64 KiB zlib probe first;
+    incompressible float payloads store raw (no z flag) without
+    paying a full-buffer compress, while compressible ones still get
+    the exact full-buffer decision."""
+    rng = np.random.default_rng(3)
+    arr = pa.array(rng.normal(size=65536))  # 512 KiB of random mantissas
+    cc = vf.encode_column(arr)
+    assert cc.enc == "flat_float"
+    assert "z" not in cc.meta
+    back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
+    assert np.array_equal(np.asarray(arr).view(np.uint64), np.asarray(back).view(np.uint64))
+    # repeating full-precision block: flat_float, 625 KiB, highly
+    # compressible -> the probe passes it through to the full compress
+    comp = pa.array(np.tile(rng.normal(size=1000), 80))
+    cc2 = vf.encode_column(comp)
+    assert cc2.enc == "flat_float"
+    assert cc2.meta.get("z") == 1
+    back2 = vf.decode_column(cc2.enc, cc2.meta, cc2.buf, len(comp), comp.type)
+    assert back2.equals(comp)
+
+
 def test_fsst_symbol_roundtrip():
     payload = b"http://example.com/page/1;http://example.com/page/2;" * 50
     symbols = vf.fsst_train(payload)
