@@ -18,6 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
+import math as _math
 from typing import NamedTuple
 
 from pyspark import StorageLevel
@@ -382,6 +383,53 @@ def sample_centroids(
 # which documents it; this one enforces it.
 LLOYD_LITERAL_BUDGET = 65_536
 
+# Guard bound for the r15 probe-side broadcasts (ADVICE r15, medium):
+# the query side of the ANN probe joins is bounded *by convention*
+# (|Q|·n_probe rows of m·k-double distance tables), but nothing
+# validated it — a caller probing a huge query batch would hit Spark's
+# 8 GiB / 512M-row broadcast hard cap and FAIL outright where the
+# unhinted join degraded gracefully to sort-merge. 1 GiB leaves
+# comfortable headroom under the hard cap and the default driver heap.
+PROBE_BROADCAST_MAX_BYTES = 1 << 30
+
+# Bounded-count memo keyed weakly on the query DataFrame: tuning-curve
+# style sweeps probe the same frame many times; the size estimate is a
+# plan-time decision, so one LIMIT-bounded count per frame suffices.
+_PROBE_COUNT_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
+
+
+def _probe_bounded_count(df: DataFrame, bound: int) -> int:
+    """min(|df|, bound+1) via a LIMIT-bounded scan — the guard never
+    pays a full count of an arbitrarily large query set. Memoized per
+    frame (weakly): a cached value is reusable when it was exact
+    (≤ its own limit) or already exceeds the current bound."""
+    global _PROBE_COUNT_CACHE
+    if _PROBE_COUNT_CACHE is None:
+        import weakref
+
+        _PROBE_COUNT_CACHE = weakref.WeakKeyDictionary()
+    try:
+        cached = _PROBE_COUNT_CACHE.get(df)
+    except TypeError:  # non-weakref-able frame flavor
+        cached = None
+    if cached is not None:
+        n, lim = cached
+        if n <= lim or n > bound:
+            return n
+    n = df.limit(bound + 1).count()
+    try:
+        _PROBE_COUNT_CACHE[df] = (n, bound)
+    except TypeError:
+        pass
+    return n
+
+
+def _probe_broadcast_ok(queries_df: DataFrame, n_probe: int, row_bytes: int) -> bool:
+    """True when the probe side's estimated broadcast footprint
+    (|Q| · n_probe rows × row_bytes) fits PROBE_BROADCAST_MAX_BYTES."""
+    max_rows = max(1, PROBE_BROADCAST_MAX_BYTES // max(1, n_probe * row_bytes))
+    return _probe_bounded_count(queries_df, max_rows) <= max_rows
+
 
 def _arr_sql(vals: list[float]) -> str:
     """One SQL array literal of doubles. repr doubles: shortest exact
@@ -556,18 +604,34 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by
     cosine. Centroids are broadcast (|C| is small by construction), so
-    assignment is a map-side-only pass — no shuffle of the vectors."""
-    if n_probe == 1:
-        # r15 optimization (guide §2.4, remove shuffles outright): the
-        # 1-probe argmin is computed per-row from CENTROID LITERALS
-        # (the lloyd_refine machinery, pinned bit-identical to the
-        # prior crossJoin+groupBy form in tests/test_similarity_ivf) —
-        # no |C|-way row explosion, no exchange, no SortAggregate
-        # pair. The previous groupBy-min(struct) shape exchanged one
-        # (id, vec, norm, struct) row per corpus vector at every index
-        # build; this is now a pure map-side projection. The join form
-        # below remains the fallback for centroid tables past the
-        # literal plan-size budget (same bound as lloyd_refine).
+    assignment is a map-side-only pass — no shuffle of the vectors.
+
+    Precondition (ADVICE r15): ``id_col`` values are expected UNIQUE.
+    The literal paths emit probe rows per INPUT row, while the
+    over-budget n_probe=1 fallback's groupBy(id) argmin collapses
+    duplicate ids to a single row — with duplicate ids the two forms
+    return different row counts. Every in-repo caller passes unique
+    ids (corpus vec_ids / doc_ids); dedup upstream if yours are not."""
+    if n_probe >= 1:
+        # r15/r16 optimization (guide §2.4, remove shuffles outright):
+        # the probe assignment is computed per-row from CENTROID
+        # LITERALS (the lloyd_refine machinery, pinned bit-identical
+        # to the join forms in tests/test_similarity_ivf) — no |C|-way
+        # crossJoin row explosion, no exchange. n_probe=1 (r15) is a
+        # pure map-side argmin projection replacing a groupBy
+        # min(struct) that exchanged one (id, vec, norm, struct) row
+        # per corpus vector at every index build. n_probe>1 (r16,
+        # VERDICT r15 next #4) keeps the top-n_probe cells per row via
+        # slice(array_sort(struct(d, i))) — the exact machinery the
+        # two-level assigner pinned in r15 — and explodes them: a
+        # map-side Generate instead of the crossJoin + per-id
+        # row_number window (one Exchange of |rows|·|C| scored pairs)
+        # it replaces. The join forms below remain the fallback for
+        # centroid tables past the literal plan-size budget (same
+        # bound as lloyd_refine) or with non-finite values (ADVICE
+        # r15: repr'd 'nan'/'inf' literals do not parse as Spark SQL
+        # doubles, so the literal route would raise where the join
+        # form computes through).
         crows = sorted(
             (r["cluster_id"], [float(x) for x in r["centroid"]])
             for r in centroids.select("cluster_id", "centroid").collect()
@@ -577,17 +641,43 @@ def ivf_assign(
             crows
             and len(dims) == 1
             and len(crows) * (len(crows[0][1]) + 1) <= LLOYD_LITERAL_BUDGET
+            and all(_math.isfinite(x) for _, v in crows for x in v)
         ):
             cid_t = dict(centroids.dtypes)["cluster_id"]
             idx_arr = "array(" + ",".join(
                 f"CAST({cid} AS {cid_t})" for cid, _ in crows
             ) + ")"
-            assign = _centroid_literal_argmin(crows, vec_col, "vnorm")
-            return df.select(
+            base = df.select(
                 F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("vnorm")
-            ).withColumn(
-                "cluster_id", F.expr(f"element_at({idx_arr}, ({assign}) + 1)")
             )
+            if n_probe == 1:
+                assign = _centroid_literal_argmin(crows, vec_col, "vnorm")
+                return base.withColumn(
+                    "cluster_id", F.expr(f"element_at({idx_arr}, ({assign}) + 1)")
+                )
+            # top-n_probe cells, map-side. Sort key d = coalesce(-s,
+            # +Inf): negation is the exact order-reversing argmin key
+            # (see _centroid_literal_argmin), and the coalesce maps a
+            # NULL csim to +Infinity = the window form's `csim DESC`
+            # NULLS LAST placement (a bare struct sort would put a
+            # null-d struct FIRST). In practice csims null per-row
+            # all-or-nothing (null/short/null-element vectors null
+            # EVERY centroid's csim; a per-centroid null would need a
+            # zero-norm centroid, whose division THROWS identically in
+            # both forms under Spark 4's default ANSI mode), and the
+            # all-null tie falls through to i asc = the window's
+            # cluster_id asc secondary key either way.
+            csims = _centroid_csim_sqls(crows, vec_col, "vnorm")
+            structs = ",".join(
+                f"struct(coalesce(-({s}), CAST('Infinity' AS DOUBLE)) AS d, "
+                f"{i} AS i)"
+                for i, s in enumerate(csims)
+            )
+            probed = (
+                f"transform(slice(array_sort(array({structs})), 1, {n_probe}), "
+                f"pp -> element_at({idx_arr}, pp.i + 1))"
+            )
+            return base.withColumn("cluster_id", F.explode(F.expr(probed)))
     c = centroids.select(
         F.col("cluster_id"), F.col("centroid"), _norm(F.col("centroid")).alias("cnorm")
     )
@@ -714,14 +804,23 @@ def ivf_probe(
     # partition) and a query probes n_probe DISTINCT clusters, so each
     # (query, cand) pair appears at most once — a dedup here would be
     # a second full shuffle of the scored pairs for nothing.
-    # r15: broadcast the BOUNDED query side (|Q|*n_probe rows) so the
+    # r15: broadcast the query side (|Q|*n_probe rows) so the
     # corpus-sized cand frame is never exchanged/sorted on the
     # low-cardinality cluster_id key (guide §3.1/§2.4 — same fix as
     # ivfpq_probe; the before-plan showed the planner falling to
     # sort-merge when cand comes from a reloaded/persisted artifact
-    # with no usable size estimate).
+    # with no usable size estimate). r16 (ADVICE r15): the hint is
+    # GUARDED — a query batch whose estimated footprint exceeds
+    # PROBE_BROADCAST_MAX_BYTES falls back to the unhinted join
+    # (graceful sort-merge) instead of failing on the broadcast cap.
+    first_q = queries_df.select(F.size(F.col(vec_col)).alias("d")).first()
+    row_bytes = 8 * int(first_q["d"] or 1) + 48 if first_q else 56
+    if _probe_broadcast_ok(queries_df, n_probe, row_bytes):
+        probe_side = F.broadcast(qry)
+    else:
+        probe_side = qry
     scored = (
-        F.broadcast(qry).join(cand, "cluster_id")
+        probe_side.join(cand, "cluster_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
@@ -1712,16 +1811,25 @@ def ivfpq_probe(
     for s in range(m):
         term = F.element_at(f"__dtab{s}", F.col("codes")[s] + 1)
         ad2 = term if ad2 is None else ad2 + term
-    # r15 optimization (guide §3.1/§2.4): the probe side is BOUNDED
-    # (|Q|*n_probe rows of m*k-double distance tables) while cand is
-    # the corpus-sized codes frame. Without the hint the persisted
-    # probe frame's unknown size estimate made the planner SORT-MERGE
-    # this join — exchanging + sorting the ENTIRE codes frame on a
-    # 16-value cluster_id key (r15 before-plan): a skewed corpus
-    # shuffle at any scale. Broadcasting the query side makes the scan
-    # of the codes map-side: zero corpus-sized exchange in the probe.
+    # r15 optimization (guide §3.1/§2.4): the probe side is bounded in
+    # the designed regime (|Q|*n_probe rows of m*k-double distance
+    # tables) while cand is the corpus-sized codes frame. Without the
+    # hint the persisted probe frame's unknown size estimate made the
+    # planner SORT-MERGE this join — exchanging + sorting the ENTIRE
+    # codes frame on a 16-value cluster_id key (r15 before-plan): a
+    # skewed corpus shuffle at any scale. Broadcasting the query side
+    # makes the scan of the codes map-side: zero corpus-sized exchange
+    # in the probe. r16 (ADVICE r15): the hint is GUARDED — past
+    # PROBE_BROADCAST_MAX_BYTES the join falls back unhinted with the
+    # r5 persist barrier restored (the barrier the broadcast replaced),
+    # degrading gracefully instead of failing on the 8 GiB cap.
+    dtab_bytes = m * len(books[0]) * 8 + 48
+    if _probe_broadcast_ok(queries_df, n_probe, dtab_bytes):
+        probe_side = F.broadcast(qry)
+    else:
+        probe_side = _pq_barrier(qry)
     scored = (
-        F.broadcast(qry).join(cand, "cluster_id")
+        probe_side.join(cand, "cluster_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", "cluster_id", ad2.alias("approx_d2"))
     )
@@ -2116,9 +2224,16 @@ def adc_topk_over_codes(
     # broadcast the bounded probe side (same r15 optimization as
     # ivfpq_probe — see the comment there): the stored codes frame is
     # the corpus-sized side and must not be exchanged/sorted on the
-    # low-cardinality cluster_id key.
+    # low-cardinality cluster_id key. r16 (ADVICE r15): guarded — past
+    # PROBE_BROADCAST_MAX_BYTES the join falls back unhinted with the
+    # persist barrier restored (see ivfpq_probe).
+    dtab_bytes = m * len(codebooks[0]) * 8 + 48
+    if _probe_broadcast_ok(queries_df, n_probe, dtab_bytes):
+        probe_side = F.broadcast(qry)
+    else:
+        probe_side = _pq_barrier(qry)
     scored = (
-        F.broadcast(qry).join(cand, "cluster_id")
+        probe_side.join(cand, "cluster_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id", ad2.alias("approx_d2"))
     )
@@ -2295,6 +2410,10 @@ def ivf_assign_two_level(
         and all(members[j] for j in range(n_coarse))
         and (len(crows) + n_coarse) * (len(crows[0][1]) + 1)
         <= LLOYD_LITERAL_BUDGET
+        # ADVICE r15: repr'd non-finite doubles ('nan'/'inf' + 'D') do
+        # not parse as Spark SQL literals — fall back to the join form,
+        # which computes through, instead of raising in Catalyst
+        and all(_math.isfinite(x) for _, v in crows for x in v)
     ):
         rep_csims = _centroid_csim_sqls(
             [(j, list(reps[j][1])) for j in range(n_coarse)], vec_col, "vnorm"

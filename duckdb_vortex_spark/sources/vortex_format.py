@@ -229,17 +229,30 @@ def _encode_alp(arr, f32: bool) -> tuple[dict, bytes] | None:
     # (embeddings — the writer's heaviest input) round-trip at no
     # exponent, and the exact search below paid 15 full-array
     # round+divide passes to learn that before falling back to flat.
-    # A deterministic strided sample bounds the achievable rate first:
+    # A deterministic sample bounds the achievable rate first:
     # acceptance needs best_n >= n/2, so if EVERY exponent round-trips
-    # < 1/4 of a >=1024-point sample, the full search cannot reach 1/2
-    # (Hoeffding: P < 15·exp(-2·1024·0.25²) ≈ 1e-55) and flat wins
-    # without touching the full array. Any sample rate >= 1/4 falls
-    # through to the UNCHANGED exact search — every accepted chunk and
-    # its bytes are bit-identical to the pre-screen encoder. np.rint
-    # is safe here because the screen only ever rejects: it never
-    # picks e or writes bytes.
+    # < 1/4 of the sample, the full search cannot plausibly reach 1/2
+    # and flat wins without touching the full array. Any sample rate
+    # >= 1/4 falls through to the UNCHANGED exact search — every
+    # accepted chunk and its bytes are bit-identical to the pre-screen
+    # encoder, and a wrong rejection only costs compression ratio
+    # (flat is lossless), never correctness. np.rint is safe here
+    # because the screen only ever rejects: it never picks e or
+    # writes bytes.
+    #
+    # Sampling (r16, ADVICE r15): TWO CO-PRIME strides, k and k+1,
+    # the second offset by k//2 — a single stride k samples one
+    # residue class of any period p | k, so periodic data (e.g.
+    # interleaved sensor channels) whose clean-decimal values align
+    # with the stride could read <1/4 in the sample while >=1/2
+    # overall, silently demoting an ALP-eligible chunk to flat. With
+    # both strides, alignment would need p | gcd(k, k+1) = 1 — no
+    # period p > 1 can hide from both. For non-adversarial data the
+    # i.i.d. view still applies (Hoeffding on ~2048 points:
+    # P[false reject] < 15·exp(-2·2048·0.25²) ≈ 1e-111).
     if n >= 4096:
-        s = a64[:: n // 1024]
+        k = n // 1024
+        s = np.concatenate([a64[::k], a64[k // 2 :: k + 1]])
         s_finite = np.isfinite(s)
         screen_best = 0.0
         for e in range(0, 15):
@@ -381,16 +394,21 @@ def fsst_decode(buf: bytes, symbols: list[bytes]) -> bytes:
 def _cascade(meta: dict, buf: bytes) -> tuple[dict, bytes]:
     if len(buf) >= 64:
         if len(buf) > 262144:
-            # r15 perf: probe a 64 KiB prefix before paying the full
-            # zlib pass — packed full-precision float buffers
-            # (flat_float embeddings, ~0.5 MiB per 64 k-row chunk
-            # column) are incompressible and the full compress was
-            # pure waste. Skip only when the probe is FAR from the
-            # keep threshold (0.98 vs 0.95) so borderline buffers
-            # still get the exact full-buffer decision; a skipped
-            # buffer stores raw (no z flag), which every reader
-            # already handles.
-            if len(zlib.compress(buf[:65536], 6)) > 65536 * 0.98:
+            # r15 perf: probe a sample before paying the full zlib
+            # pass — packed full-precision float buffers (flat_float
+            # embeddings, ~0.5 MiB per 64 k-row chunk column) are
+            # incompressible and the full compress was pure waste.
+            # r16 (ADVICE r15): the probe reads head + middle + tail
+            # (64 KiB total) instead of the head alone, so a
+            # mixed-content buffer whose head is incompressible but
+            # whose tail compresses well is not skipped. Skip only
+            # when the probe is FAR from the keep threshold (0.98 vs
+            # 0.95) so borderline buffers still get the exact
+            # full-buffer decision; a skipped buffer stores raw (no z
+            # flag), which every reader already handles.
+            mid = len(buf) // 2
+            probe = buf[:32768] + buf[mid : mid + 16384] + buf[-16384:]
+            if len(zlib.compress(probe, 6)) > len(probe) * 0.98:
                 return meta, buf
         z = zlib.compress(buf, 6)
         if len(z) <= len(buf) * 0.95:

@@ -101,14 +101,31 @@ def process_batch(
     from .sinks import batch_dirs
 
     prior = batch_dirs(store_dir, batch_id)
+    # checkpoint: fp feeds both the history probe and the two writes —
+    # without a barrier each consumer re-runs the first-wins window
+    # (and every F.broadcast build is its own query execution — r16)
+    fp = fp.localCheckpoint(eager=False)
     if prior:
+        from pyspark.sql.types import LongType, StructField, StructType
+
         seen = (
             spark_.read.format("vortex")
+            # known store schema (xxhash64 → bigint): skips the
+            # footer-merging bind step per batch (r16)
+            .schema(StructType([StructField("__fp", LongType(), True)]))
             .option("paths", json.dumps(prior))
             .load()
             .select("__fp")
         )
-        fresh = fp.join(seen, "__fp", "left_anti")
+        # r16 (guide §3.1): the batch side is bounded, the store is the
+        # corpus — broadcast the batch fingerprints INTO the store scan
+        # (map-side semi; the store is never exchanged), then anti-join
+        # the bounded matched set back. Row-identical to the direct
+        # anti join: a batch fp is in `seen` iff it is in `matched`.
+        matched = seen.join(
+            F.broadcast(fp.select("__fp")), "__fp", "left_semi"
+        ).distinct()
+        fresh = fp.join(F.broadcast(matched), "__fp", "left_anti")
     else:  # first batch: store empty — dedup is in-batch only
         fresh = fp
     from .sinks import overwrite_batch_atomic

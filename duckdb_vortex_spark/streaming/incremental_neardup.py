@@ -85,6 +85,17 @@ from .sinks import batch_dirs as _batch_dirs
 from .sinks import overwrite_batch_atomic as _overwrite_batch
 
 
+def _nullable(schema):
+    """All-nullable copy of ``schema`` — store reads return nullable
+    columns, and passing the known schema skips the DataSource's
+    footer-merging bind step on every per-batch state read (r16)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in schema.fields]
+    )
+
+
 def neardup_process_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -124,6 +135,7 @@ def neardup_process_batch(
     prior_index = _batch_dirs(index_dir, batch_id)
     idx = (
         spark_.read.format("vortex")
+        .schema(_nullable(buckets.select("band", "h", "id").schema))
         .option("paths", json.dumps(prior_index))
         .load()
         if prior_index
@@ -138,37 +150,55 @@ def neardup_process_batch(
     # from "equals batch mode" to "bounded work" (see module
     # docstring); below it (the designed regime: a bucket past
     # max_bucket is a stop-shingle artifact) invariance is exact.
-    hist = (
-        idx.select("band", "h").unionByName(buckets.select("band", "h"))
-        if idx is not None
-        else buckets.select("band", "h")
-    )
+    bkeys = buckets.select("band", "h")
+    if idx is not None:
+        # r16 (guide §2.3/§3.1, same change as the integrated chain):
+        # only the BATCH's bucket keys are consulted below — prune the
+        # index scan to them map-side (broadcast semi) before counting
+        # so the hot-bucket aggregate's exchange is bounded by the
+        # batch's buckets, not every (band, h) ever landed; counts for
+        # surviving keys are unchanged.
+        hist = idx.select("band", "h").join(
+            F.broadcast(bkeys), ["band", "h"], "left_semi"
+        ).unionByName(bkeys)
+    else:
+        hist = bkeys
     ok = (
         hist.groupBy("band", "h")
         .agg(F.count("*").alias("bn"))
         .filter(F.col("bn") <= max_bucket)
         .select("band", "h")
     )
-    buck_ok = buckets.join(ok, ["band", "h"])
+    # buck_ok feeds three consumers and each F.broadcast build is its
+    # own query execution — checkpoint so the subtree (including the
+    # hot-bucket aggregate) is computed once (r16, measured on the
+    # integrated chain as escalating per-build recompute)
+    buck_ok = buckets.join(F.broadcast(ok), ["band", "h"]).localCheckpoint(
+        eager=False
+    )
     if idx is not None:
+        # index streams map-side; bounded batch buckets broadcast
         cross = (
-            buck_ok.join(idx.withColumnRenamed("id", "doc_a"), ["band", "h"])
+            idx.withColumnRenamed("id", "doc_a")
+            .join(F.broadcast(buck_ok), ["band", "h"])
             .select("doc_a", F.col("id").alias("doc_b"))
-            .distinct()
         )
     else:
         cross = None
 
-    # in-batch candidates (smaller id is the earlier side)
+    # in-batch candidates (smaller id is the earlier side); the inner
+    # per-branch distincts collapsed into the single final distinct
+    # (identical rows, two fewer exchanges — r16)
     a = buck_ok.select("band", "h", F.col("id").alias("doc_a"))
     b = buck_ok.select("band", "h", F.col("id").alias("doc_b"))
     within = (
-        a.join(b, ["band", "h"])
+        a.join(F.broadcast(b), ["band", "h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
-    cand = within.unionByName(cross).distinct() if cross is not None else within
+    cand = (
+        within.unionByName(cross) if cross is not None else within
+    ).distinct().localCheckpoint(eager=False)
 
     # exact verification — old-side shingles come from the landed raw
     # batches, pruned to candidate ids BEFORE re-shingling (semi join
@@ -179,9 +209,14 @@ def neardup_process_batch(
     if prior_raw:
         old_docs = (
             spark_.read.format("vortex")
+            .schema(_nullable(raw.schema))
             .option("paths", json.dumps(prior_raw))
             .load()
-            .join(cand.select(F.col("doc_a").alias("id")).distinct(), "id", "left_semi")
+            .join(
+                F.broadcast(cand.select(F.col("doc_a").alias("id")).distinct()),
+                "id",
+                "left_semi",
+            )
         )
         old_sh = (
             shingle_table(old_docs, "text", "id", n)
@@ -191,14 +226,17 @@ def neardup_process_batch(
     else:
         old_sh = old_in_batch
     dup_ids = (
-        _with_jaccard(cand.join(old_sh, "doc_a").join(new_sh, "doc_b"))
+        _with_jaccard(
+            old_sh.join(F.broadcast(cand), "doc_a")
+            .join(F.broadcast(new_sh), "doc_b")
+        )
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("doc_b").alias("id"))
         .distinct()
     )
     manifest = (
         sig.select("id")
-        .join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+        .join(F.broadcast(dup_ids.withColumn("__dup", F.lit(True))), "id", "left")
         .select(
             F.col("id").alias("doc_id"),
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),

@@ -10,12 +10,14 @@ the SAME shared landed-batch store the chain itself writes.
 
 Per micro-batch (documents already joined to their embeddings):
 
-0. land the raw batch (id, text, vec) id-sorted into the SHARED raw
-   store — the one corpus artifact every gate reads back;
+0. land the raw batch (id, fp, text, vec) id-sorted into the SHARED
+   raw store — the one corpus artifact every gate reads back (fp =
+   the exact-gate fingerprint, fused in as a column since r16: the
+   separate fp/ store rewrote the same scan for one 8-byte column);
 1. EXACT gate: xxhash64 over whitespace-normalized lowercased text;
-   in-batch first-wins by id, then LEFT ANTI vs the fingerprint store
-   (fingerprints of ALL docs ever landed — 8 B/doc). Survivors s1;
-   ALL batch fingerprints append to the store;
+   in-batch first-wins by id, then drop ids whose fingerprint appears
+   in the landed history (the raw store's fp column, column-pruned —
+   8 B/doc read). Survivors s1;
 2. NEAR-DUP gate over s1: MinHash signatures + LSH band buckets;
    candidates = in-batch (smaller id earlier) ∪ buckets ⋈ the
    persistent LSH index (which holds every doc that REACHED this gate
@@ -57,7 +59,8 @@ back by stage 2's verifier IN THE SAME BATCH only for cross-batch
 candidates (strictly-earlier dirs, `batch_dirs`' contract), so the
 shared store never reads its own half-written batch.
 
-State: fingerprints 8 B/doc + LSH ~384 B/reach2-doc + IVF
+State: fingerprints 8 B/doc (a raw-store column) + LSH
+~384 B/reach2-doc + IVF
 (vec + norm)/reach3-doc — each gate's state is bounded by the docs
 that SURVIVED the cheaper gates before it, which is the point of
 running the chain in this order (cheapest first, each gate shrinks
@@ -103,17 +106,32 @@ from .sinks import overwrite_batch_atomic as _overwrite_batch
 from .sinks import STATE_FILES, land_session_dataset, state_dirs
 
 
-def _read_batches(spark, base: str, before: int, **options) -> DataFrame | None:
+def _read_batches(
+    spark, base: str, before: int, schema=None, **options
+) -> DataFrame | None:
     """State visible to batch ``before``: tiered listing (compaction
     segments + strictly-earlier uncompacted batch dirs), so every store
     the chain maintains can be incrementally compacted BETWEEN
     micro-batches (`sinks.compact_dataset_incremental`) without
     breaking the retry contract — see `sinks.state_dirs` for the
-    invariant."""
+    invariant.
+
+    ``schema`` (r16): the chain KNOWS each store's schema (it wrote
+    it — the store is the prior batches' frame), so passing it skips
+    the DataSource's bind step (a Python planning worker merging every
+    part file's footer) on every per-batch state read."""
     dirs = state_dirs(base, before)
     if not dirs:
         return None
     r = spark.read.format("vortex").option("paths", json.dumps(dirs))
+    if schema is not None:
+        from pyspark.sql.types import StructField, StructType
+
+        r = r.schema(
+            StructType(
+                [StructField(f.name, f.dataType, True) for f in schema.fields]
+            )
+        )
     for k, v in options.items():
         r = r.option(k, v)
     return r.load()
@@ -121,13 +139,13 @@ def _read_batches(spark, base: str, before: int, **options) -> DataFrame | None:
 
 # Sort keys for each per-batch state store the chain reads back —
 # compaction must cluster on the key the per-batch read prunes on
-# (raw: candidate-id point fetches; fp: fingerprint semi join; lsh:
-# (band,h) bucket join; ivf: probed-cluster zone-map scan). The
-# manifest store is append-only output, never read per batch, so it
-# is not maintained here.
+# (raw: candidate-id point fetches — the fingerprint column rides in
+# the raw store since r16, read via column pruning; lsh: (band,h)
+# bucket join; ivf: probed-cluster zone-map scan). The manifest store
+# is append-only output, never read per batch, so it is not
+# maintained here.
 CHAIN_STORE_SORT = {
     "raw": ["id"],
-    "fp": ["fp"],
     "lsh": ["band", "h"],
     "ivf": ["cluster_id", "id"],
 }
@@ -141,7 +159,7 @@ def compact_chain_stores(
     before: int | None = None,
     level_ratio: float = 2.0,
 ) -> dict[str, str | None]:
-    """Maintenance pass over the chain's four state stores: one
+    """Maintenance pass over the chain's state stores: one
     incremental (tiered) compaction each, bounded to ``max_files``
     part files per segment and a leveled live-segment cap
     (run fold past it — see `sinks.compact_dataset_incremental`).
@@ -200,32 +218,68 @@ def ingest_process_batch(
 ) -> None:
     """One micro-batch of the integrated chain. ``batch_df`` carries
     (doc_id, source, text, vec). Writes batch-id-scoped artifacts under
-    ``root``: raw/ (shared corpus), fp/ (exact store), lsh/ (near-dup
-    index), ivf/ (semantic index), man/ (the manifest)."""
+    ``root``: raw/ (shared corpus, fingerprint column included — the
+    exact store, fused r16), lsh/ (near-dup index), ivf/ (semantic
+    index), man/ (the manifest)."""
     spark_ = batch_df.sparkSession
-    raw_d, fp_d, lsh_d, ivf_d, man_d = (
-        os.path.join(root, s) for s in ("raw", "fp", "lsh", "ivf", "man")
+    raw_d, lsh_d, ivf_d, man_d = (
+        os.path.join(root, s) for s in ("raw", "lsh", "ivf", "man")
     )
 
+    def _label(stage: str) -> None:
+        # guide §1.5: label every action so per-batch cost attributes
+        # to a chain stage in the UI / status store (lazy-checkpoint
+        # materializations inherit the label of the action that
+        # triggers them). Best-effort: Connect has no sparkContext.
+        try:
+            spark_.sparkContext.setJobDescription(f"chain b{batch_id}: {stage}")
+        except Exception:
+            pass
+
     # 0. land the raw batch into the SHARED store (id-sorted: stage-2
-    # candidate fetches and any audit replay are zone-map point reads)
+    # candidate fetches and any audit replay are zone-map point reads).
+    # r16 (VERDICT r15 next #1, "fuse store writes that share a scan"):
+    # the exact-gate fingerprint rides along as a COLUMN of the raw
+    # store instead of a separate fp/ store — the fp write scanned the
+    # same checkpointed rows to emit one 8-byte column, and the exact
+    # gate's history read now column-prunes the raw store (columnar
+    # format: it reads just fp). One fewer store write + state read +
+    # maintained store per batch.
+    _label("land raw")
     rows = (
-        batch_df.select(F.col("doc_id").alias("id"), "text", "vec")
+        batch_df.select(
+            F.col("doc_id").alias("id"), fingerprint("text").alias("fp"),
+            "text", "vec",
+        )
         .repartitionByRange(STATE_FILES, "id")
         .sortWithinPartitions("id")
         .localCheckpoint(eager=False)
     )
     _overwrite_batch(rows, raw_d, batch_id, max_files=None)
 
+    _label("exact gate")
     # 1. EXACT gate ---------------------------------------------------------
-    fp = rows.select("id", fingerprint("text").alias("__fp"), "text", "vec")
+    # r16 (guide §2.3): the first-wins window only ranks ids within a
+    # fingerprint — keep text/vec OUT of its exchange (the previous
+    # shape shuffled both payload columns on the __fp key just to
+    # compute __rn).
+    fp = rows.select("id", F.col("fp").alias("__fp"))
     fp = fp.withColumn(
         "__rn", F.row_number().over(Window.partitionBy("__fp").orderBy("id"))
-    )
-    seen = _read_batches(spark_, fp_d, batch_id)
+    ).localCheckpoint(eager=False)
+    seen_raw = _read_batches(spark_, raw_d, batch_id, schema=rows.schema)
+    seen = seen_raw.select("fp") if seen_raw is not None else None
     if seen is not None:
+        # r16 (guide §3.1): checkpointed frames carry NO size stats, so
+        # the planner sort-merged the batch against the WHOLE
+        # fingerprint store (two exchanges, one of them history-sized)
+        # at every batch. The batch side is bounded by construction —
+        # broadcast it INTO the history scan (map-side inner join, one
+        # (id) per matching history row) and partial aggregation
+        # reduces the lone exchange to the matched batch ids.
         hist_dup = (
-            fp.join(seen.withColumnRenamed("fp", "__fp"), "__fp", "left_semi")
+            seen.withColumnRenamed("fp", "__fp")
+            .join(F.broadcast(fp.select("id", "__fp")), "__fp")
             .select("id")
             .distinct()
         )
@@ -237,47 +291,71 @@ def ingest_process_batch(
         if hist_dup is not None
         else in_batch_dup
     ).localCheckpoint(eager=False)
-    s1 = rows.join(exact_dropped, "id", "left_anti").localCheckpoint(eager=False)
-    _overwrite_batch(
-        fp.select(F.col("__fp").alias("fp")), fp_d, batch_id
-    )
+    s1 = rows.join(
+        F.broadcast(exact_dropped), "id", "left_anti"
+    ).localCheckpoint(eager=False)
 
+    _label("neardup gate")
     # 2. NEAR-DUP gate over s1 ---------------------------------------------
     sig = minhash_signatures(s1, "text", "id", num_hashes, n, engine="jvm").localCheckpoint(eager=False)
     buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint(eager=False)
-    idx = _read_batches(spark_, lsh_d, batch_id)
-    hist_bh = (
-        idx.select("band", "h").unionByName(buckets.select("band", "h"))
-        if idx is not None
-        else buckets.select("band", "h")
+    idx = _read_batches(
+        spark_, lsh_d, batch_id, schema=buckets.select("band", "h", "id").schema
     )
+    bkeys = buckets.select("band", "h")
+    if idx is not None:
+        # r16 (guide §2.3/§3.1): only the BATCH's bucket keys are ever
+        # consulted by the join below, so prune the index scan to them
+        # map-side (broadcast semi) before counting — the hot-bucket
+        # aggregate's exchange is then bounded by the batch's buckets
+        # instead of every (band, h) ever landed. Counts for the
+        # surviving keys are unchanged (the semi keeps every
+        # occurrence of a kept key).
+        hist_bh = idx.select("band", "h").join(
+            F.broadcast(bkeys), ["band", "h"], "left_semi"
+        ).unionByName(bkeys)
+    else:
+        hist_bh = bkeys
     ok = (
         hist_bh.groupBy("band", "h")
         .agg(F.count("*").alias("bn"))
         .filter(F.col("bn") <= max_bucket)
         .select("band", "h")
     )
-    buck_ok = buckets.join(ok, ["band", "h"])
+    # r16: buck_ok feeds THREE consumers (a, b, cross) and cand feeds
+    # two more — and every F.broadcast() build is its own query
+    # execution, so without a materialization barrier each build
+    # RE-COMPUTES the whole gate subtree below it (including the
+    # hot-bucket aggregate over the index): measured as six escalating
+    # 0.6→2.0 s broadcast-build jobs per batch at sf0.01. Checkpoint
+    # the two shared frames so each is computed once.
+    buck_ok = buckets.join(F.broadcast(ok), ["band", "h"]).localCheckpoint(
+        eager=False
+    )
     a = buck_ok.select("band", "h", F.col("id").alias("doc_a"))
     b = buck_ok.select("band", "h", F.col("id").alias("doc_b"))
     cand = (
-        a.join(b, ["band", "h"])
+        a.join(F.broadcast(b), ["band", "h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
     if idx is not None:
+        # index streams map-side; the bounded batch buckets broadcast
         cross = (
-            buck_ok.join(idx.withColumnRenamed("id", "doc_a"), ["band", "h"])
+            idx.withColumnRenamed("id", "doc_a")
+            .join(F.broadcast(buck_ok), ["band", "h"])
             .select("doc_a", F.col("id").alias("doc_b"))
         )
         cand = cand.unionByName(cross)
-    cand = cand.distinct()
+    cand = cand.distinct().localCheckpoint(eager=False)
     new_sh = sig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
     old_in_batch = sig.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    prior_raw = _read_batches(spark_, raw_d, batch_id)
+    prior_raw = seen_raw
     if prior_raw is not None:
         old_docs = prior_raw.join(
-            cand.select(F.col("doc_a").alias("id")).distinct(), "id", "left_semi"
+            F.broadcast(cand.select(F.col("doc_a").alias("id")).distinct()),
+            "id",
+            "left_semi",
         )
         old_sh = (
             shingle_table(old_docs, "text", "id", n)
@@ -287,21 +365,30 @@ def ingest_process_batch(
     else:
         old_sh = old_in_batch
     near_dropped = (
-        _with_jaccard(cand.join(old_sh, "doc_a").join(new_sh, "doc_b"))
+        _with_jaccard(
+            old_sh.join(F.broadcast(cand), "doc_a")
+            .join(F.broadcast(new_sh), "doc_b")
+        )
         .filter(F.col("jaccard") >= near_threshold)
         .select(F.col("doc_b").alias("id"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    s2 = s1.join(near_dropped, "id", "left_anti").localCheckpoint(eager=False)
+    # single consumer (asg, checkpointed below): no checkpoint —
+    # each localCheckpoint call costs ~0.4 s of driver-side
+    # planning/AQE stage execution per batch (r16 cProfile)
+    s2 = s1.join(F.broadcast(near_dropped), "id", "left_anti")
+    _label("lsh store")
     _overwrite_batch(buckets.select("band", "h", "id"), lsh_d, batch_id)
 
+    _label("semantic gate")
     # 3. SEMANTIC gate over s2 ----------------------------------------------
     asg = (
         ivf_assign(s2.select("id", "vec"), centroids, 1, "id", "vec")
         .select("cluster_id", "id", "vec", "vnorm")
         .localCheckpoint(eager=False)
     )
+    _label("probed clusters")
     probed = sorted(
         r["cluster_id"] for r in asg.select("cluster_id").distinct().collect()
     )
@@ -317,7 +404,9 @@ def ingest_process_batch(
         F.col("vec").alias("vec_a"),
         F.col("vnorm").alias("n_a"),
     )
-    landed = _read_batches(spark_, ivf_d, batch_id, pushdown="true")
+    landed = _read_batches(
+        spark_, ivf_d, batch_id, schema=asg.schema, pushdown="true"
+    )
     if landed is not None:
         landed = landed.filter(F.col("cluster_id").isin(probed)).select(
             "cluster_id",
@@ -327,7 +416,9 @@ def ingest_process_batch(
         )
         old_side = landed.unionByName(old_side)
     sem_dropped = (
-        old_side.join(new_side, "cluster_id")
+        # batch side bounded → broadcast; history IVF rows stream.
+        # Single consumer (the manifest join): no checkpoint (see s2).
+        old_side.join(F.broadcast(new_side), "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             (_dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")))
@@ -335,8 +426,8 @@ def ingest_process_batch(
         )
         .select(F.col("id_b").alias("id"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    _label("ivf store")
     _overwrite_batch(
         asg.repartitionByRange(STATE_FILES, "cluster_id", "id").sortWithinPartitions(
             "cluster_id", "id"
@@ -349,9 +440,9 @@ def ingest_process_batch(
     # 4. manifest: first failing gate ----------------------------------------
     manifest = (
         batch_df.select(F.col("doc_id").alias("id"), "source")
-        .join(exact_dropped.withColumn("__e", F.lit(True)), "id", "left")
-        .join(near_dropped.withColumn("__n", F.lit(True)), "id", "left")
-        .join(sem_dropped.withColumn("__s", F.lit(True)), "id", "left")
+        .join(F.broadcast(exact_dropped.withColumn("__e", F.lit(True))), "id", "left")
+        .join(F.broadcast(near_dropped.withColumn("__n", F.lit(True))), "id", "left")
+        .join(F.broadcast(sem_dropped.withColumn("__s", F.lit(True))), "id", "left")
         .select(
             F.col("id").alias("doc_id"),
             "source",
@@ -365,7 +456,9 @@ def ingest_process_batch(
             ),
         )
     )
+    _label("manifest")
     _overwrite_batch(manifest, man_d, batch_id)
+    _label("idle")
 
 
 def incremental_ingest_stream(
@@ -505,7 +598,10 @@ def stream_incremental_ingest_pipeline(spark: SparkSession, sf_dir: str) -> Data
         emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")),
         "doc_id",
     )
-    centroids = sample_centroids(emb, 16)
+    # persist: ivf_assign's literal path collects this frame once per
+    # micro-batch — cache the 16-row sample instead of re-running the
+    # sampling query each batch
+    centroids = sample_centroids(emb, 16).persist()
     batched = corpus.withColumn(
         "__b", F.ntile(3).over(Window.orderBy("doc_id"))
     ).persist()
@@ -527,4 +623,5 @@ def stream_incremental_ingest_pipeline(spark: SparkSession, sf_dir: str) -> Data
         return land_session_dataset(out, "ingest-manifest")
     finally:
         batched.unpersist()
+        centroids.unpersist()
         shutil.rmtree(root, ignore_errors=True)

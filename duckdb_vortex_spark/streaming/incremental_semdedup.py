@@ -57,7 +57,7 @@ from ..operators.similarity import (
     ivf_assign,
     sample_centroids,
 )
-from .incremental_neardup import _batch_dirs
+from .incremental_neardup import _batch_dirs, _nullable
 from .sinks import STATE_FILES, land_session_dataset
 from .sinks import overwrite_batch_atomic
 
@@ -108,7 +108,9 @@ def semdedup_process_batch(
             spark_.read.format("vortex")
             # fresh single-consumption load with a static In filter over
             # the cluster-SORTED index → opt-in zone-map pruning reads
-            # only the probed clusters' chunks (safe: no relation reuse)
+            # only the probed clusters' chunks (safe: no relation reuse).
+            # Known store schema: skips the footer-merging bind (r16).
+            .schema(_nullable(asg.schema))
             .option("pushdown", "true")
             .option("paths", json.dumps(prior))
             .load()
@@ -128,7 +130,10 @@ def semdedup_process_batch(
     # id-ordered ingest — the general guard (id_a < id_b) is correct for
     # BOTH cases because ids are unique across the stream.
     pairs = (
-        old_side.join(new_side, "cluster_id")
+        # r16 (guide §3.1): batch side bounded → broadcast; the landed
+        # index rows (history-sized) stream map-side instead of the
+        # stats-less checkpoint frames falling to sort-merge
+        old_side.join(F.broadcast(new_side), "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_b",
@@ -143,7 +148,7 @@ def semdedup_process_batch(
     )
     manifest = (
         asg.select("id")
-        .join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+        .join(F.broadcast(dup_ids.withColumn("__dup", F.lit(True))), "id", "left")
         .select(
             F.col("id").alias("vec_id"),
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
@@ -245,7 +250,10 @@ def stream_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     emb = load(spark, sf_dir, "embeddings")
-    centroids = sample_centroids(emb, 16)
+    # persist: ivf_assign's literal path collects this frame once per
+    # micro-batch — cache the 16-row sample instead of re-running the
+    # sampling query each batch (r16)
+    centroids = sample_centroids(emb, 16).persist()
     batched = emb.withColumn(
         "__b", F.ntile(3).over(Window.orderBy("vec_id"))
     ).persist()
@@ -272,4 +280,5 @@ def stream_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return land_session_dataset(out, "semdedup-manifest")
     finally:
         batched.unpersist()
+        centroids.unpersist()
         shutil.rmtree(root, ignore_errors=True)

@@ -100,7 +100,7 @@ def main() -> None:
     cids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
     cstep = (len(cids) + chain_batches - 1) // chain_batches
     cchunks = [cids[i * cstep : (i + 1) * cstep] for i in range(chain_batches)]
-    centroids = sample_centroids(emb, 16)
+    centroids = sample_centroids(emb, 16).persist()
     root = tempfile.mkdtemp(prefix="flat_chain_")
     ctimes, cfiles, compactions = [], [], []
     for b, chunk in enumerate(cchunks, start=1):

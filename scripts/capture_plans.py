@@ -1,6 +1,7 @@
 """Capture ``.explain("formatted")`` for headline queries into
-``plans/r15/<name>_<tag>.txt`` (optimization-round evidence: the judge
-checks plan-shape claims against these committed files).
+``plans/$DVS_PLANS_ROUND/<name>_<tag>.txt`` (optimization-round
+evidence: the judge checks plan-shape claims against these committed
+files). DVS_PLANS_ROUND defaults to r16.
 
 Usage: python scripts/capture_plans.py <tag> [query ...]
   tag: "before" / "after" (the filename suffix)
@@ -24,7 +25,7 @@ def main() -> None:
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r15")
+    out_dir = os.path.join(here, "plans", os.environ.get("DVS_PLANS_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dvs-capture-plans")
     qs = catalog.queries()

@@ -56,7 +56,7 @@ spark.stop()
 
 
 def _build_chain(spark, root: str, n_batches: int = 6, rows_per: int = 4000):
-    """A synthetic 4-store chain shaped like the ingest pipeline's
+    """A synthetic chain shaped like the ingest pipeline's
     state (same store names/sort keys), big enough that one store's
     compaction takes long enough for two chain walks to overlap."""
     from duckdb_vortex_spark.sources.vortex import register
@@ -66,11 +66,11 @@ def _build_chain(spark, root: str, n_batches: int = 6, rows_per: int = 4000):
     for b in range(n_batches):
         base = spark.range(b * rows_per, (b + 1) * rows_per)
         overwrite_batch_atomic(
-            base.select(F.col("id")), os.path.join(root, "raw"), b
-        )
-        overwrite_batch_atomic(
-            base.select(F.sha2(F.col("id").cast("string"), 256).alias("fp")),
-            os.path.join(root, "fp"),
+            base.select(
+                F.col("id"),
+                F.sha2(F.col("id").cast("string"), 256).alias("fp"),
+            ),
+            os.path.join(root, "raw"),
             b,
         )
         overwrite_batch_atomic(
@@ -95,7 +95,7 @@ def _store_counts(spark, root: str) -> dict[str, int]:
 
     return {
         s: read_vortex_dataset_tiered(spark, os.path.join(root, s)).count()
-        for s in ("raw", "fp", "lsh", "ivf")
+        for s in ("raw", "lsh", "ivf")
     }
 
 
@@ -135,7 +135,7 @@ def test_two_processes_racing_chain_maintenance(spark, tmp_path):
         assert "held by live pid" in e["err"], e
 
     # no lease survives either exit path
-    for s in ("raw", "fp", "lsh", "ivf"):
+    for s in ("raw", "lsh", "ivf"):
         assert not os.path.exists(os.path.join(root, s, ".maintenance-lock")), s
 
     # content untouched by the race, and the chain still maintains
@@ -145,5 +145,5 @@ def test_two_processes_racing_chain_maintenance(spark, tmp_path):
     )
 
     follow_up = compact_chain_stores(spark, root, before=10)
-    assert set(follow_up) == {"raw", "fp", "lsh", "ivf"}
+    assert set(follow_up) == {"raw", "lsh", "ivf"}
     assert _store_counts(spark, root) == before

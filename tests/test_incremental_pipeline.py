@@ -123,8 +123,9 @@ def test_gate_order_first_failing_stage_wins(spark, tmp_path):
 
 def test_retried_batch_is_idempotent(spark, tmp_path):
     """Replaying a middle batch reads only strictly-earlier state for
-    every store (fp, lsh, ivf, raw): the manifest and every index hold
-    each doc exactly once afterwards."""
+    every store (lsh, ivf, raw — the raw store carries the exact
+    gate's fingerprint column since the r16 fusion): the manifest and
+    every index hold each doc exactly once afterwards."""
     register(spark)
     t0 = "the quick brown fox jumps over the lazy dog again and again"
     t1 = "an entirely different document about spark shuffle partitioning"
@@ -141,16 +142,21 @@ def test_retried_batch_is_idempotent(spark, tmp_path):
     ingest_process_batch(b1, 1, centroids, root)  # retry, same id
     got = {r["doc_id"]: (r["stage"], r["is_kept"]) for r in _manifest(spark, root).collect()}
     assert got == {1: ("kept", True), 2: ("kept", True), 3: ("exact", False)}
-    for store, id_col in (("fp", "fp"), ("lsh", "id"), ("ivf", "id")):
+    for store, id_col in (("lsh", "id"), ("ivf", "id")):
         dirs = batch_dirs(os.path.join(root, store), 10**9)
         df = spark.read.format("vortex").option("paths", json.dumps(dirs)).load()
         # exactly one batch dir per processed batch id, no duplicates
         assert len(dirs) == 2, store
-    # raw store holds every landed doc exactly once
+    # raw store holds every landed doc exactly once, each with its
+    # exact-gate fingerprint (the r16 fused column)
     raw = spark.read.format("vortex").option(
         "paths", json.dumps(batch_dirs(os.path.join(root, "raw"), 10**9))
     ).load()
     assert raw.count() == 3
+    assert raw.filter(F.col("fp").isNull()).count() == 0
+    # duplicate text ⇒ identical fingerprint in the landed store
+    fps = {r["doc_id"]: r["fp"] for r in raw.select(F.col("id").alias("doc_id"), "fp").collect()}
+    assert fps[1] == fps[3] and fps[1] != fps[2]
 
 
 def test_chain_state_file_count_bounded(spark, tmp_path):
@@ -256,7 +262,7 @@ def test_real_stream_drive(spark, tmp_path):
     assert man.count() == corpus.count()
     assert man.select("doc_id").distinct().count() == corpus.count()
     # the built-in maintenance actually ran: batch 0's state is folded
-    assert _segments(os.path.join(root, "fp")), "in-sink maintenance did not run"
+    assert _segments(os.path.join(root, "lsh")), "in-sink maintenance did not run"
 
 
 def _replay_files(spark, corpus, src, n_files, order_col="doc_id"):
@@ -352,7 +358,7 @@ def test_live_stream_with_interleaved_compaction(spark, tmp_path):
             # committed yet (we are still inside its sink) — then die,
             # so the checkpoint replays batch 1
             compact_dataset_incremental(
-                spark, os.path.join(root2, "fp"), sort_cols=["fp"]
+                spark, os.path.join(root2, "raw"), sort_cols=["id"]
             )
             raise RuntimeError("simulated crash after over-eager fold")
 
@@ -443,7 +449,7 @@ def test_stream_restart_resumes_batch_ids_across_compaction(spark, tmp_path):
     # maintenance while the stream is DOWN: fold batches 0-1
     res = compact_chain_stores(spark, root, max_segments=2)
     assert any(v is not None for v in res.values())
-    assert _segments(os.path.join(root, "fp")), "fp store not compacted"
+    assert _segments(os.path.join(root, "lsh")), "lsh store not compacted"
 
     # session 2: two more quarters land; SAME checkpoint resumes
     land_files(quarters[2:], 2)
@@ -463,8 +469,8 @@ def test_stream_restart_resumes_batch_ids_across_compaction(spark, tmp_path):
 
 def test_stores_compactable_between_batches(spark, tmp_path):
     """Every state store the chain maintains can be incrementally
-    compacted BETWEEN micro-batches: after folding batches 1-2 of all
-    four stores into sorted segments, batch 3 (and a retry of it)
+    compacted BETWEEN micro-batches: after folding batches 1-2 of
+    every store into sorted segments, batch 3 (and a retry of it)
     produces the same manifest as the never-compacted run — the
     strictly-earlier retry contract survives compaction. Folding a
     batch that is still retryable must fail loudly instead."""
@@ -488,7 +494,6 @@ def test_stores_compactable_between_batches(spark, tmp_path):
             if compact_after_2 and b == 3:
                 for store, keys in (
                     ("raw", ["id"]),
-                    ("fp", ["fp"]),
                     ("lsh", ["band", "h"]),
                     ("ivf", ["cluster_id", "id"]),
                 ):
@@ -521,10 +526,10 @@ def test_stores_compactable_between_batches(spark, tmp_path):
     # folding a still-retryable batch is detected: compact everything
     # (incl. batch 3), then a retry of batch 3 must fail loudly
     compact_dataset_incremental(
-        spark, os.path.join(compacted_root, "fp"), sort_cols=["fp"]
+        spark, os.path.join(compacted_root, "raw"), sort_cols=["id"]
     )
     with pytest.raises(ValueError, match="still retryable"):
-        state_dirs(os.path.join(compacted_root, "fp"), 3)
+        state_dirs(os.path.join(compacted_root, "raw"), 3)
     corpus.unpersist()
 
 
@@ -586,7 +591,7 @@ def test_stream_restart_after_crashed_fold_under_lease(spark, tmp_path):
     run_stream()  # phase 1: batches 0..2, then the "kill"
 
     # crash a maintenance pass mid-fold: fold commits on every store,
-    # ALL GC skipped, and the fp store's lease is left held by a pid
+    # ALL GC skipped, and the raw store's lease is left held by a pid
     # that no longer exists (the pass died before releasing)
     orig = sinks.shutil.rmtree
     try:
@@ -597,7 +602,7 @@ def test_stream_restart_after_crashed_fold_under_lease(spark, tmp_path):
     # the lease releases via os.rmdir (decoupled from the disabled GC
     # machinery by design), so re-create it as the crashed pass left
     # it: held by a pid that no longer exists
-    fp_lock = os.path.join(root, "fp", ".maintenance-lock")
+    fp_lock = os.path.join(root, "raw", ".maintenance-lock")
     os.makedirs(fp_lock)
     dead = 2**22 + 7919
     while sinks._pid_alive(dead):  # pragma: no cover — paranoia
@@ -606,8 +611,8 @@ def test_stream_restart_after_crashed_fold_under_lease(spark, tmp_path):
         json.dump({"pid": dead, "ts": 0.0}, f)
     leftovers = [
         s
-        for s in sinks._segments(os.path.join(root, "fp"))
-        if s not in sinks._live_segments(os.path.join(root, "fp"))
+        for s in sinks._segments(os.path.join(root, "raw"))
+        if s not in sinks._live_segments(os.path.join(root, "raw"))
     ]
     assert leftovers, "crash-sim expected superseded segments on disk"
 
@@ -619,7 +624,7 @@ def test_stream_restart_after_crashed_fold_under_lease(spark, tmp_path):
     # the resumed in-sink pass stole the dead lease and GC'd the crash
     # leftovers; nothing superseded or locked remains
     assert not os.path.isdir(fp_lock), "stale lease must have been stolen"
-    for store in ("fp", "lsh", "ivf"):
+    for store in ("raw", "lsh", "ivf"):
         p = os.path.join(root, store)
         assert set(sinks._segments(p)) == set(sinks._live_segments(p)), store
     got = {

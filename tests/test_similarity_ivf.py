@@ -480,6 +480,104 @@ def test_ivf_assign_literal_path_equals_join_form(spark):
     assert "SortAggregate" not in plan, plan
 
 
+def test_ivf_assign_multiprobe_literal_equals_window_form(spark):
+    """r16 optimization pin (VERDICT r15 next #4): the map-side
+    n_probe>1 assignment (literal csims → slice(array_sort) top-cells
+    → explode; no crossJoin, no per-id row_number window exchange) is
+    ROW-IDENTICAL — every column, vnorm bits, the (csim desc,
+    cluster_id asc) order rule — to the crossJoin+window form it
+    replaces (which stays as the over-budget fallback). Degenerate
+    coverage: null vector, short vector, null-element vector — all
+    csims go null TOGETHER (per-row, every centroid), and both forms
+    fall through to the lowest cluster_ids. A per-centroid null (only
+    reachable via a zero-norm centroid) cannot occur: under Spark 4's
+    default ANSI mode the division THROWS identically in both forms,
+    so all-null-or-all-finite is exhaustive; the literal sort key
+    still maps a null to +Inf (coalesce) = the window's `csim DESC`
+    NULLS LAST placement, belt-and-suspenders."""
+    from duckdb_vortex_spark.operators import similarity
+    from duckdb_vortex_spark.operators.similarity import (
+        LLOYD_LITERAL_BUDGET,
+        ivf_assign,
+        sample_centroids,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    degenerate = spark.createDataFrame(
+        [
+            (900001, None, 0),
+            (900002, [1.0] * 3, 0),
+            (900003, [1.0] * 63 + [None], 0),
+        ],
+        emb.schema,
+    )
+    corpus = emb.unionByName(degenerate)
+    cents = sample_centroids(emb, 7)
+
+    for n_probe in (2, 4, 99):  # 99 > |C|: slice returns all cells
+        lit = ivf_assign(corpus, cents, n_probe=n_probe)
+        orig = similarity.LLOYD_LITERAL_BUDGET
+        similarity.LLOYD_LITERAL_BUDGET = 0
+        try:
+            window_form = ivf_assign(corpus, cents, n_probe=n_probe)
+        finally:
+            similarity.LLOYD_LITERAL_BUDGET = orig
+        assert LLOYD_LITERAL_BUDGET == orig
+
+        def rows(df):
+            return sorted(
+                (r["vec_id"], tuple(r["embedding"] or []), r["vnorm"], r["cluster_id"])
+                for r in df.collect()
+            )
+
+        a, b = rows(lit), rows(window_form)
+        assert len(a) == corpus.count() * min(n_probe, 7)
+        assert a == b, f"n_probe={n_probe}"
+        # genuinely map-side: no exchange, no join, no window anywhere
+        plan = lit._sc._jvm.PythonSQLUtils.explainString(
+            lit._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "Join" not in plan, plan
+
+
+def test_ivf_assign_nonfinite_centroid_falls_back(spark):
+    """ADVICE r15: repr'd non-finite doubles ('nanD'/'infD') are not
+    parseable Spark SQL literals, so a NaN/Inf centroid value must
+    route BOTH literal paths (1-probe argmin, multi-probe slice) to
+    the join/window fallback — computing through, same rows as a
+    budget-forced fallback — instead of raising an AnalysisException
+    mid-Catalyst."""
+    from duckdb_vortex_spark.operators import similarity
+    from duckdb_vortex_spark.operators.similarity import ivf_assign
+
+    emb = load(spark, SF_DIR, "embeddings").limit(50)
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0] * 64),
+            (1, [float("nan")] * 64),
+            (2, [float("inf")] + [0.5] * 63),
+        ],
+        "cluster_id int, centroid array<double>",
+    )
+    for n_probe in (1, 2):
+        got = ivf_assign(emb, cents, n_probe=n_probe)  # must not raise
+        orig = similarity.LLOYD_LITERAL_BUDGET
+        similarity.LLOYD_LITERAL_BUDGET = 0
+        try:
+            want = ivf_assign(emb, cents, n_probe=n_probe)
+        finally:
+            similarity.LLOYD_LITERAL_BUDGET = orig
+
+        def rows(df):
+            return sorted(
+                (r["vec_id"], r["cluster_id"]) for r in df.collect()
+            )
+
+        assert rows(got) == rows(want)
+
+
 def test_two_level_literal_path_equals_join_form(spark):
     """r15 optimization pin: the fully map-side two-level assignment
     (phase 1 rep-scoring + phase 2 CASE-dispatched probed-cell argmin,

@@ -194,3 +194,69 @@ def test_pq_code_budget_breaks_the_recall_plateau(spark):
     assert best["recall_at_10"] >= more_m["recall_at_10"], (more_m, best)
     # the trade is real: 4x the code bytes, not free
     assert best["code_bytes_per_vector"] == 4 * base["code_bytes_per_vector"]
+
+
+def test_probe_broadcast_guard_falls_back_row_identical(spark):
+    """r16 (ADVICE r15, medium): the probe-side F.broadcast in
+    ivf_probe / ivfpq_probe / adc_topk_over_codes is gated on an
+    estimated broadcast footprint. Past PROBE_BROADCAST_MAX_BYTES the
+    join runs unhinted (PQ paths restore the r5 persist barrier) and
+    must return EXACTLY the same rows — the guard changes strategy,
+    never results. The guard's count is LIMIT-bounded, so it never
+    pays a full scan of a huge query set."""
+    from duckdb_vortex_spark.operators import similarity as sim
+    from duckdb_vortex_spark.operators.similarity import (
+        adc_topk_over_codes,
+        ivf_index,
+        ivf_probe,
+        ivfpq_index,
+        ivfpq_probe,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").limit(200)
+    qry = emb.filter(F.col("vec_id") % 20 == 0)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    iidx = ivf_index(emb, n_clusters=8)
+    pidx = ivfpq_index(emb, n_clusters=8)
+    got = {
+        "ivf": rows(ivf_probe(iidx, qry, k=5, n_probe=2)),
+        "ivfpq": rows(ivfpq_probe(pidx, qry, k=5, n_probe=2)),
+        "adc": rows(
+            adc_topk_over_codes(qry, pidx.cand, pidx.books, pidx.centroids, k=5, n_probe=2)
+        ),
+    }
+    orig = sim.PROBE_BROADCAST_MAX_BYTES
+    sim.PROBE_BROADCAST_MAX_BYTES = 1  # force every guard to fall back
+    try:
+        fb = {
+            "ivf": rows(ivf_probe(iidx, qry, k=5, n_probe=2)),
+            "ivfpq": rows(ivfpq_probe(pidx, qry, k=5, n_probe=2)),
+            "adc": rows(
+                adc_topk_over_codes(
+                    qry, pidx.cand, pidx.books, pidx.centroids, k=5, n_probe=2
+                )
+            ),
+        }
+    finally:
+        sim.PROBE_BROADCAST_MAX_BYTES = orig
+    assert sim.PROBE_BROADCAST_MAX_BYTES == orig
+    for name in got:
+        assert got[name] == fb[name], name
+
+
+def test_probe_bounded_count_memo(spark):
+    """The guard's LIMIT-bounded count caches per query frame: an
+    exact count (≤ its limit) is reusable for any bound; an over-bound
+    probe is reusable for smaller bounds only."""
+    from duckdb_vortex_spark.operators import similarity as sim
+
+    df = spark.range(50).toDF("vec_id")
+    assert sim._probe_bounded_count(df, 100) == 50  # exact
+    assert sim._probe_bounded_count(df, 10) == 50   # memo hit (exact)
+    df2 = spark.range(50).toDF("vec_id")
+    assert sim._probe_bounded_count(df2, 10) == 11  # over-bound probe
+    assert sim._probe_bounded_count(df2, 5) == 11   # reusable: > bound
+    assert sim._probe_bounded_count(df2, 200) == 50  # re-counted exact

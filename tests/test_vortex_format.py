@@ -537,3 +537,42 @@ class TestChunkCrc:
         open(p, "wb").write(body + payload + vf._TRAILER.pack(len(payload), vf.MAGIC))
         ft = vf.read_footer(p)
         assert vf.read_chunk(p, ft, 0, ["x"]).column("x").to_pylist() == list(range(100))
+
+
+def test_alp_screen_periodic_stride_aligned_not_false_rejected():
+    """r16 (ADVICE r15): the reject pre-screen samples TWO co-prime
+    strides (k and k+1), so periodic data whose clean-decimal values
+    align with a single stride cannot hide. Adversarial fixture: with
+    n = 8192 the primary stride is k = 8; make every k-th element
+    (exactly the single-stride sample positions) full-precision noise
+    and everything else clean 2-decimal values — 7/8 clean overall, so
+    the exact search must ACCEPT, while a head-stride-only screen saw
+    0 %% clean and silently demoted the chunk to flat_float
+    (compression-ratio loss, the tests' blind spot the r15 advisory
+    named)."""
+    rng = np.random.default_rng(11)
+    n = 8192
+    clean = np.round(rng.uniform(-100, 100, n), 2)
+    mixed = clean.copy()
+    mixed[::8] = rng.normal(size=mixed[::8].size)  # poison stride-k positions
+    arr = pa.array(mixed)
+    enc, back = _roundtrip_column(arr)
+    assert enc == "alp"
+    assert np.array_equal(np.asarray(arr), np.asarray(back))
+
+
+def test_cascade_probe_catches_compressible_tail():
+    """r16 (ADVICE r15): the zlib probe reads head + middle + tail, so
+    a > 256 KiB buffer whose head is incompressible but whose tail
+    compresses well is no longer stored raw. Fixture: 256 KiB of
+    random mantissas followed by 384 KiB of a repeating block — the
+    old head-only probe skipped compression for the whole buffer."""
+    rng = np.random.default_rng(5)
+    head = rng.normal(size=32768)                  # 256 KiB random
+    tail = np.tile(rng.normal(size=256), 192)      # 384 KiB repeating
+    arr = pa.array(np.concatenate([head, tail]))
+    cc = vf.encode_column(arr)
+    assert cc.enc == "flat_float"
+    assert cc.meta.get("z") == 1, "compressible tail must not be skipped"
+    back = vf.decode_column(cc.enc, cc.meta, cc.buf, len(arr), arr.type)
+    assert np.array_equal(np.asarray(arr).view(np.uint64), np.asarray(back).view(np.uint64))
