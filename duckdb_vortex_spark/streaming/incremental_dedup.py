@@ -128,10 +128,15 @@ def process_batch(
         fresh = fp.join(F.broadcast(matched), "__fp", "left_anti")
     else:  # first batch: store empty — dedup is in-batch only
         fresh = fp
-    from .sinks import overwrite_batch_atomic
+    from .sinks import overlapped_batch_writes, overwrite_batch_atomic
 
-    for base, df_out in (
-        (out_dir, fresh.drop("__fp")),
-        (store_dir, fresh.select("__fp")),
-    ):
-        overwrite_batch_atomic(df_out, base, batch_id)
+    # r16 (guide §2.6): the two terminal writes are independent of each
+    # other (different stores, both atomic per batch) — overlap them;
+    # the context joins both before the batch returns, so exactly-once
+    # is unchanged (see `overlapped_batch_writes`).
+    with overlapped_batch_writes(spark_) as bw:
+        bw.submit(
+            overwrite_batch_atomic, fresh.select("__fp"), store_dir, batch_id,
+            label=f"dedup b{batch_id}: fp store (write)",
+        )
+        overwrite_batch_atomic(fresh.drop("__fp"), out_dir, batch_id)

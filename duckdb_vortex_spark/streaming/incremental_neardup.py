@@ -80,7 +80,7 @@ from ..operators.dedup import (
     minhash_signatures,
     shingle_table,
 )
-from .sinks import STATE_FILES, land_session_dataset
+from .sinks import STATE_FILES, land_session_dataset, overlapped_batch_writes
 from .sinks import batch_dirs as _batch_dirs
 from .sinks import overwrite_batch_atomic as _overwrite_batch
 
@@ -115,135 +115,151 @@ def neardup_process_batch(
     the LSH index rows (band, h, id — all docs), and the manifest
     (doc_id, keep)."""
     spark_ = batch_df.sparkSession
-    raw = (
-        batch_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .repartitionByRange(STATE_FILES, "id")
-        .sortWithinPartitions("id")
-    )
-    _overwrite_batch(raw, raw_dir, batch_id, max_files=None)
-
-    # localCheckpoint, not persist: cuts the signature expression
-    # tree out of every downstream plan — persist keeps the full
-    # logical plan and Catalyst re-analyzes the accumulated chain per
-    # action (measured on the integrated pipeline: 117 -> 48 s; see
-    # incremental_pipeline.py docstring for the rule).
-    sig = minhash_signatures(
-        batch_df, text_col, id_col, num_hashes, n, engine="arrow"
-    ).localCheckpoint(eager=False)
-    buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint(eager=False)
-
-    prior_index = _batch_dirs(index_dir, batch_id)
-    idx = (
-        spark_.read.format("vortex")
-        .schema(_nullable(buckets.select("band", "h", "id").schema))
-        .option("paths", json.dumps(prior_index))
-        .load()
-        if prior_index
-        else None
-    )
-    # Hot-bucket guard over history + this batch, applied UNIFORMLY to
-    # both the in-batch self-join and the history join (an asymmetric
-    # cap would make in-batch pair work unbounded AND make the answer
-    # depend on which join a pair happened to arrive through). The
-    # count is point-in-time by necessity — a stream cannot know a
-    # bucket's final size — so above the cap the guarantee degrades
-    # from "equals batch mode" to "bounded work" (see module
-    # docstring); below it (the designed regime: a bucket past
-    # max_bucket is a stop-shingle artifact) invariance is exact.
-    bkeys = buckets.select("band", "h")
-    if idx is not None:
-        # r16 (guide §2.3/§3.1, same change as the integrated chain):
-        # only the BATCH's bucket keys are consulted below — prune the
-        # index scan to them map-side (broadcast semi) before counting
-        # so the hot-bucket aggregate's exchange is bounded by the
-        # batch's buckets, not every (band, h) ever landed; counts for
-        # surviving keys are unchanged.
-        hist = idx.select("band", "h").join(
-            F.broadcast(bkeys), ["band", "h"], "left_semi"
-        ).unionByName(bkeys)
-    else:
-        hist = bkeys
-    ok = (
-        hist.groupBy("band", "h")
-        .agg(F.count("*").alias("bn"))
-        .filter(F.col("bn") <= max_bucket)
-        .select("band", "h")
-    )
-    # buck_ok feeds three consumers and each F.broadcast build is its
-    # own query execution — checkpoint so the subtree (including the
-    # hot-bucket aggregate) is computed once (r16, measured on the
-    # integrated chain as escalating per-build recompute)
-    buck_ok = buckets.join(F.broadcast(ok), ["band", "h"]).localCheckpoint(
-        eager=False
-    )
-    if idx is not None:
-        # index streams map-side; bounded batch buckets broadcast
-        cross = (
-            idx.withColumnRenamed("id", "doc_a")
-            .join(F.broadcast(buck_ok), ["band", "h"])
-            .select("doc_a", F.col("id").alias("doc_b"))
+    with overlapped_batch_writes(spark_) as bw:
+        raw = (
+            batch_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+            .repartitionByRange(STATE_FILES, "id")
+            .sortWithinPartitions("id")
         )
-    else:
-        cross = None
+        # r16 write overlap (guide §2.6, same contract argument as the
+        # integrated chain): the raw and index writes are independent of
+        # the gate compute — state reads list strictly-earlier batch dirs
+        # only and a retry overwrites any partial write set atomically per
+        # store — so they run on the shared write pool and are joined
+        # before the batch returns; only their latency stops serializing.
+        bw.submit(
+            _overwrite_batch, raw, raw_dir, batch_id, max_files=None,
+            label=f"neardup b{batch_id}: raw (write)",
+        )
 
-    # in-batch candidates (smaller id is the earlier side); the inner
-    # per-branch distincts collapsed into the single final distinct
-    # (identical rows, two fewer exchanges — r16)
-    a = buck_ok.select("band", "h", F.col("id").alias("doc_a"))
-    b = buck_ok.select("band", "h", F.col("id").alias("doc_b"))
-    within = (
-        a.join(F.broadcast(b), ["band", "h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    cand = (
-        within.unionByName(cross) if cross is not None else within
-    ).distinct().localCheckpoint(eager=False)
+        # localCheckpoint, not persist: cuts the signature expression
+        # tree out of every downstream plan — persist keeps the full
+        # logical plan and Catalyst re-analyzes the accumulated chain per
+        # action (measured on the integrated pipeline: 117 -> 48 s; see
+        # incremental_pipeline.py docstring for the rule).
+        sig = minhash_signatures(
+            batch_df, text_col, id_col, num_hashes, n, engine="arrow"
+        ).localCheckpoint(eager=False)
+        buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint(eager=False)
+        # the index gets ALL of the batch's buckets regardless of gate
+        # outcomes, so its write depends only on `buckets` — submit it
+        # here to overlap the whole candidate/verify section below
+        bw.submit(
+            _overwrite_batch, buckets.select("band", "h", "id"), index_dir,
+            batch_id, label=f"neardup b{batch_id}: index (write)",
+        )
 
-    # exact verification — old-side shingles come from the landed raw
-    # batches, pruned to candidate ids BEFORE re-shingling (semi join
-    # on the sort key → zone-map point reads at scale)
-    new_sh = sig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    old_in_batch = sig.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    prior_raw = _batch_dirs(raw_dir, batch_id)
-    if prior_raw:
-        old_docs = (
+        prior_index = _batch_dirs(index_dir, batch_id)
+        idx = (
             spark_.read.format("vortex")
-            .schema(_nullable(raw.schema))
-            .option("paths", json.dumps(prior_raw))
+            .schema(_nullable(buckets.select("band", "h", "id").schema))
+            .option("paths", json.dumps(prior_index))
             .load()
-            .join(
-                F.broadcast(cand.select(F.col("doc_a").alias("id")).distinct()),
-                "id",
-                "left_semi",
+            if prior_index
+            else None
+        )
+        # Hot-bucket guard over history + this batch, applied UNIFORMLY to
+        # both the in-batch self-join and the history join (an asymmetric
+        # cap would make in-batch pair work unbounded AND make the answer
+        # depend on which join a pair happened to arrive through). The
+        # count is point-in-time by necessity — a stream cannot know a
+        # bucket's final size — so above the cap the guarantee degrades
+        # from "equals batch mode" to "bounded work" (see module
+        # docstring); below it (the designed regime: a bucket past
+        # max_bucket is a stop-shingle artifact) invariance is exact.
+        bkeys = buckets.select("band", "h")
+        if idx is not None:
+            # r16 (guide §2.3/§3.1, same change as the integrated chain):
+            # only the BATCH's bucket keys are consulted below — prune the
+            # index scan to them map-side (broadcast semi) before counting
+            # so the hot-bucket aggregate's exchange is bounded by the
+            # batch's buckets, not every (band, h) ever landed; counts for
+            # surviving keys are unchanged.
+            hist = idx.select("band", "h").join(
+                F.broadcast(bkeys), ["band", "h"], "left_semi"
+            ).unionByName(bkeys)
+        else:
+            hist = bkeys
+        ok = (
+            hist.groupBy("band", "h")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") <= max_bucket)
+            .select("band", "h")
+        )
+        # buck_ok feeds three consumers and each F.broadcast build is its
+        # own query execution — checkpoint so the subtree (including the
+        # hot-bucket aggregate) is computed once (r16, measured on the
+        # integrated chain as escalating per-build recompute)
+        buck_ok = buckets.join(F.broadcast(ok), ["band", "h"]).localCheckpoint(
+            eager=False
+        )
+        if idx is not None:
+            # index streams map-side; bounded batch buckets broadcast
+            cross = (
+                idx.withColumnRenamed("id", "doc_a")
+                .join(F.broadcast(buck_ok), ["band", "h"])
+                .select("doc_a", F.col("id").alias("doc_b"))
+            )
+        else:
+            cross = None
+
+        # in-batch candidates (smaller id is the earlier side); the inner
+        # per-branch distincts collapsed into the single final distinct
+        # (identical rows, two fewer exchanges — r16)
+        a = buck_ok.select("band", "h", F.col("id").alias("doc_a"))
+        b = buck_ok.select("band", "h", F.col("id").alias("doc_b"))
+        within = (
+            a.join(F.broadcast(b), ["band", "h"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cand = (
+            within.unionByName(cross) if cross is not None else within
+        ).distinct().localCheckpoint(eager=False)
+
+        # exact verification — old-side shingles come from the landed raw
+        # batches, pruned to candidate ids BEFORE re-shingling (semi join
+        # on the sort key → zone-map point reads at scale)
+        new_sh = sig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        old_in_batch = sig.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        prior_raw = _batch_dirs(raw_dir, batch_id)
+        if prior_raw:
+            old_docs = (
+                spark_.read.format("vortex")
+                .schema(_nullable(raw.schema))
+                .option("paths", json.dumps(prior_raw))
+                .load()
+                .join(
+                    F.broadcast(cand.select(F.col("doc_a").alias("id")).distinct()),
+                    "id",
+                    "left_semi",
+                )
+            )
+            old_sh = (
+                shingle_table(old_docs, "text", "id", n)
+                .select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+                .unionByName(old_in_batch)
+            )
+        else:
+            old_sh = old_in_batch
+        dup_ids = (
+            _with_jaccard(
+                old_sh.join(F.broadcast(cand), "doc_a")
+                .join(F.broadcast(new_sh), "doc_b")
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("doc_b").alias("id"))
+            .distinct()
+        )
+        manifest = (
+            sig.select("id")
+            .join(F.broadcast(dup_ids.withColumn("__dup", F.lit(True))), "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
             )
         )
-        old_sh = (
-            shingle_table(old_docs, "text", "id", n)
-            .select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-            .unionByName(old_in_batch)
-        )
-    else:
-        old_sh = old_in_batch
-    dup_ids = (
-        _with_jaccard(
-            old_sh.join(F.broadcast(cand), "doc_a")
-            .join(F.broadcast(new_sh), "doc_b")
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("doc_b").alias("id"))
-        .distinct()
-    )
-    manifest = (
-        sig.select("id")
-        .join(F.broadcast(dup_ids.withColumn("__dup", F.lit(True))), "id", "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
-        )
-    )
-    _overwrite_batch(manifest, manifest_dir, batch_id)
-    _overwrite_batch(buckets.select("band", "h", "id"), index_dir, batch_id)
+        _overwrite_batch(manifest, manifest_dir, batch_id)
 
 
 def incremental_neardup_stream(

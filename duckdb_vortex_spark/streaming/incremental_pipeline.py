@@ -103,7 +103,12 @@ from ..operators.similarity import _dot, _sql_cos, ivf_assign, sample_centroids
 from .incremental_dedup import fingerprint
 from .sinks import batch_dirs as _batch_dirs
 from .sinks import overwrite_batch_atomic as _overwrite_batch
-from .sinks import STATE_FILES, land_session_dataset, state_dirs
+from .sinks import (
+    STATE_FILES,
+    land_session_dataset,
+    overlapped_batch_writes,
+    state_dirs,
+)
 
 
 def _read_batches(
@@ -236,229 +241,246 @@ def ingest_process_batch(
         except Exception:
             pass
 
-    # 0. land the raw batch into the SHARED store (id-sorted: stage-2
-    # candidate fetches and any audit replay are zone-map point reads).
-    # r16 (VERDICT r15 next #1, "fuse store writes that share a scan"):
-    # the exact-gate fingerprint rides along as a COLUMN of the raw
-    # store instead of a separate fp/ store — the fp write scanned the
-    # same checkpointed rows to emit one 8-byte column, and the exact
-    # gate's history read now column-prunes the raw store (columnar
-    # format: it reads just fp). One fewer store write + state read +
-    # maintained store per batch.
-    _label("land raw")
-    rows = (
-        batch_df.select(
-            F.col("doc_id").alias("id"), fingerprint("text").alias("fp"),
-            "text", "vec",
+    with overlapped_batch_writes(spark_) as bw:
+        # 0. land the raw batch into the SHARED store (id-sorted: stage-2
+        # candidate fetches and any audit replay are zone-map point reads).
+        # r16 (VERDICT r15 next #1, "fuse store writes that share a scan"):
+        # the exact-gate fingerprint rides along as a COLUMN of the raw
+        # store instead of a separate fp/ store — the fp write scanned the
+        # same checkpointed rows to emit one 8-byte column, and the exact
+        # gate's history read now column-prunes the raw store (columnar
+        # format: it reads just fp). One fewer store write + state read +
+        # maintained store per batch.
+        #
+        # r16 write overlap (guide §2.6): the raw/lsh/ivf store writes are
+        # INDEPENDENT of the downstream gate compute — every state read in
+        # this batch lists strictly-earlier batch dirs only (`state_dirs`'
+        # contract), and the retry protocol overwrites any partial write
+        # set atomically per store — so each write is submitted to the
+        # shared pool where it used to run inline, and joined before the
+        # batch returns (see `overlapped_batch_writes`). Sequencing the
+        # writes was pure latency: ~3 write turnarounds per batch that the
+        # gate actions now hide.
+        _label("land raw")
+        rows = (
+            batch_df.select(
+                F.col("doc_id").alias("id"), fingerprint("text").alias("fp"),
+                "text", "vec",
+            )
+            .repartitionByRange(STATE_FILES, "id")
+            .sortWithinPartitions("id")
+            .localCheckpoint(eager=False)
         )
-        .repartitionByRange(STATE_FILES, "id")
-        .sortWithinPartitions("id")
-        .localCheckpoint(eager=False)
-    )
-    _overwrite_batch(rows, raw_d, batch_id, max_files=None)
+        bw.submit(
+            _overwrite_batch, rows, raw_d, batch_id, max_files=None,
+            label=f"chain b{batch_id}: land raw (write)",
+        )
 
-    _label("exact gate")
-    # 1. EXACT gate ---------------------------------------------------------
-    # r16 (guide §2.3): the first-wins window only ranks ids within a
-    # fingerprint — keep text/vec OUT of its exchange (the previous
-    # shape shuffled both payload columns on the __fp key just to
-    # compute __rn).
-    fp = rows.select("id", F.col("fp").alias("__fp"))
-    fp = fp.withColumn(
-        "__rn", F.row_number().over(Window.partitionBy("__fp").orderBy("id"))
-    ).localCheckpoint(eager=False)
-    seen_raw = _read_batches(spark_, raw_d, batch_id, schema=rows.schema)
-    seen = seen_raw.select("fp") if seen_raw is not None else None
-    if seen is not None:
-        # r16 (guide §3.1): checkpointed frames carry NO size stats, so
-        # the planner sort-merged the batch against the WHOLE
-        # fingerprint store (two exchanges, one of them history-sized)
-        # at every batch. The batch side is bounded by construction —
-        # broadcast it INTO the history scan (map-side inner join, one
-        # (id) per matching history row) and partial aggregation
-        # reduces the lone exchange to the matched batch ids.
-        hist_dup = (
-            seen.withColumnRenamed("fp", "__fp")
-            .join(F.broadcast(fp.select("id", "__fp")), "__fp")
-            .select("id")
+        _label("exact gate")
+        # 1. EXACT gate ---------------------------------------------------------
+        # r16 (guide §2.3): the first-wins window only ranks ids within a
+        # fingerprint — keep text/vec OUT of its exchange (the previous
+        # shape shuffled both payload columns on the __fp key just to
+        # compute __rn).
+        fp = rows.select("id", F.col("fp").alias("__fp"))
+        fp = fp.withColumn(
+            "__rn", F.row_number().over(Window.partitionBy("__fp").orderBy("id"))
+        ).localCheckpoint(eager=False)
+        seen_raw = _read_batches(spark_, raw_d, batch_id, schema=rows.schema)
+        seen = seen_raw.select("fp") if seen_raw is not None else None
+        if seen is not None:
+            # r16 (guide §3.1): checkpointed frames carry NO size stats, so
+            # the planner sort-merged the batch against the WHOLE
+            # fingerprint store (two exchanges, one of them history-sized)
+            # at every batch. The batch side is bounded by construction —
+            # broadcast it INTO the history scan (map-side inner join, one
+            # (id) per matching history row) and partial aggregation
+            # reduces the lone exchange to the matched batch ids.
+            hist_dup = (
+                seen.withColumnRenamed("fp", "__fp")
+                .join(F.broadcast(fp.select("id", "__fp")), "__fp")
+                .select("id")
+                .distinct()
+            )
+        else:
+            hist_dup = None
+        in_batch_dup = fp.filter(F.col("__rn") > 1).select("id")
+        exact_dropped = (
+            in_batch_dup.unionByName(hist_dup).distinct()
+            if hist_dup is not None
+            else in_batch_dup
+        ).localCheckpoint(eager=False)
+        s1 = rows.join(
+            F.broadcast(exact_dropped), "id", "left_anti"
+        ).localCheckpoint(eager=False)
+
+        _label("neardup gate")
+        # 2. NEAR-DUP gate over s1 ---------------------------------------------
+        sig = minhash_signatures(s1, "text", "id", num_hashes, n, engine="jvm").localCheckpoint(eager=False)
+        buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint(eager=False)
+        idx = _read_batches(
+            spark_, lsh_d, batch_id, schema=buckets.select("band", "h", "id").schema
+        )
+        bkeys = buckets.select("band", "h")
+        if idx is not None:
+            # r16 (guide §2.3/§3.1): only the BATCH's bucket keys are ever
+            # consulted by the join below, so prune the index scan to them
+            # map-side (broadcast semi) before counting — the hot-bucket
+            # aggregate's exchange is then bounded by the batch's buckets
+            # instead of every (band, h) ever landed. Counts for the
+            # surviving keys are unchanged (the semi keeps every
+            # occurrence of a kept key).
+            hist_bh = idx.select("band", "h").join(
+                F.broadcast(bkeys), ["band", "h"], "left_semi"
+            ).unionByName(bkeys)
+        else:
+            hist_bh = bkeys
+        ok = (
+            hist_bh.groupBy("band", "h")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") <= max_bucket)
+            .select("band", "h")
+        )
+        # r16: buck_ok feeds THREE consumers (a, b, cross) and cand feeds
+        # two more — and every F.broadcast() build is its own query
+        # execution, so without a materialization barrier each build
+        # RE-COMPUTES the whole gate subtree below it (including the
+        # hot-bucket aggregate over the index): measured as six escalating
+        # 0.6→2.0 s broadcast-build jobs per batch at sf0.01. Checkpoint
+        # the two shared frames so each is computed once.
+        buck_ok = buckets.join(F.broadcast(ok), ["band", "h"]).localCheckpoint(
+            eager=False
+        )
+        a = buck_ok.select("band", "h", F.col("id").alias("doc_a"))
+        b = buck_ok.select("band", "h", F.col("id").alias("doc_b"))
+        cand = (
+            a.join(F.broadcast(b), ["band", "h"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        if idx is not None:
+            # index streams map-side; the bounded batch buckets broadcast
+            cross = (
+                idx.withColumnRenamed("id", "doc_a")
+                .join(F.broadcast(buck_ok), ["band", "h"])
+                .select("doc_a", F.col("id").alias("doc_b"))
+            )
+            cand = cand.unionByName(cross)
+        cand = cand.distinct().localCheckpoint(eager=False)
+        new_sh = sig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        old_in_batch = sig.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        prior_raw = seen_raw
+        if prior_raw is not None:
+            old_docs = prior_raw.join(
+                F.broadcast(cand.select(F.col("doc_a").alias("id")).distinct()),
+                "id",
+                "left_semi",
+            )
+            old_sh = (
+                shingle_table(old_docs, "text", "id", n)
+                .select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
+                .unionByName(old_in_batch)
+            )
+        else:
+            old_sh = old_in_batch
+        near_dropped = (
+            _with_jaccard(
+                old_sh.join(F.broadcast(cand), "doc_a")
+                .join(F.broadcast(new_sh), "doc_b")
+            )
+            .filter(F.col("jaccard") >= near_threshold)
+            .select(F.col("doc_b").alias("id"))
             .distinct()
+            .localCheckpoint(eager=False)
         )
-    else:
-        hist_dup = None
-    in_batch_dup = fp.filter(F.col("__rn") > 1).select("id")
-    exact_dropped = (
-        in_batch_dup.unionByName(hist_dup).distinct()
-        if hist_dup is not None
-        else in_batch_dup
-    ).localCheckpoint(eager=False)
-    s1 = rows.join(
-        F.broadcast(exact_dropped), "id", "left_anti"
-    ).localCheckpoint(eager=False)
+        # single consumer (asg, checkpointed below): no checkpoint —
+        # each localCheckpoint call costs ~0.4 s of driver-side
+        # planning/AQE stage execution per batch (r16 cProfile)
+        s2 = s1.join(F.broadcast(near_dropped), "id", "left_anti")
+        bw.submit(
+            _overwrite_batch, buckets.select("band", "h", "id"), lsh_d, batch_id,
+            label=f"chain b{batch_id}: lsh store (write)",
+        )
 
-    _label("neardup gate")
-    # 2. NEAR-DUP gate over s1 ---------------------------------------------
-    sig = minhash_signatures(s1, "text", "id", num_hashes, n, engine="jvm").localCheckpoint(eager=False)
-    buckets = band_buckets(sig, num_hashes, rows_per_band).localCheckpoint(eager=False)
-    idx = _read_batches(
-        spark_, lsh_d, batch_id, schema=buckets.select("band", "h", "id").schema
-    )
-    bkeys = buckets.select("band", "h")
-    if idx is not None:
-        # r16 (guide §2.3/§3.1): only the BATCH's bucket keys are ever
-        # consulted by the join below, so prune the index scan to them
-        # map-side (broadcast semi) before counting — the hot-bucket
-        # aggregate's exchange is then bounded by the batch's buckets
-        # instead of every (band, h) ever landed. Counts for the
-        # surviving keys are unchanged (the semi keeps every
-        # occurrence of a kept key).
-        hist_bh = idx.select("band", "h").join(
-            F.broadcast(bkeys), ["band", "h"], "left_semi"
-        ).unionByName(bkeys)
-    else:
-        hist_bh = bkeys
-    ok = (
-        hist_bh.groupBy("band", "h")
-        .agg(F.count("*").alias("bn"))
-        .filter(F.col("bn") <= max_bucket)
-        .select("band", "h")
-    )
-    # r16: buck_ok feeds THREE consumers (a, b, cross) and cand feeds
-    # two more — and every F.broadcast() build is its own query
-    # execution, so without a materialization barrier each build
-    # RE-COMPUTES the whole gate subtree below it (including the
-    # hot-bucket aggregate over the index): measured as six escalating
-    # 0.6→2.0 s broadcast-build jobs per batch at sf0.01. Checkpoint
-    # the two shared frames so each is computed once.
-    buck_ok = buckets.join(F.broadcast(ok), ["band", "h"]).localCheckpoint(
-        eager=False
-    )
-    a = buck_ok.select("band", "h", F.col("id").alias("doc_a"))
-    b = buck_ok.select("band", "h", F.col("id").alias("doc_b"))
-    cand = (
-        a.join(F.broadcast(b), ["band", "h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-    )
-    if idx is not None:
-        # index streams map-side; the bounded batch buckets broadcast
-        cross = (
-            idx.withColumnRenamed("id", "doc_a")
-            .join(F.broadcast(buck_ok), ["band", "h"])
-            .select("doc_a", F.col("id").alias("doc_b"))
+        _label("semantic gate")
+        # 3. SEMANTIC gate over s2 ----------------------------------------------
+        asg = (
+            ivf_assign(s2.select("id", "vec"), centroids, 1, "id", "vec")
+            .select("cluster_id", "id", "vec", "vnorm")
+            .localCheckpoint(eager=False)
         )
-        cand = cand.unionByName(cross)
-    cand = cand.distinct().localCheckpoint(eager=False)
-    new_sh = sig.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    old_in_batch = sig.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    prior_raw = seen_raw
-    if prior_raw is not None:
-        old_docs = prior_raw.join(
-            F.broadcast(cand.select(F.col("doc_a").alias("id")).distinct()),
-            "id",
-            "left_semi",
+        _label("probed clusters")
+        probed = sorted(
+            r["cluster_id"] for r in asg.select("cluster_id").distinct().collect()
         )
-        old_sh = (
-            shingle_table(old_docs, "text", "id", n)
-            .select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"))
-            .unionByName(old_in_batch)
+        new_side = asg.select(
+            "cluster_id",
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("vnorm").alias("n_b"),
         )
-    else:
-        old_sh = old_in_batch
-    near_dropped = (
-        _with_jaccard(
-            old_sh.join(F.broadcast(cand), "doc_a")
-            .join(F.broadcast(new_sh), "doc_b")
-        )
-        .filter(F.col("jaccard") >= near_threshold)
-        .select(F.col("doc_b").alias("id"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    # single consumer (asg, checkpointed below): no checkpoint —
-    # each localCheckpoint call costs ~0.4 s of driver-side
-    # planning/AQE stage execution per batch (r16 cProfile)
-    s2 = s1.join(F.broadcast(near_dropped), "id", "left_anti")
-    _label("lsh store")
-    _overwrite_batch(buckets.select("band", "h", "id"), lsh_d, batch_id)
-
-    _label("semantic gate")
-    # 3. SEMANTIC gate over s2 ----------------------------------------------
-    asg = (
-        ivf_assign(s2.select("id", "vec"), centroids, 1, "id", "vec")
-        .select("cluster_id", "id", "vec", "vnorm")
-        .localCheckpoint(eager=False)
-    )
-    _label("probed clusters")
-    probed = sorted(
-        r["cluster_id"] for r in asg.select("cluster_id").distinct().collect()
-    )
-    new_side = asg.select(
-        "cluster_id",
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("vnorm").alias("n_b"),
-    )
-    old_side = asg.select(
-        "cluster_id",
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("vnorm").alias("n_a"),
-    )
-    landed = _read_batches(
-        spark_, ivf_d, batch_id, schema=asg.schema, pushdown="true"
-    )
-    if landed is not None:
-        landed = landed.filter(F.col("cluster_id").isin(probed)).select(
+        old_side = asg.select(
             "cluster_id",
             F.col("id").alias("id_a"),
             F.col("vec").alias("vec_a"),
             F.col("vnorm").alias("n_a"),
         )
-        old_side = landed.unionByName(old_side)
-    sem_dropped = (
-        # batch side bounded → broadcast; history IVF rows stream.
-        # Single consumer (the manifest join): no checkpoint (see s2).
-        old_side.join(F.broadcast(new_side), "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            (_dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")))
-            >= sem_threshold
+        landed = _read_batches(
+            spark_, ivf_d, batch_id, schema=asg.schema, pushdown="true"
         )
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-    )
-    _label("ivf store")
-    _overwrite_batch(
-        asg.repartitionByRange(STATE_FILES, "cluster_id", "id").sortWithinPartitions(
-            "cluster_id", "id"
-        ),
-        ivf_d,
-        batch_id,
-        max_files=None,
-    )
-
-    # 4. manifest: first failing gate ----------------------------------------
-    manifest = (
-        batch_df.select(F.col("doc_id").alias("id"), "source")
-        .join(F.broadcast(exact_dropped.withColumn("__e", F.lit(True))), "id", "left")
-        .join(F.broadcast(near_dropped.withColumn("__n", F.lit(True))), "id", "left")
-        .join(F.broadcast(sem_dropped.withColumn("__s", F.lit(True))), "id", "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            "source",
-            F.when(F.col("__e"), F.lit("exact"))
-            .when(F.col("__n"), F.lit("near_dup"))
-            .when(F.col("__s"), F.lit("semantic"))
-            .otherwise(F.lit("kept"))
-            .alias("stage"),
-            (F.col("__e").isNull() & F.col("__n").isNull() & F.col("__s").isNull()).alias(
-                "is_kept"
+        if landed is not None:
+            landed = landed.filter(F.col("cluster_id").isin(probed)).select(
+                "cluster_id",
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("vec_a"),
+                F.col("vnorm").alias("n_a"),
+            )
+            old_side = landed.unionByName(old_side)
+        sem_dropped = (
+            # batch side bounded → broadcast; history IVF rows stream.
+            # Single consumer (the manifest join): no checkpoint (see s2).
+            old_side.join(F.broadcast(new_side), "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                (_dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")))
+                >= sem_threshold
+            )
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+        )
+        bw.submit(
+            _overwrite_batch,
+            asg.repartitionByRange(STATE_FILES, "cluster_id", "id").sortWithinPartitions(
+                "cluster_id", "id"
             ),
+            ivf_d,
+            batch_id,
+            max_files=None,
+            label=f"chain b{batch_id}: ivf store (write)",
         )
-    )
-    _label("manifest")
-    _overwrite_batch(manifest, man_d, batch_id)
-    _label("idle")
+
+        # 4. manifest: first failing gate ----------------------------------------
+        manifest = (
+            batch_df.select(F.col("doc_id").alias("id"), "source")
+            .join(F.broadcast(exact_dropped.withColumn("__e", F.lit(True))), "id", "left")
+            .join(F.broadcast(near_dropped.withColumn("__n", F.lit(True))), "id", "left")
+            .join(F.broadcast(sem_dropped.withColumn("__s", F.lit(True))), "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                "source",
+                F.when(F.col("__e"), F.lit("exact"))
+                .when(F.col("__n"), F.lit("near_dup"))
+                .when(F.col("__s"), F.lit("semantic"))
+                .otherwise(F.lit("kept"))
+                .alias("stage"),
+                (F.col("__e").isNull() & F.col("__n").isNull() & F.col("__s").isNull()).alias(
+                    "is_kept"
+                ),
+            )
+        )
+        _label("manifest")
+        _overwrite_batch(manifest, man_d, batch_id)
+        _label("idle")
 
 
 def incremental_ingest_stream(

@@ -59,7 +59,7 @@ from ..operators.similarity import (
 )
 from .incremental_neardup import _batch_dirs, _nullable
 from .sinks import STATE_FILES, land_session_dataset
-from .sinks import overwrite_batch_atomic
+from .sinks import overlapped_batch_writes, overwrite_batch_atomic
 
 
 def semdedup_process_batch(
@@ -77,94 +77,105 @@ def semdedup_process_batch(
     (cluster_id, id, vec, vnorm — ALL vectors) and the manifest
     (vec_id, keep)."""
     spark_ = batch_df.sparkSession
-    asg = ivf_assign(batch_df, centroids, 1, id_col, vec_col).select(
-        "cluster_id",
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        "vnorm",
-    ).localCheckpoint(eager=False)  # lineage cut, not persist — see
-    # incremental_pipeline.py (Catalyst re-analysis of accumulated
-    # batch chains dominates otherwise)
+    with overlapped_batch_writes(spark_) as bw:
+        asg = ivf_assign(batch_df, centroids, 1, id_col, vec_col).select(
+            "cluster_id",
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            "vnorm",
+        ).localCheckpoint(eager=False)  # lineage cut, not persist — see
+        # incremental_pipeline.py (Catalyst re-analysis of accumulated
+        # batch chains dominates otherwise)
 
-    # bounded collect: <= n_clusters ints, reused as a LITERAL filter so
-    # the prior-index scan zone-map-prunes to the probed clusters' chunks
-    probed = sorted(r["cluster_id"] for r in asg.select("cluster_id").distinct().collect())
+        # bounded collect: <= n_clusters ints, reused as a LITERAL filter so
+        # the prior-index scan zone-map-prunes to the probed clusters' chunks
+        probed = sorted(r["cluster_id"] for r in asg.select("cluster_id").distinct().collect())
 
-    new_side = asg.select(
-        F.col("cluster_id"),
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("vnorm").alias("n_b"),
-    )
-    old_in_batch = asg.select(
-        F.col("cluster_id"),
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("vnorm").alias("n_a"),
-    )
-    prior = _batch_dirs(index_dir, batch_id)
-    if prior:
-        landed = (
-            spark_.read.format("vortex")
-            # fresh single-consumption load with a static In filter over
-            # the cluster-SORTED index → opt-in zone-map pruning reads
-            # only the probed clusters' chunks (safe: no relation reuse).
-            # Known store schema: skips the footer-merging bind (r16).
-            .schema(_nullable(asg.schema))
-            .option("pushdown", "true")
-            .option("paths", json.dumps(prior))
-            .load()
-            .filter(F.col("cluster_id").isin(probed))
+        # r16 write overlap (guide §2.6, same contract argument as the
+        # other chains): the index write depends only on `asg` (already
+        # materialized by the collect above) and is atomic per
+        # (store, batch); `_batch_dirs` lists strictly-earlier batch ids
+        # only, so this batch's own concurrent landing is invisible to
+        # the `prior` read below. Submitting here overlaps the write's
+        # scheduler + task-launch latency with the pair-scoring gate.
+        # cluster-sorted append: range partition + in-file sort => tight
+        # cluster_id zone maps, so future batches' candidate scans prune
+        bw.submit(
+            overwrite_batch_atomic,
+            asg.repartitionByRange(
+                STATE_FILES, "cluster_id", "id"
+            ).sortWithinPartitions("cluster_id", "id"),
+            index_dir,
+            batch_id,
+            max_files=None,
+            label=f"semdedup b{batch_id}: index (write)",
+        )
+
+        new_side = asg.select(
+            F.col("cluster_id"),
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("vnorm").alias("n_b"),
+        )
+        old_in_batch = asg.select(
+            F.col("cluster_id"),
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col("vnorm").alias("n_a"),
+        )
+        prior = _batch_dirs(index_dir, batch_id)
+        if prior:
+            landed = (
+                spark_.read.format("vortex")
+                # fresh single-consumption load with a static In filter over
+                # the cluster-SORTED index → opt-in zone-map pruning reads
+                # only the probed clusters' chunks (safe: no relation reuse).
+                # Known store schema: skips the footer-merging bind (r16).
+                .schema(_nullable(asg.schema))
+                .option("pushdown", "true")
+                .option("paths", json.dumps(prior))
+                .load()
+                .filter(F.col("cluster_id").isin(probed))
+                .select(
+                    "cluster_id",
+                    F.col("id").alias("id_a"),
+                    F.col("vec").alias("vec_a"),
+                    F.col("vnorm").alias("n_a"),
+                )
+            )
+            old_side = landed.unionByName(old_in_batch)
+        else:
+            old_side = old_in_batch
+        # earlier = strictly smaller id for same-batch rows; landed rows are
+        # always earlier, and their ids are < every new id only under global
+        # id-ordered ingest — the general guard (id_a < id_b) is correct for
+        # BOTH cases because ids are unique across the stream.
+        pairs = (
+            # r16 (guide §3.1): batch side bounded → broadcast; the landed
+            # index rows (history-sized) stream map-side instead of the
+            # stats-less checkpoint frames falling to sort-merge
+            old_side.join(F.broadcast(new_side), "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
             .select(
-                "cluster_id",
-                F.col("id").alias("id_a"),
-                F.col("vec").alias("vec_a"),
-                F.col("vnorm").alias("n_a"),
+                "id_b",
+                (
+                    _dot(F.col("vec_a"), F.col("vec_b"))
+                    / (F.col("n_a") * F.col("n_b"))
+                ).alias("cos"),
             )
         )
-        old_side = landed.unionByName(old_in_batch)
-    else:
-        old_side = old_in_batch
-    # earlier = strictly smaller id for same-batch rows; landed rows are
-    # always earlier, and their ids are < every new id only under global
-    # id-ordered ingest — the general guard (id_a < id_b) is correct for
-    # BOTH cases because ids are unique across the stream.
-    pairs = (
-        # r16 (guide §3.1): batch side bounded → broadcast; the landed
-        # index rows (history-sized) stream map-side instead of the
-        # stats-less checkpoint frames falling to sort-merge
-        old_side.join(F.broadcast(new_side), "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_b",
-            (
-                _dot(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("n_a") * F.col("n_b"))
-            ).alias("cos"),
+        dup_ids = (
+            pairs.filter(F.col("cos") >= threshold).select(F.col("id_b").alias("id")).distinct()
         )
-    )
-    dup_ids = (
-        pairs.filter(F.col("cos") >= threshold).select(F.col("id_b").alias("id")).distinct()
-    )
-    manifest = (
-        asg.select("id")
-        .join(F.broadcast(dup_ids.withColumn("__dup", F.lit(True))), "id", "left")
-        .select(
-            F.col("id").alias("vec_id"),
-            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        manifest = (
+            asg.select("id")
+            .join(F.broadcast(dup_ids.withColumn("__dup", F.lit(True))), "id", "left")
+            .select(
+                F.col("id").alias("vec_id"),
+                F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+            )
         )
-    )
-    overwrite_batch_atomic(manifest, manifest_dir, batch_id)
-    # cluster-sorted append: range partition + in-file sort => tight
-    # cluster_id zone maps, so future batches' candidate scans prune
-    overwrite_batch_atomic(
-        asg.repartitionByRange(STATE_FILES, "cluster_id", "id").sortWithinPartitions(
-            "cluster_id", "id"
-        ),
-        index_dir,
-        batch_id,
-        max_files=None,
-    )
+        overwrite_batch_atomic(manifest, manifest_dir, batch_id)
 
 
 def incremental_semdedup_stream(

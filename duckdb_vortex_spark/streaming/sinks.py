@@ -25,11 +25,123 @@ import json as _json
 import math as _math
 import os
 import shutil
+import threading as _threading
 import time as _time
+from concurrent.futures import ThreadPoolExecutor as _ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 
 from ..sources.vortex import FILE_SUFFIX
+
+# ---------------------------------------------------------------------------
+# overlapped per-batch store writes (r16, guide §2.6)
+# ---------------------------------------------------------------------------
+
+# ONE module-level pool reused across batches: Spark 4 pins each Python
+# thread to its own JVM thread (PYSPARK_PIN_THREAD), so a per-batch pool
+# would leak one JVM thread per batch on a 24/7 stream. Two workers is
+# enough — a chain never has more than two store writes in flight while
+# it still has gate compute to overlap them with.
+_WRITE_POOL = None
+_WRITE_POOL_LOCK = _threading.Lock()
+
+
+def _write_pool() -> _ThreadPoolExecutor:
+    global _WRITE_POOL
+    with _WRITE_POOL_LOCK:
+        if _WRITE_POOL is None:
+            _WRITE_POOL = _ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="dvs-batch-write"
+            )
+        return _WRITE_POOL
+
+
+class overlapped_batch_writes:
+    """Overlap a micro-batch's INDEPENDENT store writes with its gate
+    compute (guide §2.6: a chain's actions are sequential only because
+    the driver calls them sequentially; a submitted write's tasks
+    back-fill cores the gate actions leave idle, and — the dominant
+    effect at micro-batch size — its scheduler/task-launch latency
+    stops serializing with the gates').
+
+    Contract preserved exactly: ``__exit__`` joins every submitted
+    write BEFORE the batch returns, so the streaming checkpoint still
+    commits only after all stores landed (exactly-once unchanged). A
+    failed write fails the whole batch, which retries WHOLESALE from
+    strictly-earlier state — `overwrite_batch_atomic` is atomic per
+    (store, batch), and every state read lists strictly-earlier batch
+    dirs only, so write ORDER within a batch never mattered for
+    correctness, only for latency. If the gate body itself raises,
+    in-flight writes are still joined first (never left racing a
+    retry), then the gate error propagates."""
+
+    def __init__(self, spark=None, label: str | None = None):
+        self._spark = spark
+        self._label = label
+        self._futs: list = []
+
+    def submit(self, fn, *args, label: str | None = None, **kwargs) -> None:
+        if os.environ.get("DVS_OVERLAP_WRITES", "1") == "0":
+            # kill switch (and the interleaved-A/B lever): run the
+            # write inline, exactly the pre-r16 sequential behavior
+            fn(*args, **kwargs)
+            return
+        spark, label = self._spark, label or self._label
+
+        # What pyspark.InheritableThread does, captured at submit time on
+        # the CALLING thread: under PYSPARK_PIN_THREAD each Python thread
+        # pins to its own fresh JVM thread, which starts with (a) empty
+        # local properties (job group/description — so a query.stop()
+        # cancellation or UI attribution would miss the write's jobs) and
+        # (b) NO thread-local active session — and Python data sources
+        # (our vortex format) are registered in the SESSION's
+        # DataSourceManager, which DataSource.lookupDataSource resolves
+        # via the active session, so without (b) the write thread fails
+        # with DATA_SOURCE_NOT_FOUND on format("vortex").
+        props = None
+        if spark is not None:
+            try:
+                props = spark.sparkContext._jsc.sc().getLocalProperties().clone()
+            except Exception:
+                props = None
+
+        def _run():
+            if spark is not None:
+                try:
+                    jvm = spark.sparkContext._jvm
+                    try:
+                        jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                            spark._jsparkSession
+                        )
+                    except Exception:
+                        jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+                            spark._jsparkSession
+                        )
+                    if props is not None:
+                        spark.sparkContext._jsc.sc().setLocalProperties(props)
+                    if label is not None:
+                        # job descriptions are thread-local (guide §1.5/§2.6)
+                        spark.sparkContext.setJobDescription(label)
+                except Exception:
+                    pass
+            return fn(*args, **kwargs)
+
+        self._futs.append(_write_pool().submit(_run))
+
+    def __enter__(self) -> "overlapped_batch_writes":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        first_err = None
+        for f in self._futs:
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 — join ALL writes
+                if first_err is None:
+                    first_err = e
+        if exc is None and first_err is not None:
+            raise first_err
+        return False
 
 
 def write_stream_vortex(

@@ -633,3 +633,48 @@ def test_stream_restart_after_crashed_fold_under_lease(spark, tmp_path):
     }
     assert got == want
     corpus.unpersist()
+
+
+def test_overlapped_batch_writes_joins_and_propagates(monkeypatch):
+    """Focused r16 unit pins for `sinks.overlapped_batch_writes` (the
+    §2.6 write-overlap machinery): (1) every submitted write completes
+    before __exit__ returns — the exactly-once precondition; (2) a
+    failed write surfaces as the batch's error even when the gate body
+    succeeds; (3) a gate-body error still joins in-flight writes first
+    (no write left racing a retry) and wins over write errors;
+    (4) DVS_OVERLAP_WRITES=0 degrades to inline execution."""
+    import time as _t
+
+    from duckdb_vortex_spark.streaming.sinks import overlapped_batch_writes
+
+    # (1) join-before-return
+    done = []
+    with overlapped_batch_writes() as bw:
+        bw.submit(lambda: (_t.sleep(0.2), done.append("w1"))[-1])
+        bw.submit(lambda: (_t.sleep(0.1), done.append("w2"))[-1])
+    assert sorted(done) == ["w1", "w2"]
+
+    # (2) write failure fails the batch
+    def boom():
+        raise RuntimeError("write failed")
+
+    with pytest.raises(RuntimeError, match="write failed"):
+        with overlapped_batch_writes() as bw:
+            bw.submit(boom)
+
+    # (3) gate error propagates, but the in-flight write is joined first
+    joined = []
+    with pytest.raises(ValueError, match="gate"):
+        with overlapped_batch_writes() as bw:
+            bw.submit(lambda: (_t.sleep(0.2), joined.append("w"))[-1])
+            raise ValueError("gate")
+    assert joined == ["w"]
+
+    # (4) kill switch runs inline on the calling thread
+    import threading
+
+    monkeypatch.setenv("DVS_OVERLAP_WRITES", "0")
+    tids = []
+    with overlapped_batch_writes() as bw:
+        bw.submit(lambda: tids.append(threading.get_ident()))
+    assert tids == [threading.get_ident()]
